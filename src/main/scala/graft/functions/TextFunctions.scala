@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expressions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  * All built from codegen'd `functions._` — they stay inside whole-stage
+  * codegen and scale linearly with no shuffle.
+  */
+object TextFunctions {
+
+  /** Stopword list used by the language/quality heuristics. Deliberately
+    * tiny and hard-coded so the DuckDB oracle can replicate it verbatim. */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Whitespace tokenization (literal single space — matches the oracle's
+    * string_split semantics; the synthetic corpus is single-spaced). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Count of stopword tokens (higher-order filter, no UDF). */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(StopWords)))
+
+  /** Stopword ratio in [0,1]; deterministic double (int/int division). */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  /** Mean token length: non-space chars over token count. */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * mean-word-length band (mirrors the reference's weighted quality
+    * dimensions, ops/data_quality_ops.py:60-139, recast for raw text). */
+  def qualityScore(text: Column): Column = {
+    val lengthOk   = (charCount(text) >= 100 && charCount(text) <= 20000).cast("int")
+    val stopOk     = (stopwordRatio(text) >= 0.01).cast("int")
+    val wordLenOk  = (avgTokenLength(text) >= 3.0 && avgTokenLength(text) <= 10.0).cast("int")
+    (lengthOk * 0.4) + (stopOk * 0.3) + (wordLenOk * 0.3)
+  }
+
+  /** N-gram-free language-ID heuristic: English stopword density. The
+    * corpus is synthetic word-soup, so this is a deterministic stand-in
+    * for a real char-n-gram model (swap-in point for fastText-style LID). */
+  def langIdHeuristic(text: Column): Column =
+    when(stopwordRatio(text) >= 0.02, "en").otherwise("unk")
+
+  /** Canonical document fingerprint: md5 of case/space-normalized text.
+    * Exact-dedup key; the rolling-hash variant lives in Dedup.simHash. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(text)))
+
+  /** Word-level shingles (n-grams) as an array column, distinct, for
+    * Jaccard / MinHash. Uses sliding over the token array via transform +
+    * slice — stays in codegen, no explode until the caller needs it. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+      )
+    )
+  }
+
+  /** BPE-ish token estimate: words + punctuation marks counted separately
+    * (regex splitter; approximates subword token counts for budget math). */
+  def tokenEstimate(text: Column): Column =
+    size(filter(split(text, "[\\s]+", -1), t => length(t) > 0)) +
+      length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+}

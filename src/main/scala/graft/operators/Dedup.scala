@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All implemented as shuffled DataFrame
+  * plans (explode → equi-join → agg) — no driver-side loops, no cross
+  * joins — so they scale with cluster size. Hashes are Spark's xxhash64
+  * (seeded, deterministic across runs/partitionings).
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-content fingerprint: deterministic keeper =
+    * min(id) per fingerprint (the reference's drop_duplicates,
+    * ops/data_ingestion_ops.py:197, made order-independent). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct word-n-gram shingles, one row per (doc, shingle).
+    * The exploded frame shuffles on the shingle key downstream. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    val cols = (col(idCol).as("doc_id") +: extraCols.map(col)) :+
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("sh")
+    docs.select(cols: _*)
+  }
+
+  /** All pairs within the same blocking key whose shingle-set Jaccard ≥
+    * threshold. Inverted-index join on the shingle (standard MapReduce
+    * similarity-join shape): pair candidates are generated only where they
+    * share ≥1 shingle, then scored exactly. At very large corpora, cap
+    * document frequency per shingle (`maxDf`) to bound the quadratic
+    * blow-up from stop-shingles (skew guard; off by default so the DuckDB
+    * oracle matches bit-for-bit). */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Option[Int] = None
+  ): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol, n, Seq(blockCol)).withColumnRenamed(blockCol, "block")
+    val sh = maxDf match {
+      case Some(cap) =>
+        val dfreq = sh0.groupBy("block", "sh").agg(count(lit(1)).as("df"))
+        sh0.join(dfreq.filter(col("df") <= cap).select("block", "sh"), Seq("block", "sh"), "left_semi")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("block"), col("doc_id").as("id_a"), col("sh"))
+    val b = sh.select(col("block"), col("doc_id").as("id_b"), col("sh"))
+    val inter = a
+      .join(b, Seq("block", "sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k permutations simulated as seeded xxhash64 of the
+    * shingle, min-aggregated per doc. One shuffle (groupBy doc). */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of k/bands
+    * rows; docs colliding on any banded hash become candidate pairs; pairs
+    * are scored by estimated Jaccard = fraction of agreeing signature
+    * positions. Candidate generation is an equi-join on (band, bandHash) —
+    * never a cross join. */
+  def minHashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k)
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"), xxhash64((bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val simExpr = (0 until k).map(i => (col("a." + s"h$i") === col("b." + s"h$i")).cast("int")).reduce(_ + _).cast("double") / k
+    cand
+      .join(sigs.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), simExpr.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: token hashes vote per bit position.
+    * Single shuffle (groupBy doc over exploded tokens); bit assembly is a
+    * pure expression fold. Also emits 4×16-bit block keys — near-dup pairs
+    * (hamming ≤ 3 per Manku et al.'s pigeonhole argument with 4 blocks)
+    * must agree on at least one block, so candidate generation is an
+    * equi-join on a block key. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val h = toks.withColumn("th", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val voted = h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64)
+      .map(i => shiftleft(when(col(s"v$i") > 0, 1L).otherwise(0L), i))
+      .reduce((a, b) => a.bitwiseOR(b))
+    voted
+      .select(col("doc_id"), sim.as("simhash"))
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        shiftrightunsigned(col("simhash"), 0).bitwiseAND(0xffffL).as("block0"),
+        shiftrightunsigned(col("simhash"), 16).bitwiseAND(0xffffL).as("block1"),
+        shiftrightunsigned(col("simhash"), 32).bitwiseAND(0xffffL).as("block2"),
+        shiftrightunsigned(col("simhash"), 48).bitwiseAND(0xffffL).as("block3")
+      )
+  }
+
+  /** SimHash near-dup pairs: block-key candidates → exact hamming check. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val s = simHash(docs, idCol, textCol)
+    val blocks = (0 to 3).map { bIdx =>
+      s.select(col("doc_id"), lit(bIdx).as("band"), col(s"block$bIdx").as("bkey"), col("simhash"))
+    }.reduce(_ unionByName _)
+    val cand = blocks
+      .as("x")
+      .join(blocks.as("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

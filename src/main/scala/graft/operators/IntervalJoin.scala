@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval/theta join done scalably (SURVEY §2.3 J3, §7.4 risk 1).
+  *
+  * The reference joins observations to alert windows with
+  * `obs_date BETWEEN a.effective AND a.expires` — a non-equi predicate that
+  * Spark can only plan as BroadcastNestedLoopJoin (O(n·m)). Because the
+  * reference's intervals are short (alert durations tracked in hours,
+  * stg_noaa_weather.sql:54-57), we explode each interval into its covered
+  * day keys and equi-join on the day — Catalyst then plans a shuffled hash /
+  * sort-merge join that scales to 100 TB fact tables, with the fact-side
+  * date filter still pushed to parquet.
+  */
+object IntervalJoin {
+
+  /** Equi-join `facts` to `intervals` on day granularity.
+    *
+    * @param intervals  the (small-ish) interval side; exploded ×days
+    * @param startDate  DateType column on `intervals` (inclusive)
+    * @param endDate    DateType column on `intervals` (inclusive)
+    * @param facts      the large fact side
+    * @param factDate   DateType column on `facts`
+    * @return intervals ⟕ facts matched per covered day; interval rows with
+    *         no matching fact keep one row per day with null fact columns,
+    *         so aggregate with count(factKey) not count(*).
+    */
+  def byDay(
+      intervals: DataFrame,
+      startDate: Column,
+      endDate: Column,
+      facts: DataFrame,
+      factDate: Column
+  ): DataFrame = {
+    val exploded = intervals.withColumn("__day", explode(sequence(startDate, endDate)))
+    exploded.join(facts, factDate === col("__day"), "left")
+  }
+
+  /** Reference-shaped naive variant (BroadcastNestedLoopJoin) kept for
+    * semantic differential tests on small data: byDay must aggregate to the
+    * same result. */
+  def naive(
+      intervals: DataFrame,
+      startDate: Column,
+      endDate: Column,
+      facts: DataFrame,
+      factDate: Column
+  ): DataFrame =
+    intervals.join(facts, factDate.between(startDate, endDate), "left")
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the reference's SchemaValidator /
+  * QualityValidator / ComplianceValidator (utils/data_validation.py:55-588)
+  * and its 17 singular dbt tests (tests/data_quality_tests.yml) recast as
+  * DataFrame aggregations. Every check is a single distributed aggregate:
+  * no collect-based loops, so they run at table scale.
+  */
+object Validation {
+
+  /** One check outcome; `failedCount == 0` means pass. */
+  final case class Check(name: String, failed: Column)
+
+  def notNull(cols: Seq[String]): Seq[Check] =
+    cols.map(c => Check(s"not_null_$c", col(c).isNull.cast("long")))
+
+  def acceptedValues(c: String, values: Seq[String]): Check =
+    Check(s"accepted_values_$c", (!col(c).isInCollection(values) && col(c).isNotNull).cast("long"))
+
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"range_$c", ((col(c) < lo || col(c) > hi) && col(c).isNotNull).cast("long"))
+
+  /** Temporal sanity: start must not exceed end (data_quality_tests.yml:17-26). */
+  def ordered(startCol: String, endCol: String): Check =
+    Check(s"ordered_${startCol}_$endCol", (col(startCol) > col(endCol)).cast("long"))
+
+  /** PII regex scan (SSN / email / phone, data_quality_tests.yml:155-175). */
+  def piiScan(c: String): Check = {
+    val ssn   = col(c).rlike("\\b\\d{3}-\\d{2}-\\d{4}\\b")
+    val email = col(c).rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val phone = col(c).rlike("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b")
+    Check(s"pii_$c", (ssn || email || phone).cast("long"))
+  }
+
+  /** Run row-level checks in ONE aggregation pass; returns a long row of
+    * failure counts keyed by check name. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_rows"),
+      checks.map(ch => coalesce(sum(ch.failed), lit(0L)).as(ch.name)): _*
+    )
+
+  /** Uniqueness check: rows per duplicated key (dbt `unique`). */
+  def duplicates(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+
+  /** Referential integrity via anti-join (J5 / dbt `relationships`):
+    * rows whose FK has no match in the dimension. */
+  def brokenReferences(df: DataFrame, fk: String, dim: DataFrame, pk: String): DataFrame =
+    df.join(broadcast(dim.select(col(pk).as(fk))), Seq(fk), "left_anti")
+
+  /** Per-column completeness ratio (completeness ≥ 0.95 test,
+    * data_quality_tests.yml:178-222). */
+  def completeness(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_rows"),
+      cols.map(c => (count(col(c)).cast("double") / count(lit(1))).as(s"${c}_completeness")): _*
+    )
+
+  /** Freshness: hours since newest `tsCol` vs an SLA threshold, evaluated
+    * against an injected `asOf` clock for reproducibility (SURVEY §7.4.3). */
+  def freshness(df: DataFrame, tsCol: String, asOf: java.sql.Timestamp, slaHours: Int): DataFrame =
+    df.agg(max(col(tsCol)).as("last_update"))
+      .select(
+        col("last_update"),
+        ((lit(asOf).cast("long") - col("last_update").cast("long")) / 3600.0).as("hours_since_update")
+      )
+      .withColumn("sla_hours", lit(slaHours))
+      .withColumn("fresh", col("hours_since_update") <= slaHours)
+
+  /** Z-score outlier counting from exact decimal sums — single pass for
+    * moments + one filtered pass, both distributed (A11). */
+  def zscoreOutlierCount(df: DataFrame, c: String, z: Double): DataFrame = {
+    val d = col(c).cast("decimal(18,2)")
+    val stats = df.agg(
+      count(col(c)).as("n"),
+      sum(d).cast("double").as("s1"),
+      sum(d * d).cast("double").as("s2")
+    )
+    val withMoments = stats.select(
+      col("n"),
+      (col("s1") / col("n")).as("mu"),
+      sqrt(greatest(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0))).as("sigma")
+    )
+    df.crossJoin(broadcast(withMoments))
+      .filter(abs(col(c) - col("mu")) / col("sigma") > z)
+      .agg(count(lit(1)).as("outlier_cnt"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Deduplication + similarity-search operators over `documents` and
+  * `embeddings`. d1/u4/s1 are DuckDB-oracle-checked; the sketch-based
+  * variants (MinHash-LSH, SimHash, LSH-ANN) have no 1:1 SQL equivalent —
+  * they are declared without oracle SQL (driver records a rows-only check)
+  * and are differentially tested against their exact counterparts in
+  * DedupSpec/SimilaritySpec.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "u4_exact_dedup" -> ((s, d) => {
+      Dedup.exactGroups(Tables(s, d).documents, "doc_id", "text")
+    }),
+    "d1_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(
+        Tables(s, d).documents.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "source", n = 3, threshold = 0.5
+      )
+    }),
+    "d2_minhash_lsh" -> ((s, d) => {
+      Dedup.minHashLshPairs(
+        Tables(s, d).documents.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5
+      )
+    }),
+    "d3_simhash" -> ((s, d) => {
+      Dedup.simHash(Tables(s, d).documents, "doc_id", "text")
+    }),
+    "d4_embedding_neardup" -> ((s, d) => {
+      Similarity.embeddingNearDupPairs(
+        Tables(s, d).embeddings, "vec_id", "embedding",
+        threshold = 0.95, dim = 64
+      ).select(col("id_a"), col("id_b"))
+    }),
+    "s1_knn_bruteforce" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+    "s2_ann_lsh" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "u4_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d1_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON p.id_a = sa.doc_id
+        |JOIN sizes sb ON p.id_b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "s1_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding, e.embedding) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.StreamingJobs
+
+/** Streaming semantics exercised through the correctness gate: the ST5
+  * tumbling-window aggregation actually runs as a Structured Streaming
+  * query (memory sink, complete mode, synchronous), then its deterministic
+  * result is checked against a batch DuckDB oracle — proving the streaming
+  * plan computes the same answer as the batch plan.
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "st5_stream_tumbling" -> ((s, d) => StreamingJobs.tumblingEventCounts(s, d))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "st5_stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr_start, event_type,
+        |count(*) AS event_cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token stats, quality
+  * scoring, language-ID heuristic, fingerprinting, multimodal (binary)
+  * column metadata. All scale linearly (pure projections / one groupBy) and
+  * every one is DuckDB-oracle-checked.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "t1_token_stats" -> ((s, d) => {
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        charCount(col("text")).as("n_chars_obs"),
+        stopwordCount(col("text")).as("stop_cnt"),
+        avgTokenLength(col("text")).as("avg_tok_len")
+      )
+    }),
+    "t2_quality_score" -> ((s, d) => {
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        col("lang"),
+        qualityScore(col("text")).as("quality")
+      )
+    }),
+    "t3_lang_id" -> ((s, d) => {
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        col("lang"),
+        langIdHeuristic(col("text")).as("pred_lang"),
+        (langIdHeuristic(col("text")) === col("lang")).as("agree")
+      )
+    }),
+    "t4_fingerprint_shingles" -> ((s, d) => {
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        size(wordShingles(col("text"), 3)).as("shingle3_cnt")
+      )
+    }),
+    "m1_multimodal_meta" -> ((s, d) => {
+      // binary-column plumbing: text treated as an opaque payload column;
+      // byte length + content hash are the metadata a decode stage keys on
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        md5(col("text")).as("content_md5")
+      )
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |CAST(length(text) AS INTEGER) AS n_chars_obs,
+        |CAST(len(list_filter(string_split(text, ' '),
+        |     x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INTEGER) AS stop_cnt,
+        |CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
+        |FROM documents""".stripMargin,
+    "t2_quality_score" ->
+      """SELECT doc_id, lang,
+        |(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END) * CAST(0.4 AS DOUBLE)
+        |+ (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |       x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= CAST(0.01 AS DOUBLE)
+        |   THEN 1 ELSE 0 END) * CAST(0.3 AS DOUBLE)
+        |+ (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |            / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |            BETWEEN CAST(3 AS DOUBLE) AND CAST(10 AS DOUBLE)
+        |   THEN 1 ELSE 0 END) * CAST(0.3 AS DOUBLE) AS quality
+        |FROM documents""".stripMargin,
+    "t3_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |CASE WHEN sr >= CAST(0.02 AS DOUBLE) THEN 'en' ELSE 'unk' END AS pred_lang,
+        |(CASE WHEN sr >= CAST(0.02 AS DOUBLE) THEN 'en' ELSE 'unk' END) = lang AS agree
+        |FROM t""".stripMargin,
+    "t4_fingerprint_shingles" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS norm, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, md5(norm) AS fp,
+        |CAST(len(list_distinct(list_transform(
+        |  range(1, greatest(len(w) - 2, 1) + 1),
+        |  i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS INTEGER) AS shingle3_cnt
+        |FROM t""".stripMargin,
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |md5(text) AS content_md5
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Upsert
+
+/** Structured Streaming re-expression of the reference's Kafka→Flink→
+  * StarRocks path (SURVEY §2.9). Sources here are file streams (no Kafka
+  * broker in this environment); the transforms are source-agnostic — swap
+  * `readStream.format("kafka")` in and everything downstream holds.
+  */
+object StreamingJobs {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** ST2–ST4: pass-through pipeline — stream of typed rows, stamped with a
+    * processing-time column (Flink PROCTIME parity), checkpointed, upserted
+    * into a bronze parquet table via idempotent foreachBatch. */
+  def passThroughToBronze(
+      spark: SparkSession,
+      srcDir: String,
+      bronzePath: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      versionCol: String,
+      tiebreak: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withColumn("proc_time", current_timestamp())
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // window-dedup upsert => re-delivered batches are idempotent
+        Upsert.upsertParquet(spark, batch.drop("proc_time"), bronzePath, keys, versionCol, tiebreak)
+      }
+      .start()
+  }
+
+  /** ST5: watermarked tumbling-window aggregation (the README's Flink
+    * TUMBLE pattern), run synchronously against the events table through a
+    * memory sink and returned as a batch DataFrame. Complete output mode so
+    * the result is the full, deterministic window set. */
+  def tumblingEventCounts(spark: SparkSession, sfDir: String, window_ : String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("value_sum")
+      )
+    val name = s"tumbling_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark
+      .table(name)
+      .select(
+        col("window.start").cast("timestamp_ntz").as("hr_start"),
+        col("event_type"),
+        col("event_cnt"),
+        col("value_sum").cast("double").as("value_sum")
+      )
+  }
+}

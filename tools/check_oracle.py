@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir in verifyOutDir with an entry in oracle_sql.json:
+run the SQL in DuckDB over the raw testdata tables, read the Spark result
+parquet, canonicalize both (columns sorted by name, rows sorted by all
+columns), and compare values exactly. Reports per-query status.
+"""
+import json, sys, glob, math
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize list/array cells to tuples so sorting works
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list,)) else v)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+def cells_equal(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b): return True
+    except (TypeError, ValueError): pass
+    return a == b
+
+fails = 0
+for name in sorted(glob.glob(f"{outdir}/*/")):
+    q = name.rstrip("/").split("/")[-1]
+    spark_files = glob.glob(f"{name}/*.parquet")
+    if not spark_files: continue
+    got = pd.concat([pd.read_parquet(f) for f in spark_files], ignore_index=True)
+    if q not in oracle:
+        print(f"{q:28s} ROWS-ONLY rows={len(got)}")
+        continue
+    try:
+        exp = con.execute(oracle[q]).df()
+    except Exception as e:
+        print(f"{q:28s} ORACLE-SQL-ERROR {e}")
+        fails += 1
+        continue
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        print(f"{q:28s} COLS-MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
+        fails += 1; continue
+    if len(g) != len(e):
+        print(f"{q:28s} ROWCOUNT spark={len(g)} duck={len(e)}")
+        fails += 1; continue
+    bad = None
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (x, y) in enumerate(zip(gv, ev)):
+            if not cells_equal(x, y):
+                bad = (c, i, x, y); break
+        if bad: break
+    if bad:
+        c, i, x, y = bad
+        print(f"{q:28s} VALUE-MISMATCH col={c} row={i} spark={x!r} ({type(x).__name__}) duck={y!r} ({type(y).__name__})")
+        fails += 1
+    else:
+        print(f"{q:28s} OK rows={len(g)}")
+print(f"\n{fails} failing")
+sys.exit(1 if fails else 0)
