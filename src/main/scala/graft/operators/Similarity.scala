@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,14 +36,25 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Assign each vector to a 2^numPlanes-bucket LSH code. */
-  def withLshBucket(vectors: DataFrame, vecCol: String, planes: Seq[Seq[Double]]): DataFrame =
-    vectors.withColumn("lsh_bucket", VectorFunctions.lshBucket(col(vecCol), planes))
+  /** Multi-table LSH codes: `array<struct<tbl,bucket>>`, one bucket per
+    * independent table of `planesPerTable` hyperplanes. Union of tables
+    * trades work for recall (standard L-tables random-hyperplane LSH). */
+  private def tableBuckets(v: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    array(tables.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("tbl"), VectorFunctions.lshBucket(v, planes).as("bucket"))
+    }: _*)
 
-  /** ANN top-k: candidates restricted to the query's LSH bucket, then
-    * exact-cosine ranked. Trades recall for a cross-product-free plan; at
-    * 100 TB the bucket join shuffles on a 2^p-ary key instead of comparing
-    * all pairs. Recall vs bruteForceTopK is asserted in SimilaritySpec. */
+  private def explodedBuckets(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, tables: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .withColumn("__tb", explode(tableBuckets(col(vecAs), tables)))
+      .select(col(idAs), col(vecAs), col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+
+  /** ANN top-k: candidates = vectors sharing any LSH table bucket with the
+    * query, then exact-cosine ranked. The bucket equi-join replaces the
+    * cross product — at 100 TB the corpus shuffles once on (tbl, bucket)
+    * instead of comparing all pairs. Recall vs bruteForceTopK is asserted
+    * in OperatorsSpec. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -51,38 +62,44 @@ object Similarity {
       vecCol: String,
       k: Int,
       dim: Int,
-      numPlanes: Int = 6,
+      numTables: Int = 10,
+      planesPerTable: Int = 4,
       seed: Long = 42L
   ): DataFrame = {
-    val planes = randomPlanes(dim, numPlanes, seed)
-    val c = withLshBucket(corpus, vecCol, planes).select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("lsh_bucket"))
-    val q = withLshBucket(queries, vecCol, planes).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("lsh_bucket"))
+    val tables = Seq.tabulate(numTables)(t => randomPlanes(dim, planesPerTable, seed + 7919 * t))
+    val c = explodedBuckets(corpus, idCol, vecCol, "neighbor_id", "nv", tables)
+    val q = explodedBuckets(queries, idCol, vecCol, "query_id", "qv", tables)
     val scored = c
-      .join(q, Seq("lsh_bucket"))
+      .join(q, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), VectorFunctions.cosine(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates with
-    * exact cosine ≥ threshold. Equi-join on bucket — no cross join. */
+  /** Embedding-cosine near-duplicate pairs: multi-table LSH candidates with
+    * exact cosine ≥ threshold. Equi-join on (tbl,bucket) — no cross join.
+    * High thresholds mean tight angular distance, where hyperplane LSH
+    * recall is strongest. */
   def embeddingNearDupPairs(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
       dim: Int,
-      numPlanes: Int = 6,
+      numTables: Int = 10,
+      planesPerTable: Int = 4,
       seed: Long = 42L
   ): DataFrame = {
-    val planes = randomPlanes(dim, numPlanes, seed)
-    val v = withLshBucket(vectors, vecCol, planes).select(col(idCol).as("vid"), col(vecCol).as("v"), col("lsh_bucket"))
+    val tables = Seq.tabulate(numTables)(t => randomPlanes(dim, planesPerTable, seed + 7919 * t))
+    val v = explodedBuckets(vectors, idCol, vecCol, "vid", "v", tables)
     v.as("a")
-      .join(v.as("b"), Seq("lsh_bucket"))
-      .filter(col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), VectorFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .join(v.as("b").withColumnRenamed("vid", "vid_b").withColumnRenamed("v", "v_b"), Seq("tbl", "bucket"))
+      .filter(col("vid") < col("vid_b"))
+      .dropDuplicates("vid", "vid_b")
+      .select(col("vid").as("id_a"), col("vid_b").as("id_b"), VectorFunctions.cosine(col("v"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, IntervalJoin, Similarity, Upsert, Validation}
+
+/** Differential + invariant tests for the operator layer. */
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("interval join: date-bucketed plan aggregates identically to naive BNLJ") {
+    val t = Tables(spark, Sf0001)
+    val intervals = t.orders
+      .filter(col("o_orderkey") % 499 === 0)
+      .select(
+        col("o_orderkey").as("interval_id"),
+        to_date(col("o_orderdate")).as("start_d"),
+        date_add(to_date(col("o_orderdate")), 14).as("end_d")
+      )
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("interval_id")
+        .agg(count(col("l_orderkey")).as("cnt"), sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+    val fast = agg(IntervalJoin.byDay(intervals, col("start_d"), col("end_d"), t.lineitem, to_date(col("l_shipdate"))))
+    val slow = agg(IntervalJoin.naive(intervals, col("start_d"), col("end_d"), t.lineitem, to_date(col("l_shipdate"))))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("exact dedup groups: every keeper is the min doc_id of its fingerprint group") {
+    val docs = Seq((5L, "x y z"), (3L, "x y z"), (9L, "a b"), (1L, "q")).toDF("doc_id", "text")
+    val got = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val byCnt = got.map(r => (r.getLong(1), r.getLong(2))).toMap // keep_id -> cnt
+    assert(byCnt == Map(3L -> 2L, 9L -> 1L, 1L -> 1L))
+  }
+
+  test("minhash estimated jaccard tracks exact jaccard for near-dup docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " zzz aaa bbb"
+    val distinctDoc = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinctDoc)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"near-dup pair not found: $pairs")
+    assert(pairs((1L, 2L)) > 0.5)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs hash identically; near-dups within small hamming distance") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val tweaked = base.replace("w40", "w40x")
+    val docs = Seq((1L, base), (2L, base), (3L, tweaked)).toDF("doc_id", "text")
+    val h = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 12)
+  }
+
+  test("LSH ANN recalls a decent fraction of brute-force neighbors") {
+    val e = Tables(spark, Sf0001).embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(e, q, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.15, s"recall=$recall")
+    // and ANN never invents a better-than-rank-1 neighbor missing from brute's pool:
+    assert(ann.nonEmpty)
+  }
+
+  test("upsert latestByKey is deterministic and keeps the newest version") {
+    val df = Seq((1L, "a", 1L, 10.0), (1L, "a", 3L, 30.0), (1L, "a", 2L, 20.0), (2L, "b", 1L, 1.0))
+      .toDF("k1", "k2", "version", "v")
+    val got = Upsert.latestByKey(df, Seq("k1", "k2"), "version", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((1L, 3L, 30.0), (2L, 1L, 1.0)))
+  }
+
+  test("upsertParquet: re-running the same batch is idempotent; newer versions replace") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/t"
+    val b1 = Seq((1L, 1L, "v1"), (2L, 1L, "v1")).toDF("id", "version", "payload")
+    Upsert.upsertParquet(spark, b1, dir, Seq("id"), "version", "id")
+    Upsert.upsertParquet(spark, b1, dir, Seq("id"), "version", "id")
+    assert(spark.read.parquet(dir).count() == 2)
+    val b2 = Seq((2L, 2L, "v2"), (3L, 1L, "v1")).toDF("id", "version", "payload")
+    Upsert.upsertParquet(spark, b2, dir, Seq("id"), "version", "id")
+    val rows = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(rows == Map(1L -> "v1", 2L -> "v2", 3L -> "v1"))
+  }
+
+  test("validation: pii scan, accepted values, ranges, broken references") {
+    val df = Seq(
+      ("ok row", "CO", 5.0),
+      ("ssn 123-45-6789 leak", "CO", 20.0),
+      ("mail a@b.com", "XX", -1.0)
+    ).toDF("note", "state", "score")
+    val res = Validation.run(df, Seq(
+      Validation.piiScan("note"),
+      Validation.acceptedValues("state", Seq("CO", "TX")),
+      Validation.inRange("score", 0.0, 10.0)
+    )).head()
+    assert(res.getLong(res.fieldIndex("total_rows")) == 3)
+    assert(res.getLong(res.fieldIndex("pii_note")) == 2)
+    assert(res.getLong(res.fieldIndex("accepted_values_state")) == 1)
+    assert(res.getLong(res.fieldIndex("range_score")) == 2)
+
+    val dim = Seq("CO", "TX").toDF("state")
+    assert(Validation.brokenReferences(df, "state", dim, "state").count() == 1)
+    assert(Validation.duplicates(df.unionAll(df), Seq("note")).count() == 3)
+  }
+}

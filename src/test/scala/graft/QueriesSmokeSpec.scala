@@ -1,0 +1,32 @@
+package graft
+
+/** Every declared query must run at sf0.001 and (where a result is
+  * guaranteed) return rows; true value-correctness is covered by the
+  * driver's DuckDB-oracle gate, locally emulated via
+  * tools/check_oracle.py. */
+class QueriesSmokeSpec extends SparkSpecBase {
+
+  // queries whose correct result CAN be empty at this scale
+  private val mayBeEmpty = Set("j5_anti_join", "d4_embedding_neardup", "d1_ngram_jaccard", "d2_minhash_lsh")
+
+  test("all queries execute at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, Sf0001).count()
+        if (n == 0 && !mayBeEmpty(name)) Some(s"$name: 0 rows") else None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("every oracle key refers to a declared query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
+  }
+
+  test("flagship entry returns enriched rows") {
+    assert(SparkEntry.entry(spark).count() == 25) // 25 nations
+  }
+}
