@@ -1,0 +1,120 @@
+package graft.em
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Deterministic fixture generators honoring FIXTURES.md value domains
+  * (fixed seed; clean rows by default, dirt injectable for negative
+  * tests). Driver-side generation is fine here: fixtures are small test
+  * inputs, not engine data paths.
+  */
+object Fixtures {
+
+  private val incidentTypes = Seq("Hurricane", "Flood", "Fire", "Tornado", "Severe Storm", "Winter Storm", "Drought", "Earthquake")
+  private val states = Seq("CO", "CA", "TX", "FL", "NY", "WA", "KS", "OK")
+  private val severities = Seq("Extreme", "Severe", "Moderate", "Minor")
+  private val urgencies = Seq("Immediate", "Expected", "Future")
+  private val commodities = Seq("CORN", "WHEAT", "SOYBEANS", "COTTON")
+
+  private def ts(epochDay: Long, hour: Int = 0): Timestamp =
+    new Timestamp(epochDay * 86400000L + hour * 3600000L)
+
+  def fema(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val declDay = 19700 + rng.nextInt(300) // ~2023-2024
+      val begin = declDay - rng.nextInt(10)
+      val end = if (rng.nextBoolean()) Some(begin + rng.nextInt(45)) else None
+      Row(
+        (4000 + i).toString,
+        states(rng.nextInt(states.length)),
+        Seq("DR", "EM", "FM")(rng.nextInt(3)),
+        new Date(declDay * 86400000L),
+        incidentTypes(rng.nextInt(incidentTypes.length)),
+        s"Event $i declaration",
+        new Date(begin * 86400000L),
+        end.map(d => new Date(d * 86400000L)).orNull,
+        s"County ${i % 30}",
+        2024,
+        ts(declDay, 6),
+        "FEMA_OpenFEMA"
+      )
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), EmSchemas.Fema)
+  }
+
+  def noaa(spark: SparkSession, n: Int, seed: Long = 43L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val effDay = 19900 + rng.nextInt(90)
+      val effHour = rng.nextInt(24)
+      val durH = 1 + rng.nextInt(72)
+      Row(
+        s"NOAA-ALERT-$i",
+        Seq("Tornado", "Flood", "Winter Storm", "Severe Storm")(rng.nextInt(4)),
+        severities(rng.nextInt(severities.length)),
+        urgencies(rng.nextInt(urgencies.length)),
+        Seq("Observed", "Likely", "Possible")(rng.nextInt(3)),
+        s"Alert $i headline",
+        s"Alert $i long description " + ("x" * rng.nextInt(600)),
+        s"Take shelter instruction $i " + ("y" * rng.nextInt(400)),
+        s"${states(rng.nextInt(states.length))} region, County ${i % 20}",
+        ts(effDay, effHour),
+        new Timestamp(ts(effDay, effHour).getTime + durH * 3600000L),
+        s"""{"type":"Polygon","coordinates":[[${rng.nextInt(100)},0]]}""",
+        ts(effDay, effHour),
+        "NOAA_NWS"
+      )
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), EmSchemas.Noaa)
+  }
+
+  def coagmet(spark: SparkSession, stations: Int, daysBack: Int, asOfDay: Long, seed: Long = 44L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val rows = for {
+      s <- 0 until stations
+      d <- 0 until daysBack
+      h <- Seq(0, 6, 12, 18)
+    } yield {
+      val day = asOfDay - d
+      Row(
+        f"COAG$s%03d",
+        s"Station $s",
+        37.5 + rng.nextDouble() * 3.0,            // CO-ish latitudes
+        -108.5 + rng.nextDouble() * 6.0,          // CO-ish longitudes
+        ts(day, h),
+        -15.0 + rng.nextDouble() * 60.0,          // occasionally freeze/heat
+        rng.nextDouble() * 100.0,
+        rng.nextDouble() * 90.0,
+        if (rng.nextInt(4) == 0) rng.nextDouble() * 40.0 else 0.0,
+        ts(day, h),
+        "CoAgMet"
+      )
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), EmSchemas.Coagmet)
+  }
+
+  def usda(spark: SparkSession, n: Int, seed: Long = 45L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val premium = 1000.0 + rng.nextDouble() * 50000.0
+      val liability = premium * (5 + rng.nextInt(10))
+      val indemnity = rng.nextDouble() * liability * 0.8
+      Row(
+        2020 + rng.nextInt(5),
+        states(rng.nextInt(3)), // concentrate for privacy-threshold coverage
+        (1 + rng.nextInt(8)).toString,
+        commodities(rng.nextInt(commodities.length)),
+        Seq("IRRIGATED", "NON-IRRIGATED")(rng.nextInt(2)),
+        50.0 + rng.nextInt(40),
+        premium,
+        liability,
+        indemnity,
+        ts(19950L, 3),
+        "USDA_RMA"
+      )
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), EmSchemas.Usda)
+  }
+}

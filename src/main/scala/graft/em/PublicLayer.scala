@@ -1,0 +1,145 @@
+package graft.em
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.EmFunctions
+
+/** Public/API serving layer (gold): API-shaped disaster view with public
+  * codes, privacy-thresholded agricultural rollups, severity-ordered alert
+  * view, and the cross-source quality-metrics union.
+  *
+  * Reference: public_disasters.sql:16-95, public_agricultural_data.sql:
+  * 15-100, public_weather_alerts.sql, metrics/data_quality_metrics.sql:7-119,
+  * ops/public_ops.py:57-221.
+  */
+object PublicLayer {
+
+  /** public_disasters: last-365d public DISASTER events, ROW_NUMBER public
+    * code (W2), status ladder, hour-bucketed API metadata. */
+  def publicDisasters(events: DataFrame, asOf: Date, runTs: Timestamp): DataFrame = {
+    val active = events.filter(
+      col("event_type") === "DISASTER" &&
+        col("data_classification") === "PUBLIC" &&
+        col("event_date") >= date_sub(lit(asOf), 365))
+
+    val w = Window.partitionBy("state_code", "event_date").orderBy("event_id")
+    active.select(
+      col("event_id").as("disaster_id"),
+      concat_ws("_",
+        col("state_code"),
+        date_format(col("event_date"), "yyyyMMdd"),
+        row_number().over(w).cast("string")).as("public_disaster_code"),
+      col("event_subtype").as("disaster_type"),
+      col("event_category").as("disaster_category"),
+      col("event_name").as("disaster_title"),
+      col("state_code"),
+      col("state_name"),
+      col("event_date").as("declaration_date"),
+      col("event_start_date").as("incident_begin_date"),
+      col("event_end_date").as("incident_end_date"),
+      coalesce(col("event_duration_days"), lit(0.0)).as("duration_days"),
+      col("event_season").as("season"),
+      col("federal_fiscal_year"),
+      col("risk_level"),
+      when(col("is_high_impact_event"), "HIGH").otherwise("STANDARD").as("impact_level"),
+      when(col("risk_level").isin("HIGH", "CRITICAL"), "ACTIVE_MONITORING_REQUIRED")
+        .when(col("event_end_date").isNull || col("event_end_date") > lit(asOf).cast("timestamp"), "ONGOING")
+        .otherwise("RESOLVED").as("status"),
+      col("funding_eligibility").as("federal_assistance_available"),
+      lit(true).as("is_active"),
+      lit("PUBLIC").as("data_classification"),
+      lit("emergency_management_api").as("data_source"),
+      lit(runTs).as("last_updated"),
+      date_format(lit(runTs), "yyyy-MM-dd HH:00:00").as("api_hour_bucket")
+    )
+  }
+
+  /** public_weather_alerts: active alerts with the custom severity sort
+    * key (O2) used by the reference's API view (ops/public_ops.py:108-115). */
+  def publicWeatherAlerts(stgNoaa: DataFrame, asOf: Date, runTs: Timestamp): DataFrame =
+    stgNoaa
+      .filter(col("expires_datetime").isNull || col("expires_datetime") >= lit(asOf).cast("timestamp"))
+      .select(
+        col("alert_id").as("alert_api_id"),
+        col("weather_event"),
+        col("severity_level"),
+        col("urgency_level"),
+        col("alert_headline"),
+        substring(col("alert_description"), 1, 500).as("alert_description"),
+        substring(col("public_instruction"), 1, 300).as("public_instruction"),
+        col("state_code"),
+        col("effective_datetime"),
+        col("expires_datetime"),
+        col("risk_level"),
+        EmFunctions.priorityRank(col("severity_level"),
+          Seq("EXTREME", "SEVERE", "MODERATE", "MINOR")).as("severity_rank"),
+        lit("ACTIVE").as("alert_status"),
+        lit(runTs).as("last_updated")
+      )
+      .orderBy(col("severity_rank"), col("effective_datetime").desc)
+
+  /** public_agricultural_data: county rollup published only above the
+    * 5-policy privacy threshold (A3), money totals banded via
+    * privacyRound, guarded county loss ratio. */
+  def publicAgriculturalData(stgUsda: DataFrame, asOf: Date): DataFrame =
+    stgUsda
+      .filter(col("program_year") >= year(lit(asOf)) - 5 && col("data_classification") === "PUBLIC")
+      .groupBy("state_code", "county_code", "program_year", "commodity_name")
+      .agg(
+        count(lit(1)).as("policy_count"),
+        round(avg(col("coverage_level_percent")), 1).as("avg_coverage_level"),
+        sum(col("premium_amount_usd")).as("total_premiums_raw"),
+        sum(col("liability_amount_usd")).as("total_liability_raw"),
+        sum(col("indemnity_amount_usd")).as("total_indemnities_raw"),
+        round(avg(col("loss_ratio")), 3).as("avg_loss_ratio"),
+        count(when(col("loss_category") === "HIGH_LOSS", 1)).as("high_loss_policies"),
+        count(when(col("loss_category") === "NO_LOSS", 1)).as("no_loss_policies")
+      )
+      .filter(col("policy_count") >= 5) // privacy threshold (tests/data_quality_tests.yml:337-352)
+      .select(
+        EmFunctions.surrogateId(col("state_code"), col("county_code"),
+          col("program_year"), col("commodity_name")).as("ag_data_id"),
+        concat(col("state_code"), col("county_code"), lit("_"), col("program_year"),
+          lit("_"), upper(substring(col("commodity_name"), 1, 4))).as("public_ag_code"),
+        col("state_code"),
+        col("county_code"),
+        col("program_year"),
+        col("commodity_name").as("crop_type"),
+        col("policy_count").as("number_of_policies"),
+        col("avg_coverage_level").as("average_coverage_percent"),
+        EmFunctions.privacyRound(col("total_premiums_raw")).as("total_premiums"),
+        EmFunctions.privacyRound(col("total_liability_raw")).as("total_liability"),
+        EmFunctions.privacyRound(col("total_indemnities_raw")).as("total_indemnities"),
+        col("avg_loss_ratio"),
+        col("high_loss_policies"),
+        col("no_loss_policies"),
+        round(EmFunctions.safeRatio(col("total_indemnities_raw"), col("total_premiums_raw")), 3)
+          .as("county_loss_ratio")
+      )
+
+  /** data_quality_metrics: per-source profile rows unioned (A4) — totals,
+    * null counts on required fields, recency, derived percentages. */
+  def dataQualityMetrics(sources: Seq[(String, DataFrame, String, String)], runTs: Timestamp): DataFrame =
+    sources.map { case (name, df, keyCol, tsCol) =>
+      df.agg(
+        count(lit(1)).as("total_rows"),
+        sum(col(keyCol).isNull.cast("int")).cast("long").as("null_keys"),
+        countDistinct(col(keyCol)).as("distinct_keys"),
+        max(col(tsCol)).as("last_processed_at"),
+        count(when(col(tsCol) >= date_sub(lit(new Date(runTs.getTime)), 7), 1)).as("rows_last_7d")
+      ).select(
+        lit(name).as("source_name"),
+        col("total_rows"),
+        col("null_keys"),
+        col("distinct_keys"),
+        round(col("distinct_keys") / col("total_rows") * 100, 2).as("uniqueness_pct"),
+        round((col("total_rows") - col("null_keys")) / col("total_rows") * 100, 2).as("completeness_pct"),
+        col("last_processed_at"),
+        col("rows_last_7d")
+      )
+    }.reduce(_ unionByName _)
+}

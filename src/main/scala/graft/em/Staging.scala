@@ -1,0 +1,145 @@
+package graft.em
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Staging layer: standardize + validate the four raw feeds (SURVEY §2.2
+  * P1–P3). Each transform is a pure DataFrame function with an injected
+  * `runTs` clock (reference uses CURRENT_TIMESTAMP()/CURRENT_DATE()
+  * everywhere — injected here for reproducibility, SURVEY §7.4.3).
+  *
+  * Reference semantics: stg_fema_disasters.sql:20-54,
+  * stg_noaa_weather.sql:19-79, stg_coagmet_data.sql:19-84,
+  * stg_usda_data.sql:19-80, macros/data_classification.sql:2-26.
+  */
+object Staging {
+
+  /** Audit/compliance columns appended to every staging table
+    * (database.py:148-154, data_classification macro). */
+  private def auditCols(df: DataFrame, retentionDays: Int, runTs: Timestamp): DataFrame =
+    df.withColumn("data_classification", lit("PUBLIC"))
+      .withColumn("retention_date", date_add(to_date(lit(runTs)), retentionDays))
+      .withColumn("processed_at", lit(runTs))
+      .withColumn("processing_version", lit("1.0.0"))
+
+  private def rangeValid(c: Column, lo: Double, hi: Double): Column =
+    when(c.between(lo, hi), round(c, 2))
+
+  /** stg_fema_disasters.sql:20-54. */
+  def femaDisasters(raw: DataFrame, runTs: Timestamp): DataFrame = {
+    val std = raw
+      .filter(col("disaster_number").isNotNull && col("state").isNotNull && col("declaration_date").isNotNull)
+      .select(
+        col("disaster_number"),
+        col("state"),
+        col("declaration_date").cast("date").as("declaration_date"),
+        col("incident_begin_date").cast("date").as("incident_begin_date"),
+        col("incident_end_date").cast("date").as("incident_end_date"),
+        upper(trim(col("incident_type"))).as("incident_type"),
+        upper(trim(col("declaration_type"))).as("declaration_type"),
+        trim(col("title")).as("disaster_title"),
+        trim(col("designated_area")).as("designated_area"),
+        col("fy_declared").cast("int").as("fiscal_year_declared"),
+        col("ingestion_timestamp"),
+        col("data_source")
+      )
+    auditCols(std, retentionDays = 2555, runTs)
+  }
+
+  /** stg_noaa_weather.sql:19-79 — incl. the state-code extraction, alert
+    * duration, and severity×urgency risk matrix. */
+  def noaaWeather(raw: DataFrame, runTs: Timestamp): DataFrame = {
+    val std = raw
+      .filter(col("alert_id").isNotNull && col("effective").isNotNull)
+      .select(
+        col("alert_id"),
+        upper(trim(col("event"))).as("weather_event"),
+        upper(trim(col("severity"))).as("severity_level"),
+        upper(trim(col("urgency"))).as("urgency_level"),
+        upper(trim(col("certainty"))).as("certainty_level"),
+        trim(col("headline")).as("alert_headline"),
+        trim(col("description")).as("alert_description"),
+        trim(col("instruction")).as("public_instruction"),
+        trim(col("area_desc")).as("affected_area_description"),
+        // state extraction: join-based mapping beats the reference's LIKE
+        // ladder (stg_noaa_weather.sql:38-44); the 2-letter token regex is
+        // its pandas counterpart (processed_data.py:172)
+        regexp_extract(col("area_desc"), "\\b([A-Z]{2})\\b", 1).as("state_code"),
+        col("effective").as("effective_datetime"),
+        col("expires").as("expires_datetime"),
+        to_date(col("effective")).as("effective_date"),
+        to_date(col("expires")).as("expires_date"),
+        ((col("expires").cast("long") - col("effective").cast("long")) / 3600).cast("int")
+          .as("alert_duration_hours"),
+        when(col("severity") === "Extreme" && col("urgency") === "Immediate", "CRITICAL")
+          .when(col("severity") === "Severe" && col("urgency").isin("Immediate", "Expected"), "HIGH")
+          .when(col("severity") === "Moderate", "MEDIUM")
+          .otherwise("LOW").as("risk_level"),
+        col("ingestion_timestamp"),
+        col("data_source")
+      )
+    auditCols(std, retentionDays = 1095, runTs)
+  }
+
+  /** stg_coagmet_data.sql:19-84 — range-validated measurements, heat
+    * index, agricultural risk indicator. */
+  def coagmetData(raw: DataFrame, runTs: Timestamp): DataFrame = {
+    val std = raw
+      .filter(col("station_id").isNotNull && col("timestamp").isNotNull)
+      .select(
+        col("station_id"),
+        trim(col("station_name")).as("station_name"),
+        round(col("latitude"), 6).as("latitude"),
+        round(col("longitude"), 6).as("longitude"),
+        col("timestamp").as("observation_datetime"),
+        to_date(col("timestamp")).as("observation_date"),
+        hour(col("timestamp")).as("observation_hour"),
+        rangeValid(col("temperature"), -50, 60).as("temperature_celsius"),
+        rangeValid(col("humidity"), 0, 100).as("relative_humidity_percent"),
+        rangeValid(col("wind_speed"), 0, 200).as("wind_speed_kmh"),
+        rangeValid(col("precipitation"), 0, 500).as("precipitation_mm"),
+        when(col("temperature").isNotNull && col("humidity").isNotNull,
+          round(col("temperature") - ((lit(100) - col("humidity")) / 5), 2))
+          .as("heat_index_celsius"),
+        when(col("temperature") < -5, "FREEZE_WARNING")
+          .when(col("temperature") > 35, "HEAT_WARNING")
+          .when(col("wind_speed") > 50, "WIND_WARNING")
+          .when(col("precipitation") > 25, "HEAVY_RAIN")
+          .otherwise("NORMAL").as("agricultural_risk_indicator"),
+        col("ingestion_timestamp"),
+        col("data_source")
+      )
+    auditCols(std, retentionDays = 1095, runTs)
+  }
+
+  /** stg_usda_data.sql:19-80 — LPAD county codes, validated money columns,
+    * loss ratio + loss category. */
+  def usdaData(raw: DataFrame, runTs: Timestamp): DataFrame = {
+    val std = raw
+      .filter(col("program_year").isNotNull && col("state_code").isNotNull &&
+        col("county_code").isNotNull && col("commodity").isNotNull)
+      .select(
+        col("program_year").cast("int").as("program_year"),
+        upper(trim(col("state_code"))).as("state_code"),
+        lpad(trim(col("county_code")), 3, "0").as("county_code"),
+        upper(trim(col("commodity"))).as("commodity_name"),
+        upper(trim(col("practice"))).as("farming_practice"),
+        when(col("coverage_level").between(0, 100), round(col("coverage_level"), 2))
+          .as("coverage_level_percent"),
+        when(col("premium_amount") >= 0, round(col("premium_amount"), 2)).as("premium_amount_usd"),
+        when(col("liability_amount") >= 0, round(col("liability_amount"), 2)).as("liability_amount_usd"),
+        when(col("indemnity_amount") >= 0, round(col("indemnity_amount"), 2)).as("indemnity_amount_usd"),
+        when(col("premium_amount") > 0 && col("indemnity_amount") >= 0,
+          round(col("indemnity_amount") / col("premium_amount"), 4)).as("loss_ratio"),
+        when(col("indemnity_amount") > col("liability_amount") * 0.5, "HIGH_LOSS")
+          .when(col("indemnity_amount") > col("liability_amount") * 0.25, "MODERATE_LOSS")
+          .when(col("indemnity_amount") > 0, "LOW_LOSS")
+          .otherwise("NO_LOSS").as("loss_category"),
+        col("ingestion_timestamp"),
+        col("data_source")
+      )
+    auditCols(std, retentionDays = 1825, runTs)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.em.{Fixtures, Marts, PublicLayer, SeedData, Staging}
+import graft.operators.Validation
+
+/** Full EM pipeline on deterministic fixtures, asserting the reference's
+  * dbt schema + singular test invariants (SURVEY §5) over our outputs. */
+class EmPipelineSpec extends SparkSpecBase {
+
+  private val runTs = Timestamp.valueOf("2024-07-01 12:00:00")
+  private val asOf = Date.valueOf("2024-07-01")
+  private val asOfDay = 19905L // ~2024-06-30, aligned with fixture windows
+
+  private lazy val fema = Staging.femaDisasters(Fixtures.fema(spark, 300), runTs)
+  private lazy val noaa = Staging.noaaWeather(Fixtures.noaa(spark, 200), runTs)
+  private lazy val coag = Staging.coagmetData(Fixtures.coagmet(spark, 8, 30, asOfDay), runTs)
+  private lazy val usda = Staging.usdaData(Fixtures.usda(spark, 800), runTs)
+  private lazy val events = Marts.emergencyEvents(spark, fema, noaa, runTs)
+
+  test("staging: standardization, null gates, audit columns (dbt schema tests)") {
+    assert(fema.count() == 300)
+    // not_null + unique disaster_number (schema.yml:8-11)
+    assert(Validation.duplicates(fema, Seq("disaster_number")).count() == 0)
+    assert(fema.filter(col("incident_type") =!= upper(col("incident_type"))).count() == 0)
+    // classification enum across staging tables (data_quality_tests.yml:62-89)
+    Seq(fema, noaa, coag, usda).foreach { df =>
+      assert(df.filter(!col("data_classification")
+        .isin("PUBLIC", "INTERNAL", "RESTRICTED", "CONFIDENTIAL")).count() == 0)
+      assert(df.filter(col("retention_date").isNull).count() == 0) // retention presence (:91-118)
+    }
+    // coagmet ranges → NULL not dropped rows (stg_coagmet_data.sql:36-54)
+    assert(coag.filter(col("temperature_celsius") < -50 || col("temperature_celsius") > 60).count() == 0)
+    // usda loss_ratio recomputation check (data_quality_tests.yml:248-270)
+    val badRatio = usda.filter(col("loss_ratio").isNotNull &&
+      abs(col("loss_ratio") - col("indemnity_amount_usd") / col("premium_amount_usd")) > 0.01).count()
+    assert(badRatio == 0)
+  }
+
+  test("emergency_events: union alignment, enrichment, flags (marts schema tests)") {
+    // event_type enum (models/marts/schema.yml:15-19)
+    assert(events.filter(!col("event_type").isin("DISASTER", "WEATHER_ALERT")).count() == 0)
+    // no duplicate event_ids (data_quality_tests.yml:40-49)
+    assert(Validation.duplicates(events, Seq("event_id")).count() == 0)
+    // state seed join is total for fixture states (referential integrity :6-15)
+    assert(Validation.brokenReferences(events, "state_code",
+      SeedData.stateCodesDf(spark), "state_code").count() == 0)
+    assert(events.filter(col("state_name").isNull).count() == 0)
+    // weather branch only HIGH/CRITICAL (emergency_events.sql:74)
+    assert(events.filter(col("event_type") === "WEATHER_ALERT" &&
+      !col("risk_level").isin("HIGH", "CRITICAL")).count() == 0)
+    // fiscal year range (marts schema.yml:39-45)
+    assert(events.filter(col("federal_fiscal_year") < 2020 || col("federal_fiscal_year") > 2026).count() == 0)
+    // season totality
+    assert(events.filter(!col("event_season").isin("WINTER", "SPRING", "SUMMER", "FALL")).count() == 0)
+  }
+
+  test("weather_impacts: daily grain, impact score range 0-9, CO attribution") {
+    val impacts = Marts.weatherImpacts(coag, noaa, asOf, runTs)
+    assert(impacts.count() > 0)
+    assert(Validation.duplicates(impacts, Seq("impact_id")).count() == 0)
+    // impact-score range test (data_quality_tests.yml:51-59)
+    assert(impacts.filter(col("total_impact_score") < 0 || col("total_impact_score") > 9).count() == 0)
+    // geographic constraint: CoAgMet stations are CO-only (anomaly rule :519-735)
+    assert(impacts.filter(!col("state_code").isin("CO", "UNKNOWN")).count() == 0)
+    assert(impacts.filter(col("impact_category").isNull).count() == 0)
+  }
+
+  test("disaster_analytics: trends, YoY, ratings") {
+    val analytics = Marts.disasterAnalytics(events, usda, asOf, runTs)
+    assert(analytics.count() > 0)
+    assert(Validation.duplicates(analytics, Seq("analytics_id")).count() == 0)
+    assert(analytics.filter(!col("disaster_trend_direction")
+      .isin("INCREASING", "DECREASING", "STABLE", "INSUFFICIENT_DATA")).count() == 0)
+    assert(analytics.filter(col("high_risk_event_percentage") < 0 ||
+      col("high_risk_event_percentage") > 100).count() == 0)
+    // first year per (state, category) has no previous-year count
+    assert(analytics.filter(col("disaster_trend_direction") === "INSUFFICIENT_DATA" &&
+      col("prev_year_event_count").isNotNull).count() == 0)
+  }
+
+  test("public layer: privacy threshold, banded rounding, public codes") {
+    val pub = PublicLayer.publicDisasters(events, asOf, runTs)
+    assert(pub.count() > 0)
+    assert(Validation.duplicates(pub, Seq("public_disaster_code")).count() == 0)
+    assert(pub.filter(!col("status").isin("ACTIVE_MONITORING_REQUIRED", "ONGOING", "RESOLVED")).count() == 0)
+    // public/API consistency (data_quality_tests.yml:320-335)
+    val joined = pub.select(col("disaster_id"), col("disaster_type")).as("p")
+      .join(events.select(col("event_id"), col("event_subtype")).as("e"),
+        col("p.disaster_id") === col("e.event_id"))
+    assert(joined.filter(col("p.disaster_type") =!= col("e.event_subtype")).count() == 0)
+
+    val ag = PublicLayer.publicAgriculturalData(usda, asOf)
+    // privacy threshold ≥5 (data_quality_tests.yml:337-352)
+    assert(ag.filter(col("number_of_policies") < 5).count() == 0)
+    // banded rounding: every total divisible by its band
+    val badBand = ag.filter(
+      (abs(col("total_premiums")) >= 1e7 && col("total_premiums") % 100000 =!= 0) ||
+        (abs(col("total_premiums")) >= 1e6 && abs(col("total_premiums")) < 1e7 && col("total_premiums") % 10000 =!= 0) ||
+        (abs(col("total_premiums")) < 1e6 && col("total_premiums") % 1000 =!= 0)).count()
+    assert(badBand == 0)
+
+    val alerts = PublicLayer.publicWeatherAlerts(noaa, asOf, runTs)
+    assert(alerts.filter(length(col("alert_description")) > 500).count() == 0)
+    assert(alerts.filter(length(col("public_instruction")) > 300).count() == 0)
+
+    val quality = PublicLayer.dataQualityMetrics(Seq(
+      ("fema", fema, "disaster_number", "processed_at"),
+      ("noaa", noaa, "alert_id", "processed_at"),
+      ("coagmet", coag, "station_id", "processed_at"),
+      ("usda", usda, "commodity_name", "processed_at")
+    ), runTs)
+    assert(quality.count() == 4)
+    assert(quality.filter(col("completeness_pct") < 0 || col("completeness_pct") > 100).count() == 0)
+  }
+}
