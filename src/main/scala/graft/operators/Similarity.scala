@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.plans.VectorExpressions.{lsh_buckets, vector_dot, vector_normalize}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column. Baseline: brute-force cosine top-k with the (small) query set
@@ -17,11 +18,13 @@ object Similarity {
   /** Top-k cosine neighbors for each query vector. `queries` must be small
     * (it is broadcast); the corpus side streams through in one pass. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    def unit(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), vector_normalize(col(vecCol)).as(vecAs))
+    val q = unit(queries, "query_id", "qv")
+    val c = unit(corpus, "neighbor_id", "nv")
     val scored = c
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), VectorFunctions.cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), vector_dot(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -36,19 +39,16 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Multi-table LSH codes: `array<struct<tbl,bucket>>`, one bucket per
-    * independent table of `planesPerTable` hyperplanes. Union of tables
-    * trades work for recall (standard L-tables random-hyperplane LSH). */
-  private def tableBuckets(v: Column, tables: Seq[Seq[Seq[Double]]]): Column =
-    array(tables.zipWithIndex.map { case (planes, t) =>
-      struct(lit(t).as("tbl"), VectorFunctions.lshBucket(v, planes).as("bucket"))
-    }: _*)
-
+  /** Explode to one row per (vector, table-bucket), carrying the vector
+    * pre-normalized to unit length — downstream cosine is then a single
+    * dot product per pair instead of dot + two norms. */
   private def explodedBuckets(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String, tables: Seq[Seq[Seq[Double]]]): DataFrame =
-    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-      .withColumn("__tb", explode(tableBuckets(col(vecAs), tables)))
-      .select(col(idAs), col(vecAs), col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+      idAs: String, vecAs: String, tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val planesPerTable = tables.head.length
+    df.select(col(idCol).as(idAs), vector_normalize(col(vecCol)).as(vecAs))
+      .select(col(idAs), col(vecAs),
+        posexplode(lsh_buckets(col(vecAs), tables.flatten, planesPerTable)).as(Seq("tbl", "bucket")))
+  }
 
   /** ANN top-k: candidates = vectors sharing any LSH table bucket with the
     * query, then exact-cosine ranked. The bucket equi-join replaces the
@@ -73,7 +73,7 @@ object Similarity {
       .join(q, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), VectorFunctions.cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), vector_dot(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -89,17 +89,20 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       dim: Int,
-      numTables: Int = 10,
-      planesPerTable: Int = 4,
+      numTables: Int = 8,
+      planesPerTable: Int = 8,
       seed: Long = 42L
   ): DataFrame = {
+    // more planes/table than the ANN path: near-dup thresholds (≥0.9)
+    // mean tiny angles, which survive 8 hyperplane cuts with ~0.99 recall
+    // while shrinking buckets ~16x (fewer candidate pairs to score)
     val tables = Seq.tabulate(numTables)(t => randomPlanes(dim, planesPerTable, seed + 7919 * t))
     val v = explodedBuckets(vectors, idCol, vecCol, "vid", "v", tables)
     v.as("a")
       .join(v.as("b").withColumnRenamed("vid", "vid_b").withColumnRenamed("v", "v_b"), Seq("tbl", "bucket"))
       .filter(col("vid") < col("vid_b"))
       .dropDuplicates("vid", "vid_b")
-      .select(col("vid").as("id_a"), col("vid_b").as("id_b"), VectorFunctions.cosine(col("v"), col("v_b")).as("cos"))
+      .select(col("vid").as("id_a"), col("vid_b").as("id_b"), vector_dot(col("v"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

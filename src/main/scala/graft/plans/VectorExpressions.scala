@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for dense-vector math over `array<float|
+  * double>` columns. The higher-order-function formulation
+  * (zip_with/aggregate in graft.functions.VectorFunctions) is semantically
+  * identical but evaluates one lambda dispatch per element; these evaluate
+  * one tight JVM loop per row (CodegenFallback, still inside the codegen'd
+  * stage boundary), which is what makes ANN/near-dup scoring tractable at
+  * scale. Summation order is left-to-right in double precision — bit-equal
+  * to the HOF version and to a sequential oracle.
+  */
+object VectorExpressions {
+
+  private def toDoubles(a: ArrayData, et: DataType): Array[Double] = et match {
+    case DoubleType => a.toDoubleArray()
+    case FloatType =>
+      val n = a.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = a.getFloat(i).toDouble; i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"unsupported vector element type: $other")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Left-to-right dot product in double precision. */
+  case class VectorDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = toDoubles(l.asInstanceOf[ArrayData], elemType(left))
+      val b = toDoubles(r.asInstanceOf[ArrayData], elemType(right))
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Cosine similarity in one pass: dot and both norms from a single loop. */
+  case class VectorCosine(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = toDoubles(l.asInstanceOf[ArrayData], elemType(left))
+      val b = toDoubles(r.asInstanceOf[ArrayData], elemType(right))
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Unit-normalize a vector (single loop, single allocation). */
+  case class VectorNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val a = toDoubles(v.asInstanceOf[ArrayData], elemType(child))
+      var n2 = 0.0
+      var i = 0
+      while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+      val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+      val out = new Array[Double](a.length)
+      i = 0
+      while (i < a.length) { out(i) = a(i) * inv; i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** All multi-table LSH bucket ids in one pass: planes laid out as
+    * [table0: p planes][table1: p planes]…; bucket bit b = sign of the
+    * projection on plane b, folded big-endian. Output: array<int>, one
+    * bucket per table — pair with posexplode for (tbl, bucket) keys. */
+  case class LshBuckets(child: Expression, planes: Array[Array[Double]], planesPerTable: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(planes.length % planesPerTable == 0)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val a = toDoubles(v.asInstanceOf[ArrayData], elemType(child))
+      val nTables = planes.length / planesPerTable
+      val out = new Array[Int](nTables)
+      var t = 0
+      while (t < nTables) {
+        var bucket = 0
+        var p = 0
+        while (p < planesPerTable) {
+          val plane = planes(t * planesPerTable + p)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(a.length, plane.length)
+          while (i < n) { dot += a(i) * plane(i); i += 1 }
+          bucket = (bucket << 1) | (if (dot >= 0.0) 1 else 0)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  // Column-level API (Spark 4: Column <-> Expression via the sql-package bridge)
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
+
+  def vector_dot(a: Column, b: Column): Column = toCol(VectorDot(toExpr(a), toExpr(b)))
+  def vector_cosine(a: Column, b: Column): Column = toCol(VectorCosine(toExpr(a), toExpr(b)))
+  def vector_normalize(a: Column): Column = toCol(VectorNormalize(toExpr(a)))
+  def lsh_buckets(v: Column, planes: Seq[Seq[Double]], planesPerTable: Int): Column =
+    toCol(LshBuckets(toExpr(v), planes.map(_.toArray).toArray, planesPerTable))
+}
