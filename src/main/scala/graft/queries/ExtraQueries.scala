@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.ConfigOps
+
+/** Second wave of SURVEY §2 coverage: health-bucket when-ladders (A6),
+  * config-driven aggregation (A7/F3), freshness SLA aggregate (A10),
+  * referential-integrity check as data (J8), union with missing columns
+  * (U3). All DuckDB-oracle-checked.
+  */
+object ExtraQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "a6_health_buckets" -> ((s, d) => {
+      // api_performance.sql-style when-ladder coverage buckets
+      Tables(s, d).orders
+        .select(
+          when(col("o_totalprice") >= 300000, "XL")
+            .when(col("o_totalprice") >= 150000, "L")
+            .when(col("o_totalprice") >= 50000, "M")
+            .otherwise("S").as("price_band"),
+          col("o_orderstatus")
+        )
+        .groupBy("price_band", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "a8_config_agg" -> ((s, d) => {
+      ConfigOps.aggregate(
+        Tables(s, d).events,
+        groupCols = Seq("event_type"),
+        aggMap = Seq("value" -> "sum", "value" -> "mean", "value" -> "max", "user_id" -> "count"),
+        timeFloor = Some("ts" -> "day")
+      ).withColumn("value_sum", col("value_sum").cast("double"))
+        .withColumn("ts_day", col("ts_day").cast("timestamp_ntz"))
+    }),
+    "a10_freshness" -> ((s, d) => {
+      // per-source freshness vs a fixed as-of clock (sensors/data_sensors.py
+      // SLA semantics, reproducible via injected clock)
+      Tables(s, d).events
+        .groupBy("event_type")
+        .agg(max(to_date(col("ts"))).as("last_day"))
+        .select(
+          col("event_type"),
+          date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+          datediff(lit("2024-02-15").cast("date"), col("last_day")).as("days_stale"),
+          (datediff(lit("2024-02-15").cast("date"), col("last_day")) <= 30).as("fresh")
+        )
+    }),
+    "j8_ri_check" -> ((s, d) => {
+      // dbt relationships test as data: FK violations counted per table
+      val t = Tables(s, d)
+      val badLineOrders = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val badCustNations = t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"), "left_anti")
+      badLineOrders.agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_orderkey").as("relationship"), col("violations"))
+        .unionByName(
+          badCustNations.agg(count(lit(1)).as("violations"))
+            .select(lit("customer_nationkey").as("relationship"), col("violations")))
+    }),
+    "u3_union_missing_cols" -> ((s, d) => {
+      // pd.concat parity: branches with non-identical columns, null-filled
+      val t = Tables(s, d)
+      val a = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val b = t.events.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"))
+      a.unionByName(b, allowMissingColumns = true)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a6_health_buckets" ->
+      """SELECT CASE WHEN o_totalprice >= CAST(300000 AS DOUBLE) THEN 'XL'
+        |            WHEN o_totalprice >= CAST(150000 AS DOUBLE) THEN 'L'
+        |            WHEN o_totalprice >= CAST(50000 AS DOUBLE) THEN 'M'
+        |            ELSE 'S' END AS price_band,
+        |o_orderstatus, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "a8_config_agg" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS value_mean,
+        |max(value) AS value_max,
+        |count(user_id) AS user_id_count,
+        |CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day
+        |FROM events GROUP BY event_type, date_trunc('day', ts)""".stripMargin,
+    "a10_freshness" ->
+      """SELECT event_type,
+        |strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day,
+        |CAST(date_diff('day', max(CAST(ts AS DATE)), DATE '2024-02-15') AS INTEGER) AS days_stale,
+        |date_diff('day', max(CAST(ts AS DATE)), DATE '2024-02-15') <= 30 AS fresh
+        |FROM events GROUP BY 1""".stripMargin,
+    "j8_ri_check" ->
+      """SELECT 'lineitem_orderkey' AS relationship, count(*) AS violations
+        |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'customer_nationkey', count(*)
+        |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)""".stripMargin,
+    "u3_union_missing_cols" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, NULL FROM events WHERE event_type = 'signup'""".stripMargin
+  )
+}

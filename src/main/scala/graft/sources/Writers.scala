@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Gold/audit sinks (SURVEY §2.1 S16/S17): date-partitioned parquet with
+  * sort-on-write clustering, and append-only JSON-lines audit logs.
+  */
+object Writers {
+
+  /** Date-partitioned parquet table — the physical layout standing in for
+    * StarRocks' PARTITION BY RANGE(date) + DISTRIBUTED BY HASH
+    * (database.py:140-174). `sortCols` clusters rows within files so
+    * min/max page stats act like the reference's secondary indexes
+    * (ops/public_ops.py:171-187 → sortWithinPartitions, SURVEY §4). */
+  def partitionedParquet(df: DataFrame, path: String, dateCol: String, sortCols: Seq[String]): Unit = {
+    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    sorted.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(path)
+  }
+
+  /** Append-only JSON-lines audit log, one directory per day (usage
+    * tracking / query logs, public_resources.py:290-300). */
+  def auditLogAppend(df: DataFrame, path: String, day: String): Unit =
+    df.withColumn("log_day", lit(day))
+      .write.mode(SaveMode.Append).json(s"$path/day=$day")
+
+  /** Small-file compaction (macros/optimize_starrocks_table.sql parity):
+    * rewrite a table directory at a target partition count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path + "__compact"
+    spark.read.parquet(path).coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }
+    rm(dir)
+    new java.io.File(tmp).renameTo(dir): Unit
+  }
+}
