@@ -53,8 +53,18 @@ object EmPipelineJob {
     pubAg.write.mode("overwrite").parquet(s"$outDir/public_agricultural_data")
     quality.write.mode("overwrite").parquet(s"$outDir/data_quality_metrics")
 
+    // SCD2 snapshot (disaster_declarations_snapshot parity): init from the
+    // first half of declarations, merge the second half as a later batch
+    val snapBase = graft.operators.Scd2.init(
+      fema.filter(org.apache.spark.sql.functions.col("disaster_number").cast("int") % 2 === 0), "processed_at")
+    val laterTs = Timestamp.valueOf("2024-08-01 12:00:00")
+    val batch2 = Staging.femaDisasters(Fixtures.fema(spark, 2000), laterTs)
+    val snapshot = graft.operators.Scd2.merge(snapBase, batch2, Seq("disaster_number"), "processed_at")
+    snapshot.write.mode("overwrite").parquet(s"$outDir/disaster_declarations_snapshot")
+
     Seq("emergency_events", "weather_impacts", "disaster_analytics", "public_disasters",
-      "public_weather_alerts", "public_agricultural_data", "data_quality_metrics").foreach { t =>
+      "public_weather_alerts", "public_agricultural_data", "data_quality_metrics",
+      "disaster_declarations_snapshot").foreach { t =>
       println(s"[em-pipeline] $t rows=${spark.read.parquet(s"$outDir/$t").count()}")
     }
     spark.stop()

@@ -61,6 +61,25 @@ object ExtraQueries {
           badCustNations.agg(count(lit(1)).as("violations"))
             .select(lit("customer_nationkey").as("relationship"), col("violations")))
     }),
+    "u6_intersect" -> ((s, d) => {
+      // users active in BOTH purchase and click channels (INTERSECT dedups)
+      val t = Tables(s, d)
+      t.events.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(t.events.filter(col("event_type") === "click").select("user_id"))
+    }),
+    "u7_except" -> ((s, d) => {
+      // users who viewed but never purchased
+      val t = Tables(s, d)
+      t.events.filter(col("event_type") === "view").select("user_id")
+        .except(t.events.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+    "a13_rollup" -> ((s, d) => {
+      // hierarchical totals: (yr, priority), (yr), grand total
+      Tables(s, d).orders
+        .rollup(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
     "u3_union_missing_cols" -> ((s, d) => {
       // pd.concat parity: branches with non-identical columns, null-filled
       val t = Tables(s, d)
@@ -103,6 +122,20 @@ object ExtraQueries {
     "u3_union_missing_cols" ->
       """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
         |UNION ALL
-        |SELECT event_id, user_id, NULL FROM events WHERE event_type = 'signup'""".stripMargin
+        |SELECT event_id, user_id, NULL FROM events WHERE event_type = 'signup'""".stripMargin,
+    "u6_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'click'""".stripMargin,
+    "u7_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "a13_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+        |count(*) AS cnt,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)""".stripMargin
   )
 }

@@ -7,7 +7,8 @@ package graft
 class QueriesSmokeSpec extends SparkSpecBase {
 
   // queries whose correct result CAN be empty at this scale
-  private val mayBeEmpty = Set("j5_anti_join", "d4_embedding_neardup", "d1_ngram_jaccard", "d2_minhash_lsh")
+  private val mayBeEmpty = Set("j5_anti_join", "d4_embedding_neardup", "d1_ngram_jaccard",
+    "d2_minhash_lsh", "u7_except")
 
   test("all queries execute at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
