@@ -61,6 +61,21 @@ object ExtraQueries {
           badCustNations.agg(count(lit(1)).as("violations"))
             .select(lit("customer_nationkey").as("relationship"), col("violations")))
     }),
+    "em_scalar_suite" -> ((s, d) => {
+      // remaining §2.8 scalar surface in one projection: LPAD, regex,
+      // LIKE, hour-bucket DATE_FORMAT, DATEDIFF, LEAST/GREATEST
+      Tables(s, d).orders.select(
+        col("o_orderkey"),
+        lpad(col("o_orderkey").cast("string"), 10, "0").as("padded_key"),
+        regexp_extract(col("o_orderpriority"), "^(\\d)-", 1).as("priority_digit"),
+        col("o_orderpriority").rlike("^[12]-").as("is_urgent_band"),
+        col("o_orderpriority").like("%HIGH%").as("says_high"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_before_2002"),
+        least(col("o_totalprice"), lit(100000.0)).as("capped_price"),
+        greatest(col("o_totalprice"), lit(1000.0)).as("floored_price")
+      )
+    }),
     "u6_intersect" -> ((s, d) => {
       // users active in BOTH purchase and click channels (INTERSECT dedups)
       val t = Tables(s, d)
@@ -123,6 +138,17 @@ object ExtraQueries {
       """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
         |UNION ALL
         |SELECT event_id, user_id, NULL FROM events WHERE event_type = 'signup'""".stripMargin,
+    "em_scalar_suite" ->
+      """SELECT o_orderkey,
+        |lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+        |regexp_extract(o_orderpriority, '^(\d)-', 1) AS priority_digit,
+        |regexp_matches(o_orderpriority, '^[12]-') AS is_urgent_band,
+        |o_orderpriority LIKE '%HIGH%' AS says_high,
+        |strftime(o_orderdate, '%Y-%m-%d %H:00:00') AS hour_bucket,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_before_2002,
+        |least(o_totalprice, CAST(100000 AS DOUBLE)) AS capped_price,
+        |greatest(o_totalprice, CAST(1000 AS DOUBLE)) AS floored_price
+        |FROM orders""".stripMargin,
     "u6_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT
