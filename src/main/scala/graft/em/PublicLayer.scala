@@ -121,6 +121,35 @@ object PublicLayer {
           .as("county_loss_ratio")
       )
 
+  /** public_agricultural_summary: the daily serving view the reference's
+    * public_ops builds over the county rollup (ops/public_ops.py:138-168)
+    * — per (state, year) totals across published counties only. */
+  def publicAgriculturalSummary(publicAg: DataFrame): DataFrame =
+    publicAg
+      .groupBy("state_code", "program_year")
+      .agg(
+        countDistinct(col("county_code")).as("counties_published"),
+        sum(col("number_of_policies")).as("total_policies"),
+        sum(col("total_premiums")).as("total_premiums"),
+        sum(col("total_indemnities")).as("total_indemnities"),
+        EmFunctions.safeRatio(
+          sum(col("total_indemnities")), sum(col("total_premiums"))).as("state_loss_ratio"),
+        sum(col("high_loss_policies")).as("high_loss_policies")
+      )
+
+  /** usage_metrics (metrics/usage_metrics.sql): request counts, distinct
+    * orgs/endpoints, per-day volume from the audit log (A5). */
+  def usageMetrics(usageLog: DataFrame, tsCol: String = "ts", orgCol: String = "org",
+      endpointCol: String = "endpoint"): DataFrame =
+    usageLog
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(
+        count(lit(1)).as("request_cnt"),
+        countDistinct(col(orgCol)).as("distinct_orgs"),
+        countDistinct(col(endpointCol)).as("distinct_endpoints"),
+        count(when(col(endpointCol).startsWith("/api/"), 1)).as("api_requests")
+      )
+
   /** data_quality_metrics: per-source profile rows unioned (A4) — totals,
     * null counts on required fields, recency, derived percentages. */
   def dataQualityMetrics(sources: Seq[(String, DataFrame, String, String)], runTs: Timestamp): DataFrame =

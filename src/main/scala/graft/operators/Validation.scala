@@ -71,6 +71,20 @@ object Validation {
       .withColumn("sla_hours", lit(slaHours))
       .withColumn("fresh", col("hours_since_update") <= slaHours)
 
+  /** Volume-anomaly detection (ops/data_quality_ops.py:519-634): daily row
+    * counts vs the trailing `window`-day average; days deviating more than
+    * `tolerance`× from baseline are flagged. One groupBy + one window —
+    * fully distributed, no driver-side loops (unlike the pandas original). */
+  def volumeAnomalies(df: DataFrame, tsCol: String, window: Int, tolerance: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("row_cnt"))
+    val w = Window.orderBy("day").rowsBetween(-window, -1)
+    daily
+      .withColumn("baseline", avg(col("row_cnt")).over(w))
+      .withColumn("deviation", abs(col("row_cnt") - col("baseline")) / col("baseline"))
+      .withColumn("is_anomaly", col("baseline").isNotNull && col("deviation") > tolerance)
+  }
+
   /** Z-score outlier counting from exact decimal sums — single pass for
     * moments + one filtered pass, both distributed (A11). */
   def zscoreOutlierCount(df: DataFrame, c: String, z: Double): DataFrame = {
