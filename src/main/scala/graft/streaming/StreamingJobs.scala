@@ -103,6 +103,19 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** ST7: per-source freshness monitor — each source's newest processed
+    * timestamp vs its SLA (sensor semantics, batch-evaluated against an
+    * injected clock). One tiny agg per source, unioned. */
+  def freshnessMonitor(
+      sources: Seq[(graft.core.EngineConfig.SourceConfig, DataFrame, String)],
+      asOf: java.sql.Timestamp
+  ): DataFrame =
+    sources.map { case (cfg, df, tsCol) =>
+      graft.operators.Validation.freshness(df, tsCol, asOf, math.ceil(cfg.freshnessSlaHours).toInt)
+        .withColumn("source_name", org.apache.spark.sql.functions.lit(cfg.name))
+        .withColumn("sla_hours_exact", org.apache.spark.sql.functions.lit(cfg.freshnessSlaHours))
+    }.reduce(_ unionByName _)
+
   /** Arbitrary stateful processing (the engine capability behind ST7-style
     * custom state): per-user sessionization with a gap timeout, via
     * flatMapGroupsWithState. Emits (user_id, session_start_s, session_end_s,
