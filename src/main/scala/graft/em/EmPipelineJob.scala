@@ -25,46 +25,57 @@ object EmPipelineJob {
     val runTs = Timestamp.valueOf("2024-07-01 12:00:00")
     val asOf = Date.valueOf("2024-07-01")
 
-    val fema = Staging.femaDisasters(Fixtures.fema(spark, 2000), runTs)
-    val noaa = Staging.noaaWeather(Fixtures.noaa(spark, 1000), runTs)
-    val coag = Staging.coagmetData(Fixtures.coagmet(spark, 20, 60, 19905L), runTs)
-    val usda = Staging.usdaData(Fixtures.usda(spark, 5000), runTs)
+    // the dbt ref-graph as an explicit DAG: staging (not materialized) →
+    // marts/public/metrics materialized via the parquet sink, gold tables
+    // partitioned by their date key — partition pruning is the primary
+    // 100 TB access path (SURVEY §4)
+    val partitionKey = Map(
+      "emergency_events" -> "event_date",
+      "weather_impacts" -> "impact_date")
+    def sink(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val w = df.write.mode("overwrite")
+      partitionKey.get(name).fold(w)(w.partitionBy(_)).parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name")
+    }
 
-    val events = Marts.emergencyEvents(spark, fema, noaa, runTs)
-    val impacts = Marts.weatherImpacts(coag, noaa, asOf, runTs)
-    val analytics = Marts.disasterAnalytics(events, usda, asOf, runTs)
-    val pubDisasters = PublicLayer.publicDisasters(events, asOf, runTs)
-    val pubAlerts = PublicLayer.publicWeatherAlerts(noaa, asOf, runTs)
-    val pubAg = PublicLayer.publicAgriculturalData(usda, asOf)
-    val quality = PublicLayer.dataQualityMetrics(Seq(
-      ("fema", fema, "disaster_number", "processed_at"),
-      ("noaa", noaa, "alert_id", "processed_at"),
-      ("coagmet", coag, "station_id", "processed_at"),
-      ("usda", usda, "commodity_name", "processed_at")
-    ), runTs)
-
-    // gold tables partitioned by their date key — partition pruning is the
-    // primary 100 TB access path (SURVEY §4)
-    events.write.mode("overwrite").partitionBy("event_date").parquet(s"$outDir/emergency_events")
-    impacts.write.mode("overwrite").partitionBy("impact_date").parquet(s"$outDir/weather_impacts")
-    analytics.write.mode("overwrite").parquet(s"$outDir/disaster_analytics")
-    pubDisasters.write.mode("overwrite").parquet(s"$outDir/public_disasters")
-    pubAlerts.write.mode("overwrite").parquet(s"$outDir/public_weather_alerts")
-    pubAg.write.mode("overwrite").parquet(s"$outDir/public_agricultural_data")
-    quality.write.mode("overwrite").parquet(s"$outDir/data_quality_metrics")
-
-    // SCD2 snapshot (disaster_declarations_snapshot parity): init from the
-    // first half of declarations, merge the second half as a later batch
-    val snapBase = graft.operators.Scd2.init(
-      fema.filter(org.apache.spark.sql.functions.col("disaster_number").cast("int") % 2 === 0), "processed_at")
-    val laterTs = Timestamp.valueOf("2024-08-01 12:00:00")
-    val batch2 = Staging.femaDisasters(Fixtures.fema(spark, 2000), laterTs)
-    val snapshot = graft.operators.Scd2.merge(snapBase, batch2, Seq("disaster_number"), "processed_at")
-    snapshot.write.mode("overwrite").parquet(s"$outDir/disaster_declarations_snapshot")
-
-    Seq("emergency_events", "weather_impacts", "disaster_analytics", "public_disasters",
-      "public_weather_alerts", "public_agricultural_data", "data_quality_metrics",
-      "disaster_declarations_snapshot").foreach { t =>
+    import graft.core.Dag
+    val nodes = Seq(
+      Dag.Node("stg_fema", Nil, _ => Staging.femaDisasters(Fixtures.fema(spark, 2000), runTs), materialize = false),
+      Dag.Node("stg_noaa", Nil, _ => Staging.noaaWeather(Fixtures.noaa(spark, 1000), runTs), materialize = false),
+      Dag.Node("stg_coagmet", Nil, _ => Staging.coagmetData(Fixtures.coagmet(spark, 20, 60, 19905L), runTs), materialize = false),
+      Dag.Node("stg_usda", Nil, _ => Staging.usdaData(Fixtures.usda(spark, 5000), runTs), materialize = false),
+      Dag.Node("emergency_events", Seq("stg_fema", "stg_noaa"),
+        d => Marts.emergencyEvents(spark, d("stg_fema"), d("stg_noaa"), runTs)),
+      Dag.Node("weather_impacts", Seq("stg_coagmet", "stg_noaa"),
+        d => Marts.weatherImpacts(d("stg_coagmet"), d("stg_noaa"), asOf, runTs)),
+      Dag.Node("disaster_analytics", Seq("emergency_events", "stg_usda"),
+        d => Marts.disasterAnalytics(d("emergency_events"), d("stg_usda"), asOf, runTs)),
+      Dag.Node("public_disasters", Seq("emergency_events"),
+        d => PublicLayer.publicDisasters(d("emergency_events"), asOf, runTs)),
+      Dag.Node("public_weather_alerts", Seq("stg_noaa"),
+        d => PublicLayer.publicWeatherAlerts(d("stg_noaa"), asOf, runTs)),
+      Dag.Node("public_agricultural_data", Seq("stg_usda"),
+        d => PublicLayer.publicAgriculturalData(d("stg_usda"), asOf)),
+      Dag.Node("public_agricultural_summary", Seq("public_agricultural_data"),
+        d => PublicLayer.publicAgriculturalSummary(d("public_agricultural_data"))),
+      Dag.Node("data_quality_metrics", Seq("stg_fema", "stg_noaa", "stg_coagmet", "stg_usda"),
+        d => PublicLayer.dataQualityMetrics(Seq(
+          ("fema", d("stg_fema"), "disaster_number", "processed_at"),
+          ("noaa", d("stg_noaa"), "alert_id", "processed_at"),
+          ("coagmet", d("stg_coagmet"), "station_id", "processed_at"),
+          ("usda", d("stg_usda"), "commodity_name", "processed_at")), runTs)),
+      Dag.Node("disaster_declarations_snapshot", Seq("stg_fema"), { d =>
+        // SCD2 snapshot parity: init from half the declarations, merge a
+        // later batch (snapshots/disaster_declarations_snapshot.sql)
+        val snapBase = graft.operators.Scd2.init(
+          d("stg_fema").filter(org.apache.spark.sql.functions.col("disaster_number").cast("int") % 2 === 0),
+          "processed_at")
+        val batch2 = Staging.femaDisasters(Fixtures.fema(spark, 2000), Timestamp.valueOf("2024-08-01 12:00:00"))
+        graft.operators.Scd2.merge(snapBase, batch2, Seq("disaster_number"), "processed_at")
+      })
+    )
+    val result = Dag.run(nodes, sink)
+    result.order.filter(n => !n.startsWith("stg_")).foreach { t =>
       println(s"[em-pipeline] $t rows=${spark.read.parquet(s"$outDir/$t").count()}")
     }
     spark.stop()

@@ -61,6 +61,17 @@ object ExtraQueries {
           badCustNations.agg(count(lit(1)).as("violations"))
             .select(lit("customer_nationkey").as("relationship"), col("violations")))
     }),
+    "a5b_approx_distinct" -> ((s, d) => {
+      // 100 TB scale path for A5: HLL sketch instead of exact expansion.
+      // No DuckDB oracle (different sketch impls) -> rows-only; exact-vs-
+      // approx tolerance asserted in QueriesSmokeSpec.
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("part_cnt_approx"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("supp_cnt_approx")
+        )
+    }),
     "em_scalar_suite" -> ((s, d) => {
       // remaining §2.8 scalar surface in one projection: LPAD, regex,
       // LIKE, hour-bucket DATE_FORMAT, DATEDIFF, LEAST/GREATEST

@@ -30,4 +30,14 @@ class QueriesSmokeSpec extends SparkSpecBase {
   test("flagship entry returns enriched rows") {
     assert(SparkEntry.entry(spark).count() == 25) // 25 nations
   }
+
+  test("approx distinct tracks exact within the configured error") {
+    val exact = SparkEntry.queries("a5_count_distinct")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("a5b_approx_distinct")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: exact=$e approx=${approx(k)}")
+    }
+  }
 }
