@@ -35,4 +35,15 @@ object SeedData {
     import spark.implicits._
     stateCodes.toDF("state_code", "state_name", "fips_code")
   }
+
+  /** Lookup keyed by every accepted spelling (2-letter code, full name
+    * lowercased, FIPS) — the join-based replacement for the reference's
+    * ~120-branch CASE mapper (macros/standardize_state_code.sql:2-62).
+    * Columns: (state_key, canonical_code). */
+  def stateKeyLookupDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    stateCodes.flatMap { case (code, name, fips) =>
+      Seq(code.toLowerCase -> code, name.toLowerCase -> code, fips -> code)
+    }.toDF("state_key", "canonical_code")
+  }
 }

@@ -114,6 +114,21 @@ object Staging {
     auditCols(std, retentionDays = 1095, runTs)
   }
 
+  /** State standardization as a broadcast join against the key lookup —
+    * replaces the reference's ~120-branch CASE
+    * (macros/standardize_state_code.sql): accepts 2-letter codes, full
+    * names (any case), or FIPS codes; unknown values yield null.
+    * Join-based so new aliases are data, not code, and the expression
+    * stays tiny (SURVEY §2.8). */
+  def standardizeStateCode(df: DataFrame, inputCol: String, outputCol: String): DataFrame = {
+    val lookup = SeedData.stateKeyLookupDf(df.sparkSession)
+      .withColumnRenamed("canonical_code", outputCol)
+    df.withColumn("__state_key", lower(trim(col(inputCol))))
+      .join(org.apache.spark.sql.functions.broadcast(lookup),
+        col("__state_key") === col("state_key"), "left")
+      .drop("__state_key", "state_key")
+  }
+
   /** stg_usda_data.sql:19-80 — LPAD county codes, validated money columns,
     * loss ratio + loss category. */
   def usdaData(raw: DataFrame, runTs: Timestamp): DataFrame = {

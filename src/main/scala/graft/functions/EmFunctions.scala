@@ -50,6 +50,22 @@ object EmFunctions {
   def clip(c: Column, lo: Double, hi: Double): Column =
     least(greatest(c, lit(lo)), lit(hi))
 
+  /** Emergency-alert priority 1 (highest) .. 4: risk×urgency matrix with
+    * population and certainty escalation.
+    * Reference: macros/generate_emergency_alert_priority.sql:2-20. */
+  def alertPriority(riskLevel: Column, urgency: Column, certainty: Column,
+      populationAffected: Column): Column =
+    when(riskLevel === "CRITICAL" && urgency === "IMMEDIATE", 1)
+      .when(riskLevel === "HIGH" && urgency.isin("IMMEDIATE", "EXPECTED"), 2)
+      .when(riskLevel === "CRITICAL" && urgency === "EXPECTED", 2)
+      .when(riskLevel === "MEDIUM" && urgency === "IMMEDIATE", 3)
+      .when(riskLevel === "HIGH" && urgency === "FUTURE", 3)
+      .when(populationAffected.isNotNull && populationAffected > 500000, 1)
+      .when(populationAffected.isNotNull && populationAffected > 100000, 2)
+      .when(certainty === "OBSERVED",
+        least(coalesce(when(riskLevel === "CRITICAL", 1).when(riskLevel === "HIGH", 2).otherwise(3), lit(3)), lit(2)))
+      .otherwise(4)
+
   /** Priority rank for severity-ordered serving views.
     * Reference: ops/public_ops.py:108-115 (CASE severity ... END). */
   def priorityRank(severity: Column, order: Seq[String]): Column =

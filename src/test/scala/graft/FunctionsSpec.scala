@@ -71,6 +71,30 @@ class FunctionsSpec extends SparkSpecBase {
     assert(out(1).getSeq[String](0) == Seq("a b"))
   }
 
+  test("alertPriority matrix: risk x urgency with population/certainty escalation") {
+    val out = Seq(
+      ("CRITICAL", "IMMEDIATE", "POSSIBLE", null.asInstanceOf[java.lang.Long]),
+      ("HIGH", "EXPECTED", "POSSIBLE", null.asInstanceOf[java.lang.Long]),
+      ("LOW", "FUTURE", "POSSIBLE", java.lang.Long.valueOf(600000L)),
+      ("LOW", "FUTURE", "OBSERVED", null.asInstanceOf[java.lang.Long]),
+      ("LOW", "FUTURE", "POSSIBLE", null.asInstanceOf[java.lang.Long])
+    ).toDF("risk", "urgency", "certainty", "pop")
+      .select(alertPriority(col("risk"), col("urgency"), col("certainty"), col("pop")).as("p"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 2, 1, 2, 4))
+  }
+
+  test("state standardization join accepts codes, names, FIPS; unknowns null") {
+    val df = Seq("CO", "colorado", "Texas ", "08", "Atlantis").toDF("raw")
+    val got = graft.em.Staging.standardizeStateCode(df, "raw", "std_code")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("CO").contains("CO"))
+    assert(got("colorado").contains("CO"))
+    assert(got("Texas ").contains("TX"))
+    assert(got("08").contains("CO"))
+    assert(got("Atlantis").isEmpty)
+  }
+
   test("priorityRank maps listed values in order and defaults past the end") {
     val out = Seq("HIGH", "LOW", "???").toDF("s")
       .select(priorityRank(col("s"), Seq("HIGH", "MED", "LOW")).as("p")).collect()
