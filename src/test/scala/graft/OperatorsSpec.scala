@@ -33,6 +33,25 @@ class OperatorsSpec extends SparkSpecBase {
     assert(byCnt == Map(3L -> 2L, 9L -> 1L, 1L -> 1L))
   }
 
+  test("ngram jaccard maxDf cap drops stop-shingle candidates only") {
+    // "common common common" shingle shared by ALL docs would pair everything;
+    // with maxDf=2 only the genuinely similar pair survives
+    val docs = Seq(
+      (1L, "common x1 y1 z1 common tail tail tail"),
+      (2L, "common x1 y1 z1 common tail tail tail"),
+      (3L, "common a b c common d e f"),
+      (4L, "common g h i common j k l")
+    ).toDF("doc_id", "text").withColumn("src", lit("s"))
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "src", 3, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "src", 3, 0.05, maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && capped.contains((1L, 2L)))
+    assert(uncapped.size >= capped.size)
+    assert(!capped.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty && Set(a, b) != Set(3L, 4L) } ||
+      capped((1L, 2L))) // stop-shingle-only pairs pruned under the cap
+  }
+
   test("minhash estimated jaccard tracks exact jaccard for near-dup docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " zzz aaa bbb"
