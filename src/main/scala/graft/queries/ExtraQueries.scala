@@ -61,6 +61,17 @@ object ExtraQueries {
           badCustNations.agg(count(lit(1)).as("violations"))
             .select(lit("customer_nationkey").as("relationship"), col("violations")))
     }),
+    "a15_percentiles" -> ((s, d) => {
+      // exact interpolated percentiles (both engines: linear interpolation
+      // over the sorted column — deterministic on identical inputs)
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75")
+        )
+    }),
     "a5b_approx_distinct" -> ((s, d) => {
       // 100 TB scale path for A5: HLL sketch instead of exact expansion.
       // No DuckDB oracle (different sketch impls) -> rows-only; exact-vs-
@@ -149,6 +160,12 @@ object ExtraQueries {
       """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
         |UNION ALL
         |SELECT event_id, user_id, NULL FROM events WHERE event_type = 'signup'""".stripMargin,
+    "a15_percentiles" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_extendedprice, 0.25) AS p25,
+        |quantile_cont(l_extendedprice, 0.5) AS p50,
+        |quantile_cont(l_extendedprice, 0.75) AS p75
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "em_scalar_suite" ->
       """SELECT o_orderkey,
         |lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
