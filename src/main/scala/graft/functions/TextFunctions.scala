@@ -73,4 +73,18 @@ object TextFunctions {
   def tokenEstimate(text: Column): Column =
     size(filter(split(text, "[\\s]+", -1), t => length(t) > 0)) +
       length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** GPT-2-style pre-tokenizer pieces: contractions, space-prefixed letter
+    * runs, digit runs, punctuation runs. The regex subset is chosen to
+    * behave identically under Java regex and RE2-ish engines, so a DuckDB
+    * oracle can replicate it. Piece count is the standard proxy for BPE
+    * token budgets (each piece is further split subword by a real BPE —
+    * piece count lower-bounds and tracks token count linearly). */
+  val BpePieceRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePieceRegex), lit(0))
+
+  def bpePieceCount(text: Column): Column = size(bpePieces(text))
 }

@@ -79,6 +79,63 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * centroids and exact-cosine-ranks only those cells. The cell
+    * assignment is one pass over the corpus; search is an equi-join on
+    * the cell id — at 100 TB the corpus can be written partitioned by
+    * `cell` so a probe touches nprobe/nlist of the data. Mirrors the
+    * FAISS IVF-Flat layout re-expressed as DataFrame plans.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val unitCorpus = corpus
+      .select(col(idCol).as("neighbor_id"), vector_normalize(col(vecCol)).as("nv"))
+    // train the coarse quantizer on (a sample of) the unit vectors —
+    // centroids on the unit sphere make nearest-centroid-by-L2 equivalent
+    // to nearest-by-angle, matching the cosine metric of the search
+    val train = (if (trainFraction < 1.0) unitCorpus.sample(trainFraction, seed) else unitCorpus)
+      .select(array_to_vector(col("nv")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+
+    def centroidDist(v: Column, c: Seq[Double]): Column =
+      VectorFunctions.l2Distance(v, array(c.map(lit): _*))
+    // nearest cell per corpus vector: min-by over the nlist literal
+    // centroids, evaluated row-local (no shuffle, no model broadcast)
+    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
+      struct(centroidDist(col("nv"), c).as("d"), lit(i).as("cell"))
+    }
+    val assigned = unitCorpus.withColumn("cell", array_min(array(cellStructs: _*)).getField("cell"))
+
+    val unitQ = queries.select(col(idCol).as("query_id"), vector_normalize(col(vecCol)).as("qv"))
+    val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
+      struct(centroidDist(col("qv"), c).as("d"), lit(i).as("cell"))
+    }
+    val probed = unitQ
+      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)))
+      .withColumn("cell", col("probe.cell"))
+      .drop("probe")
+    val scored = assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), vector_dot(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table LSH candidates with
     * exact cosine ≥ threshold. Equi-join on (tbl,bucket) — no cross join.
     * High thresholds mean tight angular distance, where hyperplane LSH

@@ -48,6 +48,13 @@ object DedupQueries {
     "s2_ann_lsh" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
+    }),
+    "s3_ann_ivf" -> ((s, d) => {
+      // IVF coarse-quantized ANN (k-means cells + nprobe probing); no SQL
+      // equivalent (k-means training) -> rows-only check; recall vs brute
+      // force asserted in OperatorsSpec
+      val e = Tables(s, d).embeddings
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     })
   )
 

@@ -54,6 +54,14 @@ object TextQueries {
         graft.plans.VectorExpressions.rolling_fingerprint(col("text"), 16).as("roll_fp")
       )
     }),
+    "t6_bpe_pieces" -> ((s, d) => {
+      // GPT-2-style pre-tokenizer piece count — the BPE token-budget proxy
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        bpePieceCount(col("text")).as("piece_cnt"),
+        element_at(bpePieces(col("text")), 1).as("first_piece")
+      )
+    }),
     "m1_multimodal_meta" -> ((s, d) => {
       // binary-column plumbing: text treated as an opaque payload column;
       // byte length + content hash are the metadata a decode stage keys on
@@ -105,6 +113,11 @@ object TextQueries {
         |  range(1, greatest(len(w) - 2, 1) + 1),
         |  i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS INTEGER) AS shingle3_cnt
         |FROM t""".stripMargin,
+    "t6_bpe_pieces" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INTEGER) AS piece_cnt,
+        |regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')[1] AS first_piece
+        |FROM documents""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

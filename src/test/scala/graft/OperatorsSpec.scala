@@ -87,6 +87,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN with full probing equals brute force; nprobe<nlist keeps high recall") {
+    val e = Tables(spark, Sf0001).embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe == nlist probes every cell -> exhaustive search, exact match
+    val full = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "full-probe IVF must equal brute force")
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("upsert latestByKey is deterministic and keeps the newest version") {
     val df = Seq((1L, "a", 1L, 10.0), (1L, "a", 3L, 30.0), (1L, "a", 2L, 20.0), (2L, "b", 1L, 1.0))
       .toDF("k1", "k2", "version", "v")
