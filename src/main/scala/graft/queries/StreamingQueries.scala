@@ -14,13 +14,25 @@ object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
-    "st5_stream_tumbling" -> ((s, d) => StreamingJobs.tumblingEventCounts(s, d))
+    "st5_stream_tumbling" -> ((s, d) => StreamingJobs.tumblingEventCounts(s, d)),
+    "st6_stream_sliding" -> ((s, d) => StreamingJobs.slidingEventCounts(s, d))
   )
 
   def oracle: Map[String, String] = Map(
     "st5_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr_start, event_type,
         |count(*) AS event_cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event belongs to size/slide = 2 overlapping windows: the one
+    // starting at its truncated hour and the one an hour earlier
+    "st6_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events)
+        |SELECT CAST(hr - o * INTERVAL 1 HOUR AS TIMESTAMP) AS win_start,
+        |       event_type, count(*) AS event_cnt, CAST(sum(v) AS DOUBLE) AS value_sum
+        |FROM e, unnest([0, 1]) AS t(o)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

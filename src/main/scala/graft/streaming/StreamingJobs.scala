@@ -80,6 +80,48 @@ object StreamingJobs {
       )
   }
 
+  /** Sliding-window variant of ST5: overlapping windows (`size` every
+    * `slide`) — each event contributes to size/slide windows. Same
+    * watermark/complete-mode harness as tumblingEventCounts. */
+  def slidingEventCounts(
+      spark: SparkSession,
+      sfDir: String,
+      size: String = "2 hours",
+      slide: String = "1 hour"
+  ): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("value_sum")
+      )
+    val name = s"sliding_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark
+      .table(name)
+      .select(
+        col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"),
+        col("event_cnt"),
+        col("value_sum").cast("double").as("value_sum")
+      )
+  }
+
   /** ST8: compacted-topic semantics on a stream — keep-latest-per-key via
     * watermarked streaming dropDuplicates (duplicate re-deliveries within
     * the watermark horizon are suppressed). */

@@ -39,6 +39,35 @@ class Streaming2Spec extends SparkSpecBase {
     assert(rows.length == 1)
   }
 
+  test("watermark drops events later than the horizon (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .count()
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("wmtest").start()
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // batch 1: events at 10:00 and 10:30 -> watermark advances to 10:20
+    input.addData((t(0), "a"), (t(30), "a"))
+    q.processAllAvailable()
+    // batch 2: a late event at 10:01 — behind the 10:20 watermark, its
+    // window [10:00,10:05) is already finalized, so it must be dropped
+    input.addData((t(1), "a"))
+    q.processAllAvailable()
+    // batch 3: push watermark far forward so all open windows finalize
+    input.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("wmtest")
+      .select(col("window.start").cast("string"), col("count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("2026-01-01 10:00:00") == 1L, "late 10:01 event must not be counted")
+    assert(counts("2026-01-01 10:30:00") == 1L)
+  }
+
   test("rolling fingerprint: deterministic, shift-invariant on shared content") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
