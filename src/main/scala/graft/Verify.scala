@@ -6,17 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // plain int64 micros in output parquet (not INT96) so the driver's
-      // DuckDB/pyarrow read sees exactly what DuckDB's own SQL produces
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // int64-micros parquet timestamps (factory default) matter here: the
+    // driver's DuckDB/pyarrow read must see exactly what DuckDB's SQL produces
+    val spark = graft.core.SparkSessionFactory.local("graft-verify", defaultCpus = 4)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -13,14 +13,7 @@ import org.apache.spark.sql.SparkSession
 object EmPipelineJob {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/em_pipeline")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .appName("em-pipeline")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.SparkSessionFactory.local("em-pipeline", defaultCpus = 8)
 
     val runTs = Timestamp.valueOf("2024-07-01 12:00:00")
     val asOf = Date.valueOf("2024-07-01")

@@ -96,7 +96,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L,
-      trainFraction: Double = 1.0
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -107,7 +108,7 @@ object Similarity {
     // to nearest-by-angle, matching the cosine metric of the search
     val train = (if (trainFraction < 1.0) unitCorpus.sample(trainFraction, seed) else unitCorpus)
       .select(array_to_vector(col("nv")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
 
     def centroidDist(v: Column, c: Seq[Double]): Column =

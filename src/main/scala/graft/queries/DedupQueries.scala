@@ -54,7 +54,10 @@ object DedupQueries {
       // equivalent (k-means training) -> rows-only check; recall vs brute
       // force asserted in OperatorsSpec
       val e = Tables(s, d).embeddings
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      // sample-trained quantizer: at 100 TB the coarse centroids come from
+      // a ~0.1% sample — quantizer quality converges long before full data
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, trainFraction = 0.2)
     })
   )
 
