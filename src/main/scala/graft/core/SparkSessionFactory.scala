@@ -30,6 +30,7 @@ import org.apache.spark.sql.SparkSession
 object SparkSessionFactory {
 
   def applyEngineDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cluster-stable sampling for training-data pipelines.
+  *
+  * RNG-based `df.sample` changes membership under repartitioning/retries;
+  * everything here derives membership from a HASH of a stable key, so the
+  * same row lands in the same split on every run, any cluster size, and
+  * any partitioning — the property that matters when a 100 TB corpus is
+  * re-materialized incrementally (new files join the same splits).
+  */
+object Sampling {
+
+  /** Train/validation/test split by key hash. Fractions must sum to ≤ 1;
+    * remainder (if any) is dropped (useful for downsampling while
+    * splitting). Adds a `split` column; membership is a pure function of
+    * (key, seed). */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      seed: Long = 42L
+  ): DataFrame = {
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    // bucket in [0, 1): hash to 64-bit, scale the non-negative half
+    val u = (abs(xxhash64(col(keyCol), lit(seed))).cast("double") / lit(Long.MaxValue.toDouble))
+    val (expr, _) = fractions.foldLeft((lit(null).cast("string"), 0.0)) {
+      case ((acc, lo), (name, frac)) =>
+        val hi = lo + frac
+        (when(u >= lo && u < hi, name).otherwise(acc), hi)
+    }
+    df.withColumn("split", expr).filter(col("split").isNotNull)
+  }
+
+  /** Stratified downsample: per-stratum keep fraction, deterministic by key
+    * hash (the hash is salted with the stratum so strata are independent). */
+  def stratifiedByHash(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      fractionPerStratum: Map[String, Double],
+      seed: Long = 42L
+  ): DataFrame = {
+    val u = (abs(xxhash64(col(keyCol), col(strataCol), lit(seed))).cast("double") / lit(Long.MaxValue.toDouble))
+    val keepFrac = fractionPerStratum.foldLeft(lit(0.0)) {
+      case (acc, (stratum, f)) => when(col(strataCol) === stratum, f).otherwise(acc)
+    }
+    df.filter(u < keepFrac)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.VectorExpressions._
+
+/** SparkSessionExtensions hook registering the engine's native Catalyst
+  * expressions in the SQL function registry, so `spark.sql("SELECT
+  * vector_cosine(a.embedding, b.embedding) ...")` works exactly like the
+  * Column API (`VectorExpressions.vector_cosine`). Activated via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (core/SparkSessionFactory sets it by default).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String)(builder: FunctionBuilder): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+  private def literalInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "vector_dot",
+      "vector_dot(a, b) - dot product of two array<float|double> vectors in double precision") {
+      case Seq(a, b) => VectorDot(a, b)
+      case other => throw new IllegalArgumentException(s"vector_dot expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "vector_cosine",
+      "vector_cosine(a, b) - cosine similarity of two array<float|double> vectors") {
+      case Seq(a, b) => VectorCosine(a, b)
+      case other => throw new IllegalArgumentException(s"vector_cosine expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "vector_normalize",
+      "vector_normalize(a) - unit-normalize an array<float|double> vector") {
+      case Seq(a) => VectorNormalize(a)
+      case other => throw new IllegalArgumentException(s"vector_normalize expects 1 argument, got ${other.length}")
+    }
+    register(ext, "rolling_fingerprint",
+      "rolling_fingerprint(text, window) - Rabin-Karp rolling document fingerprint over UTF-8 bytes") {
+      case Seq(t, w) => RollingFingerprint(t, literalInt(w, "rolling_fingerprint window"))
+      case other => throw new IllegalArgumentException(s"rolling_fingerprint expects 2 arguments, got ${other.length}")
+    }
+  }
+}

@@ -2,18 +2,20 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for dense-vector math over `array<float|
   * double>` columns. The higher-order-function formulation
   * (zip_with/aggregate in graft.functions.VectorFunctions) is semantically
-  * identical but evaluates one lambda dispatch per element; these evaluate
-  * one tight JVM loop per row (CodegenFallback, still inside the codegen'd
-  * stage boundary), which is what makes ANN/near-dup scoring tractable at
-  * scale. Summation order is left-to-right in double precision — bit-equal
-  * to the HOF version and to a sequential oracle.
+  * identical but evaluates one lambda dispatch per element; these compile
+  * to one tight primitive loop per row inside whole-stage codegen —
+  * `doGenCode` reads elements straight out of the (Unsafe)ArrayData, so
+  * scoring a candidate pair allocates nothing. That is what makes
+  * ANN/near-dup scoring tractable at scale. Summation order is
+  * left-to-right in double precision — bit-equal to the HOF version, the
+  * interpreted path, and a sequential oracle.
   */
 object VectorExpressions {
 
@@ -31,26 +33,50 @@ object VectorExpressions {
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  /** Java source reading element `i` of ArrayData `arr` as double. */
+  private def getAsDouble(arr: String, i: String, et: DataType): String = et match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case FloatType  => s"(double) $arr.getFloat($i)"
+    case other => throw new IllegalArgumentException(s"unsupported vector element type: $other")
+  }
+
   /** Left-to-right dot product in double precision. */
-  case class VectorDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = toDoubles(l.asInstanceOf[ArrayData], elemType(left))
-      val b = toDoubles(r.asInstanceOf[ArrayData], elemType(right))
-      val n = math.min(a.length, b.length)
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (ea, eb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
       var s = 0.0
       var i = 0
-      while (i < n) { s += a(i) * b(i); i += 1 }
+      (ea, eb) match {
+        case (FloatType, FloatType) =>
+          while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+        case _ =>
+          val ad = toDoubles(a, ea); val bd = toDoubles(b, eb)
+          while (i < n) { s += ad(i) * bd(i); i += 1 }
+      }
       s
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ${getAsDouble(l, i, elemType(left))} * ${getAsDouble(r, i, elemType(right))};
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
   }
 
   /** Cosine similarity in one pass: dot and both norms from a single loop. */
-  case class VectorCosine(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class VectorCosine(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = toDoubles(l.asInstanceOf[ArrayData], elemType(left))
@@ -61,12 +87,28 @@ object VectorExpressions {
       while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val av = ctx.freshName("av"); val bv = ctx.freshName("bv")
+        s"""
+           |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $av = ${getAsDouble(l, i, elemType(left))};
+           |  double $bv = ${getAsDouble(r, i, elemType(right))};
+           |  $dot += $av * $bv; $na += $av * $av; $nb += $bv * $bv;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
   }
 
   /** Unit-normalize a vector (single loop, single allocation). */
-  case class VectorNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class VectorNormalize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val a = toDoubles(v.asInstanceOf[ArrayData], elemType(child))
@@ -79,6 +121,26 @@ object VectorExpressions {
       while (i < a.length) { out(i) = a(i) * inv; i += 1 }
       new GenericArrayData(out)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val n2 = ctx.freshName("n2"); val inv = ctx.freshName("inv")
+        val out = ctx.freshName("out"); val e = ctx.freshName("e")
+        s"""
+           |int $n = $v.numElements();
+           |double $n2 = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $e = ${getAsDouble(v, i, elemType(child))};
+           |  $n2 += $e * $e;
+           |}
+           |double $inv = $n2 == 0.0 ? 0.0 : 1.0 / java.lang.Math.sqrt($n2);
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = ${getAsDouble(v, i, elemType(child))} * $inv;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
@@ -87,7 +149,7 @@ object VectorExpressions {
     * projection on plane b, folded big-endian. Output: array<int>, one
     * bucket per table — pair with posexplode for (tbl, bucket) keys. */
   case class LshBuckets(child: Expression, planes: Array[Array[Double]], planesPerTable: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(planes.length % planesPerTable == 0)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
@@ -112,6 +174,34 @@ object VectorExpressions {
       }
       new GenericArrayData(out)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // the plane matrix rides along as a reference object in the generated
+      // class — one shared double[][], no per-row materialization
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val nT = planes.length / planesPerTable
+        val out = ctx.freshName("out"); val t = ctx.freshName("t"); val p = ctx.freshName("p")
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+        val plane = ctx.freshName("plane"); val bucket = ctx.freshName("bucket")
+        s"""
+           |int[] $out = new int[$nT];
+           |for (int $t = 0; $t < $nT; $t++) {
+           |  int $bucket = 0;
+           |  for (int $p = 0; $p < $planesPerTable; $p++) {
+           |    double[] $plane = $planesRef[$t * $planesPerTable + $p];
+           |    double $dot = 0.0;
+           |    int $n = java.lang.Math.min($v.numElements(), $plane.length);
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $dot += ${getAsDouble(v, i, elemType(child))} * $plane[$i];
+           |    }
+           |    $bucket = ($bucket << 1) | ($dot >= 0.0 ? 1 : 0);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
@@ -119,7 +209,8 @@ object VectorExpressions {
     * every `window`-byte run, combined order-independently (XOR of a
     * multiplicative mix) into one 64-bit document fingerprint. Detects
     * shared substrings that md5-style whole-document hashing misses;
-    * single pass, no tokenization. */
+    * single pass, no tokenization. (Interpreted eval only — string
+    * fingerprinting is scan-bound, not eval-bound.) */
   case class RollingFingerprint(child: Expression, window: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{AsOfJoin, Sampling}
+
+/** Third wave: beyond-reference operators a training-data pipeline needs —
+  * point-in-time as-of join, full ranking-function surface, pivot,
+  * PII redaction (the reference only SCANS for PII,
+  * tests/data_quality_tests.yml:155-175 — redaction is the fix side),
+  * TF-IDF term scoring. All DuckDB-oracle-checked.
+  */
+object AdvancedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "x1_hash_split" -> ((s, d) => {
+      // deterministic train/test split — membership is a pure function of
+      // the key hash, stable across runs/partitionings (no SQL oracle:
+      // DuckDB lacks xxhash64; determinism + ratios asserted in
+      // AdvancedSpec)
+      Sampling.hashSplit(Tables(s, d).documents, "doc_id",
+          Seq("train" -> 0.8, "test" -> 0.2))
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+    }),
+    "j9_asof_join" -> ((s, d) => {
+      // point-in-time lookup: each view event gets the value of the user's
+      // most recent prior (or simultaneous) purchase — one shuffle, no
+      // range join (operators/AsOfJoin)
+      val t = Tables(s, d)
+      val views = t.events.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asOfLeft(views, purchases, "user_id", "ts", Seq("value"), "last_purchase_")
+        .select(
+          col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("last_purchase_value"))
+    }),
+    "w7_ranking_suite" -> ((s, d) => {
+      // remaining ranking surface in one query: rank, dense_rank, ntile,
+      // percent_rank, cume_dist (deterministic: unique order key)
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d).orders.select(
+        col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+    }),
+    "a14_pivot" -> ((s, d) => {
+      // wide-format daily activity matrix (explicit pivot values: no extra
+      // distinct-scan job, deterministic column order)
+      Tables(s, d).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+    }),
+    "t7_pii_redact" -> ((s, d) => {
+      // training-corpus PII scrub: email/SSN/phone -> placeholder tokens
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      val phone = "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "[EMAIL]"),
+            ssn, "[SSN]"),
+          phone, "[PHONE]").as("clean_text"))
+    }),
+    "j10_json_extract" -> ((s, d) => {
+      // §2.8 JSON surface: path extraction (get_json_object) + typed parse
+      // (from_json to StructType) over the events.props JSON column
+      val t = Tables(s, d)
+      t.events.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)
+        ))).getField("k").as("k_typed"))
+    }),
+    "x2_sessionize_batch" -> ((s, d) => {
+      // batch gap-based sessionization (30-min inactivity): new-session
+      // flag via lag, session id via running sum — the batch twin of
+      // StreamingJobs.sessionize (flatMapGroupsWithState)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapSec = 1800L
+      Tables(s, d).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("events_in_session"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+    }),
+    "a16_histogram" -> ((s, d) => {
+      // fixed-width binning (pd.cut parity, ml_assets.py:387-391) as pure
+      // arithmetic — no Bucketizer, so it runs inside codegen
+      Tables(s, d).lineitem
+        .select(least(floor(col("l_quantity") / 10.0), lit(4L)).cast("long").as("qty_bin"))
+        .groupBy("qty_bin").agg(count(lit(1)).as("cnt"))
+    }),
+    "a17_stats_suite" -> ((s, d) => {
+      // second-moment aggregate surface: stddev/variance/corr/covariance
+      // (rounded: the engines accumulate in different orders)
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_discount")), 8).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 8).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"))
+    }),
+    "t9_array_suite" -> ((s, d) => {
+      // array-function surface over tokenized text: size, distinct size,
+      // slice, join, contains, sorted first element
+      val toks = TextFunctions.tokens(col("text"))
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_unique"),
+        concat_ws("|", slice(toks, 1, 3)).as("first3"),
+        array_contains(toks, "the").as("has_the"),
+        element_at(array_sort(toks), 1).as("first_sorted"))
+    }),
+    "t8_tfidf_topterms" -> ((s, d) => {
+      // top-5 characteristic terms per doc by tf/df; document frequency is
+      // computed over the FULL corpus (the scale-relevant side), ranking
+      // restricted to a doc sample. Integer tf/df output; the tf/df score
+      // is an exactly-rounded double division in both engines.
+      val docs = Tables(s, d).documents
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+      tf.filter(col("doc_id") % 50 === 0)
+        .join(dfreq, "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 5)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "j9_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS ts,
+        |       p.value AS last_purchase_value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
+    "w7_ranking_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(rank() OVER w AS INTEGER) AS rnk,
+        |CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "a14_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |sum(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "t7_pii_redact" ->
+      """SELECT doc_id,
+        |regexp_replace(
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |  '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '[PHONE]', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+    "j10_json_extract" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
+        |FROM events""".stripMargin,
+    "x2_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |count(*) AS events_in_session,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "a16_histogram" ->
+      """SELECT CAST(least(floor(l_quantity / 10.0), 4) AS BIGINT) AS qty_bin,
+        |count(*) AS cnt FROM lineitem GROUP BY 1""".stripMargin,
+    "a17_stats_suite" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |round(var_samp(l_discount), 8) AS var_disc,
+        |round(corr(l_quantity, l_extendedprice), 8) AS corr_qty_price,
+        |round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "t9_array_suite" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+        |array_to_string(string_split(text, ' ')[1:3], '|') AS first3,
+        |list_contains(string_split(text, ' '), 'the') AS has_the,
+        |list_sort(string_split(text, ' '))[1] AS first_sorted
+        |FROM documents""".stripMargin,
+    "t8_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT t.doc_id, t.term, t.tf, df.df,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY CAST(t.tf AS DOUBLE) / df.df DESC, t.term) AS rank
+        |  FROM tf t JOIN df USING (term) WHERE t.doc_id % 50 = 0)
+        |SELECT doc_id, term, tf, df, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin
+  )
+}

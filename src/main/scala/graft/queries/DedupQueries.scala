@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Graph, Similarity}
 
 /** Deduplication + similarity-search operators over `documents` and
   * `embeddings`. d1/u4/s1 are DuckDB-oracle-checked; the sketch-based
@@ -27,8 +27,10 @@ object DedupQueries {
       )
     }),
     "d2_minhash_lsh" -> ((s, d) => {
+      // full corpus (no sampling): the testdata's genuine near-dup pair
+      // (exact Jaccard ≈0.97) must surface through the LSH bands
       Dedup.minHashLshPairs(
-        Tables(s, d).documents.filter(col("doc_id") % 5 === 0),
+        Tables(s, d).documents,
         "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5
       )
     }),
@@ -48,6 +50,22 @@ object DedupQueries {
     "s2_ann_lsh" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
+    }),
+    "d5_neardup_clusters" -> ((s, d) => {
+      // pair->cluster resolution over the FULL corpus: connected components
+      // on Jaccard pairs (min-label propagation; oracle = DuckDB recursive
+      // CTE). The corpus' genuine near-dup pair merges into one cluster.
+      val docs = Tables(s, d).documents
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    }),
+    "d6_dedup_keepers" -> ((s, d) => {
+      // canonical-doc selection: keep the longest doc per near-dup cluster
+      val docs = Tables(s, d).documents
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      val cc = Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+      Graph.keepersByWeight(cc, docs, "doc_id", "n_chars")
     }),
     "s3_ann_ivf" -> ((s, d) => {
       // IVF coarse-quantized ANN (k-means cells + nprobe probing); no SQL
@@ -85,6 +103,67 @@ object DedupQueries {
         |JOIN sizes sa ON p.id_a = sa.doc_id
         |JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "d5_neardup_clusters" ->
+      """WITH RECURSIVE
+        |docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.doc_id
+        |  JOIN sizes sb ON i.id_b = sb.doc_id
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= CAST(0.5 AS DOUBLE)),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "d6_dedup_keepers" ->
+      """WITH RECURSIVE
+        |docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.doc_id
+        |  JOIN sizes sb ON i.id_b = sb.doc_id
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= CAST(0.5 AS DOUBLE)),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+        |ranked AS (
+        |  SELECT cc.comp AS cluster_id, d.doc_id,
+        |    row_number() OVER (PARTITION BY cc.comp ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cc.comp) AS cluster_size
+        |  FROM cc JOIN documents d ON d.doc_id = cc.id)
+        |SELECT cluster_id, doc_id AS keep_doc_id, cluster_size
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |p AS (

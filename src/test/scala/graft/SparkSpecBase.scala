@@ -8,6 +8,7 @@ trait SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
