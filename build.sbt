@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Long-running sessions compile thousands of whole-stage-codegen classes;
+  // the 240m default code cache silently flushes hot compiled methods under
+  // that pressure (UseCodeCacheFlushing), nondeterministically degrading
+  // interpretation-heavy paths 50-100×. Room enough that nothing hot is
+  // ever evicted.
+  "-XX:ReservedCodeCacheSize=512m",
 )

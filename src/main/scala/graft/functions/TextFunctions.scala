@@ -56,17 +56,13 @@ object TextFunctions {
     md5(lower(trim(text)))
 
   /** Word-level shingles (n-grams) as an array column, distinct, for
-    * Jaccard / MinHash. Uses sliding over the token array via transform +
-    * slice — stays in codegen, no explode until the caller needs it. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
-      )
-    )
-  }
+    * Jaccard / MinHash. A native codegen'd expression
+    * (plans/TextExpressions): one boundary scan + byte-range slices, not a
+    * higher-order `transform` — HOFs can't enter whole-stage codegen and
+    * their interpreted eval re-splits the text per shingle position, which
+    * made this hot loop 50-100× slower under JIT pressure. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.plans.WordShingles.word_shingles(text, n)
 
   /** BPE-ish token estimate: words + punctuation marks counted separately
     * (regex splitter; approximates subword token counts for budget math). */

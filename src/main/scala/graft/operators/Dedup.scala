@@ -55,8 +55,13 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("block"), col("doc_id").as("id_a"), col("sh"))
     val b = sh.select(col("block"), col("doc_id").as("id_b"), col("sh"))
+    // SHUFFLE_HASH: both shingle sides exchange on (block, sh) — at corpus
+    // scale neither side is broadcastable, and at toy scale the broadcast
+    // plan Catalyst picks from the file-size estimate serializes the whole
+    // candidate-pair scoring into one task; the shuffled hash join is the
+    // plan that's right at every scale (hash lookup, no sort).
     val inter = a
-      .join(b, Seq("block", "sh"))
+      .join(b.hint("shuffle_hash"), Seq("block", "sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))

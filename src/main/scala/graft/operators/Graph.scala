@@ -53,9 +53,11 @@ object Graph {
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
 
+    val verbose = sys.props.contains("graft.cc.verbose") || sys.env.contains("GRAFT_CC_VERBOSE")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       // min label over each node's neighborhood
       val neighborMin = sym
         .join(labels, sym("b") === labels("id"))
@@ -69,7 +71,9 @@ object Graph {
           (col("ncomp") < col("comp")).as("_changed")
         )
         .localCheckpoint(true)
+      val t1 = System.nanoTime()
       converged = updated.filter(col("_changed")).limit(1).count() == 0
+      if (verbose) println(f"[cc] round $iter checkpoint ${(t1 - t0) / 1e9}%.2f s converge-check ${(System.nanoTime() - t1) / 1e9}%.2f s")
       labels = updated.drop("_changed")
       iter += 1
     }

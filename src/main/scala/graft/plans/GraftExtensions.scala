@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.plans.VectorExpressions._
+import graft.plans.{WordShingles => WordShinglesExpr}
 
 /** SparkSessionExtensions hook registering the engine's native Catalyst
   * expressions in the SQL function registry, so `spark.sql("SELECT
@@ -42,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "vector_normalize(a) - unit-normalize an array<float|double> vector") {
       case Seq(a) => VectorNormalize(a)
       case other => throw new IllegalArgumentException(s"vector_normalize expects 1 argument, got ${other.length}")
+    }
+    register(ext, "word_shingles",
+      "word_shingles(text, n) - distinct word n-gram shingles (single-space tokenizer)") {
+      case Seq(t, n) => WordShinglesExpr(t, literalInt(n, "word_shingles width"))
+      case other => throw new IllegalArgumentException(s"word_shingles expects 2 arguments, got ${other.length}")
     }
     register(ext, "rolling_fingerprint",
       "rolling_fingerprint(text, window) - Rabin-Karp rolling document fingerprint over UTF-8 bytes") {

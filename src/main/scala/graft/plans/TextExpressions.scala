@@ -1,0 +1,90 @@
+package graft.plans
+
+import java.util.LinkedHashSet
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for word-shingle extraction — the inner loop
+  * of every dedup/similarity operator (n-gram Jaccard, MinHash, LSH over
+  * shingles).
+  *
+  * Semantically identical to the HOF formulation
+  * `array_distinct(transform(sequence(0, greatest(size(split(text," ",-1))
+  * - n, 0)), i => concat_ws(" ", slice(split(text," ",-1), i+1, n))))` but:
+  *
+  *   - O(bytes): one scan finds token boundaries; each shingle is a byte
+  *     slice of the original string (tokens are separated by exactly one
+  *     0x20 by construction of the boundaries), so nothing is re-split or
+  *     re-joined per position. The HOF form re-evaluates `split(text)`
+  *     inside the lambda — O(tokens²) per document — and, being a
+  *     higher-order function, can never enter whole-stage codegen: Spark
+  *     evaluates it on the interpreted `Expression.eval` path, whose
+  *     megamorphic dispatch is 50-100× slower than compiled code whenever
+  *     the JIT hasn't (or can't — code-cache pressure) compiled it.
+  *   - Codegen-able: `doGenCode` emits a single static call into
+  *     [[WordShingles.compute]], so the Generate/explode above it compiles
+  *     into the enclosing whole-stage-codegen stage and the loop itself is
+  *     one small monomorphic JIT-friendly method.
+  *
+  * Duplicate shingles are dropped preserving first occurrence, matching
+  * `array_distinct`.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects a string column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = WordShingles.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = graft.plans.WordShingles.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object WordShingles {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
+
+  def word_shingles(text: Column, n: Int): Column = toCol(WordShingles(toExpr(text), n))
+
+  /** Distinct word shingles of `text` (single-space tokenizer, `split(text,
+    * " ", -1)` semantics incl. empty tokens from leading/trailing/double
+    * spaces). Each shingle is a byte-range slice of the input, so the
+    * result is bit-identical to joining the token slice with " ". */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.getBytes // copy only when the string is offset into a shared buffer
+    val len = bytes.length
+    // token start offsets: 0 and every position after a 0x20 byte (UTF-8
+    // multibyte sequences never contain 0x20, so a raw byte scan is exact)
+    var numToks = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) numToks += 1; i += 1 }
+    val starts = new Array[Int](numToks + 1) // sentinel: starts(numToks) = len + 1
+    var t = 1
+    i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(numToks) = len + 1
+
+    val count = math.max(numToks - n, 0) + 1
+    val seen = new LinkedHashSet[UTF8String](count * 2)
+    i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(math.min(i + n, numToks)) - 1 // end of token i+n-1
+      seen.add(UTF8String.fromBytes(bytes, from, until - from))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}

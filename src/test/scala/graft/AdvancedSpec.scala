@@ -115,6 +115,43 @@ class AdvancedSpec extends SparkSpecBase {
     assert(r.getLong(3) == viaCol)
   }
 
+  test("WordShingles native expression == HOF formulation (incl. edge cases)") {
+    import graft.functions.TextFunctions
+    val hof = { (text: org.apache.spark.sql.Column, n: Int) =>
+      val toks = split(text, " ", -1)
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "", "a", "a b", "a b c", "a  b", " leading", "trailing ", "a a a a a",
+      "x y x y x y", "αβγ δεζ ηθι κλμ", "tab\tis one token"
+    ).toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = cases.select(TextFunctions.wordShingles(col("t"), n)).collect().map(_.getSeq[String](0))
+      val want = cases.select(hof(col("t"), n)).collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+    // null in -> null out
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3)).collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
+  test("WordShingles matches HOF on the real corpus (property over sf0.001)") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val toks = split(col("text"), " ", -1)
+    val hof = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    val diff = docs.select(
+      TextFunctions.wordShingles(col("text"), 3).as("a"), hof.as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(diff == 0)
+  }
+
   test("SQL vector_cosine matches Column API on real embeddings") {
     assume(spark.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")))
     val e = spark.read.parquet(s"$Sf0001/embeddings.parquet").limit(20).cache()
