@@ -53,11 +53,19 @@ object Graph {
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
 
-    val verbose = sys.props.contains("graft.cc.verbose") || sys.env.contains("GRAFT_CC_VERBOSE")
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd
+    // each round's eager checkpoint supersedes the previous round's blocks;
+    // release them deterministically rather than waiting for the
+    // ContextCleaner to notice the GC'd Dataset (a long bench/driver
+    // session would otherwise accumulate one block set per round per run)
+    // prevCp is always the checkpointed frame whose blocks back `labels`
+    // (labels itself may be a projection over it); the final round's
+    // checkpoint must stay persisted — the returned frame reads from it
+    // and a local checkpoint cannot be recomputed.
+    var prevCp: DataFrame = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val t0 = System.nanoTime()
       // min label over each node's neighborhood
       val neighborMin = sym
         .join(labels, sym("b") === labels("id"))
@@ -71,12 +79,13 @@ object Graph {
           (col("ncomp") < col("comp")).as("_changed")
         )
         .localCheckpoint(true)
-      val t1 = System.nanoTime()
       converged = updated.filter(col("_changed")).limit(1).count() == 0
-      if (verbose) println(f"[cc] round $iter checkpoint ${(t1 - t0) / 1e9}%.2f s converge-check ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      backingRdd(prevCp).foreach(_.unpersist(false))
+      prevCp = updated
       labels = updated.drop("_changed")
       iter += 1
     }
+    backingRdd(sym).foreach(_.unpersist(false))
 
     val isolated = nodes
       .select(col(idCol).as("id"))
