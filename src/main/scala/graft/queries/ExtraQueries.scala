@@ -117,6 +117,14 @@ object ExtraQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
+    "a18_cube" -> ((s, d) => {
+      // full grouping-sets lattice: every (status, priority) slice plus
+      // both one-dimension margins and the grand total in one pass
+      Tables(s, d).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
     "u3_union_missing_cols" -> ((s, d) => {
       // pd.concat parity: branches with non-identical columns, null-filled
       val t = Tables(s, d)
@@ -190,6 +198,12 @@ object ExtraQueries {
         |count(*) AS cnt,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
-        |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)""".stripMargin
+        |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)""".stripMargin,
+    "a18_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |count(*) AS cnt,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
   )
 }
