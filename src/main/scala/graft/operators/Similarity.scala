@@ -139,8 +139,15 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: multi-table LSH candidates with
     * exact cosine ≥ threshold. Equi-join on (tbl,bucket) — no cross join.
-    * High thresholds mean tight angular distance, where hyperplane LSH
-    * recall is strongest. */
+    *
+    * Scale posture: the exploded (normalize + hash + explode) frame is
+    * materialized ONCE via localCheckpoint before the self-join — without
+    * it Spark recomputes the full corpus bucketing for both join sides.
+    * `maxBucketSize` caps degenerate buckets (a near-zero hyperplane
+    * projection on correlated embeddings makes one bucket quadratic) the
+    * same way ngramJaccardPairs' maxDf caps stop-shingles. Pairs are
+    * deduped on ids before the exact dot product so each candidate pair
+    * is scored exactly once. */
   def embeddingNearDupPairs(
       vectors: DataFrame,
       idCol: String,
@@ -149,13 +156,27 @@ object Similarity {
       dim: Int,
       numTables: Int = 8,
       planesPerTable: Int = 8,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxBucketSize: Option[Int] = None
   ): DataFrame = {
     // more planes/table than the ANN path: near-dup thresholds (≥0.9)
     // mean tiny angles, which survive 8 hyperplane cuts with ~0.99 recall
     // while shrinking buckets ~16x (fewer candidate pairs to score)
     val tables = Seq.tabulate(numTables)(t => randomPlanes(dim, planesPerTable, seed + 7919 * t))
-    val v = explodedBuckets(vectors, idCol, vecCol, "vid", "v", tables)
+    val exploded = explodedBuckets(vectors, idCol, vecCol, "vid", "v", tables)
+    val capped = maxBucketSize match {
+      case Some(cap) =>
+        // window count over the join key partitioning — one shuffle, and
+        // buckets past the cap never reach the self-join (off by default so
+        // the DuckDB oracle stays an exact replica of the candidate set)
+        val wB = Window.partitionBy("tbl", "bucket")
+        exploded
+          .withColumn("bsz", count(lit(1)).over(wB))
+          .filter(col("bsz") <= cap)
+          .drop("bsz")
+      case None => exploded
+    }
+    val v = capped.localCheckpoint()
     v.as("a")
       .join(v.as("b").withColumnRenamed("vid", "vid_b").withColumnRenamed("v", "v_b"), Seq("tbl", "bucket"))
       .filter(col("vid") < col("vid_b"))

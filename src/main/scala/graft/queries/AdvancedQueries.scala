@@ -175,11 +175,11 @@ object AdvancedQueries {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     "a14_pivot" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-        |sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-        |sum(CASE WHEN event_type = 'error' THEN 1 END) AS error,
-        |sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-        |sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-        |sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1""".stripMargin,
     "t7_pii_redact" ->
       """SELECT doc_id,

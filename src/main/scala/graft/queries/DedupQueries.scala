@@ -16,13 +16,46 @@ import graft.operators.{Dedup, Graph, Similarity}
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** DuckDB oracle for d4: replicates the seeded random-hyperplane LSH
+    * bucketing bit-for-bit (the planes are a pure function of the seed, so
+    * they can be inlined as SQL literals), then exact-cosine-scores the
+    * deduped candidate pairs. Sign of the projection is taken on the raw
+    * (double-cast) embedding — unit normalization is a positive scaling,
+    * so the bucket bits match Similarity.explodedBuckets' normalized-vector
+    * signs. */
+  private lazy val d4OracleSql: String = {
+    val (dim, numTables, planesPerTable, seed) = (64, 8, 8, 42L)
+    val tables = Seq.tabulate(numTables)(t =>
+      Similarity.randomPlanes(dim, planesPerTable, seed + 7919 * t))
+    val bucketCols = tables.zipWithIndex.map { case (planes, t) =>
+      planes.zipWithIndex.map { case (p, i) =>
+        val weight = 1 << (planesPerTable - 1 - i) // MSB-first fold, as LshBuckets
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN $weight ELSE 0 END)"
+      }.mkString("(", " + ", s") AS b$t")
+    }
+    val unions = (0 until numTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM b")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, ${bucketCols.mkString(",\n")} FROM e),
+       |u AS ($unions),
+       |p AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |      FROM u a JOIN u c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |s AS (SELECT p.id_a, p.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+       |      FROM p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b)
+       |SELECT id_a, id_b FROM s WHERE cos >= 0.4""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "u4_exact_dedup" -> ((s, d) => {
       Dedup.exactGroups(Tables(s, d).documents, "doc_id", "text")
     }),
     "d1_ngram_jaccard" -> ((s, d) => {
+      // full corpus: the testdata's genuine near-dup pairs (Jaccard ≈0.97)
+      // only exist corpus-wide — a doc_id sample misses them at some scale
+      // factors and the query degenerates to a zero-row (signal-free) green
       Dedup.ngramJaccardPairs(
-        Tables(s, d).documents.filter(col("doc_id") % 5 === 0),
+        Tables(s, d).documents,
         "doc_id", "text", "source", n = 3, threshold = 0.5
       )
     }),
@@ -38,9 +71,14 @@ object DedupQueries {
       Dedup.simHash(Tables(s, d).documents, "doc_id", "text")
     }),
     "d4_embedding_neardup" -> ((s, d) => {
+      // threshold tuned to the synthetic corpus (max pairwise cosine ≈0.6):
+      // 0.4 yields a stable non-empty pair set at every sf, so the query
+      // exercises scoring + threshold logic, not just candidate generation.
+      // The DuckDB oracle replicates the seeded hyperplane bucketing
+      // exactly (see d4OracleSql), so this is a full hash-checked query.
       Similarity.embeddingNearDupPairs(
         Tables(s, d).embeddings, "vec_id", "embedding",
-        threshold = 0.95, dim = 64
+        threshold = 0.4, dim = 64
       ).select(col("id_a"), col("id_b"))
     }),
     "s1_knn_bruteforce" -> ((s, d) => {
@@ -86,7 +124,7 @@ object DedupQueries {
     "d1_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents),
         |sh AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 2, 1) + 1),
@@ -164,6 +202,7 @@ object DedupQueries {
         |  FROM cc JOIN documents d ON d.doc_id = cc.id)
         |SELECT cluster_id, doc_id AS keep_doc_id, cluster_size
         |FROM ranked WHERE rn = 1""".stripMargin,
+    "d4_embedding_neardup" -> d4OracleSql,
     "s1_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |p AS (

@@ -52,6 +52,25 @@ class OperatorsSpec extends SparkSpecBase {
       capped((1L, 2L))) // stop-shingle-only pairs pruned under the cap
   }
 
+  test("embedding near-dup maxBucketSize cap drops degenerate-bucket pairs only") {
+    // 10 identical vectors flood every LSH bucket they touch (the skew
+    // shape: one hot bucket goes quadratic); an unrelated duplicate pair
+    // (opposite sign -> complementary bucket bits in every table) must
+    // survive the cap untouched
+    val hot = (1L to 10L).map(i => (i, Array.fill(8)(0f).updated(0, 1f).toSeq))
+    val cold = Seq((100L, Array.fill(8)(0f).updated(0, -1f).toSeq), (101L, Array.fill(8)(0f).updated(0, -1f).toSeq))
+    val vecs = (hot ++ cold).toDF("vec_id", "embedding")
+    def pairs(cap: Option[Int]) =
+      Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+          threshold = 0.9, dim = 8, numTables = 4, planesPerTable = 6, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((100L, 101L)))
+    assert(uncapped.size == 45 + 1) // C(10,2) hot pairs + the cold pair
+    val capped = pairs(Some(5))
+    assert(capped == Set((100L, 101L)), s"capped=$capped")
+  }
+
   test("minhash estimated jaccard tracks exact jaccard for near-dup docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " zzz aaa bbb"
