@@ -62,7 +62,10 @@ object Fixtures {
         s"${states(rng.nextInt(states.length))} region, County ${i % 20}",
         ts(effDay, effHour),
         new Timestamp(ts(effDay, effHour).getTime + durH * 3600000L),
-        s"""{"type":"Polygon","coordinates":[[${rng.nextInt(100)},0]]}""",
+        { // closed triangular ring, GeoJSON Polygon nesting (ring list)
+          val x = rng.nextInt(100)
+          s"""{"type":"Polygon","coordinates":[[[$x.0,0.0],[$x.0,1.0],[${x + 1}.0,1.0],[$x.0,0.0]]]}"""
+        },
         ts(effDay, effHour),
         "NOAA_NWS"
       )

@@ -48,12 +48,30 @@ object Staging {
     auditCols(std, retentionDays = 2555, runTs)
   }
 
+  /** GeoJSON geometry struct (SURVEY §1.2 optional extension): the NOAA
+    * `geometry` JSON string typed as (type, coordinates) where coordinates
+    * is a Polygon's ring list (reference keeps the raw string,
+    * assets/raw_data.py:148; ring shape scrapers/main.py:241-242). */
+  val GeometrySchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("coordinates",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))))
+
   /** stg_noaa_weather.sql:19-79 — incl. the state-code extraction, alert
-    * duration, and severity×urgency risk matrix. */
-  def noaaWeather(raw: DataFrame, runTs: Timestamp): DataFrame = {
+    * duration, and severity×urgency risk matrix. With `parseGeometry` the
+    * staged table also carries the raw GeoJSON string plus its typed
+    * struct (malformed JSON parses to null, never fails the pipeline). */
+  def noaaWeather(raw: DataFrame, runTs: Timestamp, parseGeometry: Boolean = false): DataFrame = {
+    val geoCols =
+      if (parseGeometry)
+        Seq(col("geometry"), from_json(col("geometry"), GeometrySchema).as("geometry_struct"))
+      else Seq.empty[Column]
     val std = raw
       .filter(col("alert_id").isNotNull && col("effective").isNotNull)
-      .select(
+      .select(geoCols ++ Seq(
         col("alert_id"),
         upper(trim(col("event"))).as("weather_event"),
         upper(trim(col("severity"))).as("severity_level"),
@@ -79,7 +97,7 @@ object Staging {
           .otherwise("LOW").as("risk_level"),
         col("ingestion_timestamp"),
         col("data_source")
-      )
+      ): _*)
     auditCols(std, retentionDays = 1095, runTs)
   }
 

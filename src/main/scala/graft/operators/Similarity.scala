@@ -4,8 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
-import graft.plans.VectorExpressions.{lsh_buckets, vector_dot, vector_normalize}
+import graft.plans.VectorExpressions.{lsh_buckets, nearest_centroids, vector_dot, vector_normalize}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column. Baseline: brute-force cosine top-k with the (small) query set
@@ -109,25 +108,19 @@ object Similarity {
     val train = (if (trainFraction < 1.0) unitCorpus.sample(trainFraction, seed) else unitCorpus)
       .select(array_to_vector(col("nv")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
 
-    def centroidDist(v: Column, c: Seq[Double]): Column =
-      VectorFunctions.l2Distance(v, array(c.map(lit): _*))
-    // nearest cell per corpus vector: min-by over the nlist literal
-    // centroids, evaluated row-local (no shuffle, no model broadcast)
-    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
-      struct(centroidDist(col("nv"), c).as("d"), lit(i).as("cell"))
-    }
-    val assigned = unitCorpus.withColumn("cell", array_min(array(cellStructs: _*)).getField("cell"))
+    // nearest cell per corpus vector: ONE codegen'd expression holding the
+    // packed centroid matrix as a reference object — row-local (no shuffle,
+    // no broadcast join), and plan size is independent of nlist. (A literal
+    // struct-ladder formulation embeds nlist×dim expression nodes in the
+    // plan and stops compiling around nlist≈10³.)
+    val assigned = unitCorpus
+      .withColumn("cell", nearest_centroids(col("nv"), centroids, 1)(0))
 
     val unitQ = queries.select(col(idCol).as("query_id"), vector_normalize(col(vecCol)).as("qv"))
-    val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
-      struct(centroidDist(col("qv"), c).as("d"), lit(i).as("cell"))
-    }
     val probed = unitQ
-      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)))
-      .withColumn("cell", col("probe.cell"))
-      .drop("probe")
+      .withColumn("cell", explode(nearest_centroids(col("qv"), centroids, nprobe)))
     val scored = assigned
       .join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -85,6 +85,72 @@ object Validation {
       .withColumn("is_anomaly", col("baseline").isNotNull && col("deviation") > tolerance)
   }
 
+  /** Temporal-clustering anomaly (ops/data_quality_ops.py:577-589): all of
+    * a group's records packed into a tiny time span (the reference flags a
+    * batch whose timestamps span <6 minutes — a symptom of a stuck
+    * scraper). One grouped aggregate; span math in exact integer micros. */
+  def temporalClustering(
+      df: DataFrame, groupCol: String, tsCol: String,
+      maxSpanHours: Double, minRecords: Long
+  ): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts")
+      )
+      .withColumn("span_hours",
+        (unix_micros(col("last_ts")) - unix_micros(col("first_ts"))) / lit(3.6e9))
+      .withColumn("is_clustered", col("span_hours") < maxSpanHours && col("n") > minRecords)
+
+  /** Geographic/source constraints (ops/data_quality_ops.py:603-613 —
+    * "CoAgMet must be CO-only") as a declarative per-source check: each
+    * constrained source's rows outside its allowed region set (NULL counts
+    * as a violation, as in the reference's `state != 'CO'` pandas filter).
+    * One filtered aggregate over only the constrained sources. */
+  def geoConstraintViolations(
+      df: DataFrame, sourceCol: String, regionCol: String,
+      allowed: Map[String, Seq[String]]
+  ): DataFrame = {
+    val violation = allowed.foldLeft(lit(false)) { case (acc, (src, regions)) =>
+      when(col(sourceCol) === src,
+        col(regionCol).isNull || !col(regionCol).isInCollection(regions)).otherwise(acc)
+    }
+    df.filter(col(sourceCol).isInCollection(allowed.keys.toSeq))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("total_rows"), count(when(violation, 1)).as("violations"))
+      .withColumn("is_anomaly", col("violations") > 0)
+  }
+
+  /** Single-region concentration (ops/data_quality_ops.py:595-603): every
+    * record of a sizeable source coming from one region. */
+  def singleRegionConcentration(
+      df: DataFrame, sourceCol: String, regionCol: String, minRecords: Long
+  ): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n"), countDistinct(col(regionCol)).as("n_regions"))
+      .withColumn("is_anomaly", col("n_regions") === 1 && col("n") > minRecords)
+
+  /** Dominant-category concentration (ops/data_quality_ops.py:699-716):
+    * one category making up more than `maxShare` of a source's records
+    * (when the source has >1 category). Grouped count + one window. */
+  def dominantCategory(
+      df: DataFrame, sourceCol: String, catCol: String, maxShare: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol)
+    df.groupBy(col(sourceCol), col(catCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(w))
+      .withColumn("n_cats", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("cnt").desc, col(catCol))))
+      .filter(col("rn") === 1)
+      .select(
+        col(sourceCol),
+        col(catCol).as("dominant_cat"),
+        (col("cnt").cast("double") / col("total")).as("share"),
+        (col("n_cats") > 1 && col("cnt").cast("double") / col("total") > maxShare).as("is_anomaly"))
+  }
+
   /** Z-score outlier counting from exact decimal sums — single pass for
     * moments + one filtered pass, both distributed (A11). */
   def zscoreOutlierCount(df: DataFrame, c: String, z: Double): DataFrame = {

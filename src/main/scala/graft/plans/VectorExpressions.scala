@@ -205,6 +205,89 @@ object VectorExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** The `nprobe` nearest centroids (ascending by squared-L2 distance,
+    * ties to the lower index) of a vector against a packed centroid
+    * matrix. The matrix rides along as one reference object in the
+    * generated class — unlike a per-centroid literal expression ladder
+    * (whose plan size is O(nlist×dim) expression nodes and dies around
+    * nlist≈10³), this is a single expression node at ANY nlist, so an
+    * IVF index can use realistic nlist=4096+ coarse quantizers. Row-local:
+    * no shuffle, no broadcast join, stays inside whole-stage codegen. */
+  case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+      extends UnaryExpression {
+    require(nprobe >= 1 && nprobe <= centroids.length)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val a = toDoubles(v.asInstanceOf[ArrayData], elemType(child))
+      val nlist = centroids.length
+      val dist = new Array[Double](nlist)
+      var c = 0
+      while (c < nlist) {
+        val cen = centroids(c)
+        val n = math.min(a.length, cen.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { val d = a(i) - cen(i); s += d * d; i += 1 }
+        dist(c) = s
+        c += 1
+      }
+      // partial selection sort: O(nlist · nprobe), no allocation beyond out
+      val out = new Array[Int](nprobe)
+      val used = new Array[Boolean](nlist)
+      var p = 0
+      while (p < nprobe) {
+        var best = -1
+        var bd = Double.PositiveInfinity
+        c = 0
+        while (c < nlist) {
+          if (!used(c) && dist(c) < bd) { bd = dist(c); best = c }
+          c += 1
+        }
+        used(best) = true
+        out(p) = best
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cenRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val nlist = centroids.length
+        val dist = ctx.freshName("dist"); val used = ctx.freshName("used")
+        val out = ctx.freshName("out"); val cen = ctx.freshName("cen")
+        val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s"); val d = ctx.freshName("d"); val p = ctx.freshName("p")
+        val best = ctx.freshName("best"); val bd = ctx.freshName("bd")
+        s"""
+           |double[] $dist = new double[$nlist];
+           |for (int $c = 0; $c < $nlist; $c++) {
+           |  double[] $cen = $cenRef[$c];
+           |  int $n = java.lang.Math.min($v.numElements(), $cen.length);
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $d = ${getAsDouble(v, i, elemType(child))} - $cen[$i];
+           |    $s += $d * $d;
+           |  }
+           |  $dist[$c] = $s;
+           |}
+           |int[] $out = new int[$nprobe];
+           |boolean[] $used = new boolean[$nlist];
+           |for (int $p = 0; $p < $nprobe; $p++) {
+           |  int $best = -1;
+           |  double $bd = Double.POSITIVE_INFINITY;
+           |  for (int $c = 0; $c < $nlist; $c++) {
+           |    if (!$used[$c] && $dist[$c] < $bd) { $bd = $dist[$c]; $best = $c; }
+           |  }
+           |  $used[$best] = true;
+           |  $out[$p] = $best;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
   /** Rabin-Karp rolling fingerprint over UTF-8 bytes: polynomial hash of
     * every `window`-byte run, combined order-independently (XOR of a
     * multiplicative mix) into one 64-bit document fingerprint. Detects
@@ -257,6 +340,8 @@ object VectorExpressions {
   def vector_normalize(a: Column): Column = toCol(VectorNormalize(toExpr(a)))
   def lsh_buckets(v: Column, planes: Seq[Seq[Double]], planesPerTable: Int): Column =
     toCol(LshBuckets(toExpr(v), planes.map(_.toArray).toArray, planesPerTable))
+  def nearest_centroids(v: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    toCol(NearestCentroids(toExpr(v), centroids.map(_.toArray).toArray, nprobe))
   def rolling_fingerprint(text: Column, window: Int): Column =
     toCol(RollingFingerprint(toExpr(text), window))
 }

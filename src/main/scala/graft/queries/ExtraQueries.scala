@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.ConfigOps
+import graft.operators.{ConfigOps, Validation}
 
 /** Second wave of SURVEY §2 coverage: health-bucket when-ladders (A6),
   * config-driven aggregation (A7/F3), freshness SLA aggregate (A10),
@@ -133,6 +133,22 @@ object ExtraQueries {
       val b = t.events.filter(col("event_type") === "signup")
         .select(col("event_id"), col("user_id"))
       a.unionByName(b, allowMissingColumns = true)
+    }),
+    "a19_geo_constraint" -> ((s, d) => {
+      // source-scoped constraint check ("CoAgMet must be CO-only",
+      // ops/data_quality_ops.py:603-613) over documents: per constrained
+      // source, rows outside its allowed language set
+      Validation.geoConstraintViolations(
+        Tables(s, d).documents, "source", "lang",
+        Map("src0" -> Seq("en"), "src1" -> Seq("en", "de")))
+    }),
+    "a20_temporal_cluster" -> ((s, d) => {
+      // temporal-clustering anomaly (ops/data_quality_ops.py:577-589):
+      // per event type, is the whole group packed into a tiny time span?
+      Validation.temporalClustering(Tables(s, d).events, "event_type", "ts",
+          maxSpanHours = 1.0, minRecords = 10)
+        .withColumn("first_ts", col("first_ts").cast("timestamp_ntz"))
+        .withColumn("last_ts", col("last_ts").cast("timestamp_ntz"))
     })
   )
 
@@ -204,6 +220,18 @@ object ExtraQueries {
         |count(*) AS cnt,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
-        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a19_geo_constraint" ->
+      """SELECT source, count(*) AS total_rows,
+        |count(CASE WHEN source = 'src0' AND (lang IS NULL OR lang NOT IN ('en')) THEN 1
+        |           WHEN source = 'src1' AND (lang IS NULL OR lang NOT IN ('en', 'de')) THEN 1 END) AS violations,
+        |count(CASE WHEN source = 'src0' AND (lang IS NULL OR lang NOT IN ('en')) THEN 1
+        |           WHEN source = 'src1' AND (lang IS NULL OR lang NOT IN ('en', 'de')) THEN 1 END) > 0 AS is_anomaly
+        |FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1""".stripMargin,
+    "a20_temporal_cluster" ->
+      """SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts,
+        |(epoch_us(max(ts)) - epoch_us(min(ts))) / 3.6e9 AS span_hours,
+        |((epoch_us(max(ts)) - epoch_us(min(ts))) / 3.6e9 < 1.0 AND count(*) > 10) AS is_clustered
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

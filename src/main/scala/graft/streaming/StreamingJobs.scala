@@ -122,6 +122,30 @@ object StreamingJobs {
       )
   }
 
+  /** ST5/ST6 production shape: APPEND-mode windowed counts with watermark
+    * eviction. The complete-mode harnesses above hold every window in
+    * state forever — right for a deterministic full-result oracle dump,
+    * a scale-killer if copied to production. Append mode emits each
+    * window exactly once when the watermark passes its end and then DROPS
+    * its state rows, so state is bounded by (watermark horizon / slide)
+    * open windows regardless of stream lifetime. Late rows behind the
+    * watermark are discarded before state lookup. Eviction + late-drop are
+    * asserted against live StreamingQueryProgress in Streaming2Spec. */
+  def windowedCountsAppend(
+      stream: DataFrame,
+      tsCol: String,
+      watermark: String,
+      size: String,
+      slide: Option[String] = None,
+      extraKeys: Seq[String] = Nil
+  ): DataFrame = {
+    val win = slide.fold(window(col(tsCol), size))(s => window(col(tsCol), size, s))
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(win +: extraKeys.map(col): _*)
+      .agg(count(lit(1)).as("event_cnt"))
+  }
+
   /** ST8: compacted-topic semantics on a stream — keep-latest-per-key via
     * watermarked streaming dropDuplicates (duplicate re-deliveries within
     * the watermark horizon are suppressed). */

@@ -40,6 +40,26 @@ class EmPipelineSpec extends SparkSpecBase {
     assert(badRatio == 0)
   }
 
+  test("noaa geometry struct: typed (type, coordinates) parse; malformed JSON -> null") {
+    import spark.implicits._
+    val geo = Staging.noaaWeather(Fixtures.noaa(spark, 50), runTs, parseGeometry = true)
+    assert(geo.columns.contains("geometry") && geo.columns.contains("geometry_struct"))
+    assert(geo.filter(col("geometry_struct.type") =!= "Polygon").count() == 0)
+    // every fixture polygon is one closed 4-point ring of (lon, lat) pairs
+    val ring = geo.select(
+      size(col("geometry_struct.coordinates")).as("n_rings"),
+      size(element_at(col("geometry_struct.coordinates"), 1)).as("n_pts"),
+      size(element_at(element_at(col("geometry_struct.coordinates"), 1), 1)).as("n_coords"))
+    assert(ring.filter(col("n_rings") =!= 1 || col("n_pts") =!= 4 || col("n_coords") =!= 2).count() == 0)
+    // malformed geometry parses to an all-null struct rather than failing
+    val bad = Fixtures.noaa(spark, 5).withColumn("geometry", lit("not json {"))
+    val badParsed = Staging.noaaWeather(bad, runTs, parseGeometry = true)
+    assert(badParsed.filter(col("geometry_struct.type").isNotNull ||
+      col("geometry_struct.coordinates").isNotNull).count() == 0)
+    // default path unchanged: no geometry columns staged
+    assert(!noaa.columns.contains("geometry_struct"))
+  }
+
   test("emergency_events: union alignment, enrichment, flags (marts schema tests)") {
     // event_type enum (models/marts/schema.yml:15-19)
     assert(events.filter(!col("event_type").isin("DISASTER", "WEATHER_ALERT")).count() == 0)

@@ -121,6 +121,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF at nlist=256: packed-centroid expression plans, runs, and full probe is still exact") {
+    // the literal struct-ladder formulation embedded nlist×dim expression
+    // nodes and stopped compiling around nlist≈10³ — the packed-matrix
+    // NearestCentroids expression must make large-nlist quantizers routine
+    val e = Tables(spark, Sf0001).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nlist = 256, nprobe = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "full-probe IVF at nlist=256 must equal brute force")
+    val probed = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nlist = 256, nprobe = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.nonEmpty && probed.subsetOf(probed ++ brute))
+    val recall = (brute & probed).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("upsert latestByKey is deterministic and keeps the newest version") {
     val df = Seq((1L, "a", 1L, 10.0), (1L, "a", 3L, 30.0), (1L, "a", 2L, 20.0), (2L, "b", 1L, 1.0))
       .toDF("k1", "k2", "version", "v")

@@ -68,6 +68,56 @@ class Streaming2Spec extends SparkSpecBase {
     assert(counts("2026-01-01 10:30:00") == 1L)
   }
 
+  test("append-mode windowed counts: finalized windows emit once, state rows are evicted, late rows dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = StreamingJobs.windowedCountsAppend(
+      input.toDF().toDF("ts", "k"), "ts", watermark = "10 minutes", size = "5 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("appendwin").start()
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    input.addData((t(0), "a"), (t(2), "b"), (t(30), "a")) // wm -> 10:20; [10:00,10:05) finalizes
+    q.processAllAvailable()
+    input.addData((t(1), "a")) // behind the watermark: dropped, not re-counted
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2026-01-01 11:00:00"), "a")) // wm -> 10:50; [10:30) finalizes
+    q.processAllAvailable()
+    val dropped = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    val finalStateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).last
+    q.stop()
+    val counts = spark.table("appendwin")
+      .select(col("window.start").cast("string"), col("event_cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each finalized window emitted exactly once, late 10:01 row not counted
+    assert(counts == Map("2026-01-01 10:00:00" -> 2L, "2026-01-01 10:30:00" -> 1L))
+    assert(dropped >= 1, s"late row must be dropped by the watermark (dropped=$dropped)")
+    // 3 windows seen over the stream's life; only the open 11:00 window may
+    // still hold state — finalized windows' rows were evicted
+    assert(finalStateRows <= 1, s"state must not grow with stream history (rows=$finalStateRows)")
+  }
+
+  test("append-mode sliding windows: overlapping windows finalize and evict the same way") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = StreamingJobs.windowedCountsAppend(
+      input.toDF().toDF("ts", "k"), "ts", watermark = "5 minutes",
+      size = "10 minutes", slide = Some("5 minutes"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("slidewin").start()
+    input.addData((Timestamp.valueOf("2026-01-01 10:02:00"), "a"))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2026-01-01 11:00:00"), "a")) // finalize both overlapping windows
+    q.processAllAvailable()
+    val finalStateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).last
+    q.stop()
+    val starts = spark.table("slidewin").select(col("window.start").cast("string")).collect().map(_.getString(0)).toSet
+    // the 10:02 event belongs to two overlapping windows; both emitted on finalization
+    assert(starts == Set("2026-01-01 09:55:00", "2026-01-01 10:00:00"))
+    assert(finalStateRows <= 2, s"only the open 11:00-event windows may hold state (rows=$finalStateRows)")
+  }
+
   test("rolling fingerprint: deterministic, shift-invariant on shared content") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
