@@ -3,32 +3,39 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_BENCH_COLD=1 skips every warmup so the timed pass absorbs
+    // one-time JIT/codegen/footer-cache costs — the cold single-pass number
+    // recorded in BASELINE.md alongside the steady-state default, so driver
+    // single-pass runs are comparable round over round.
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
     val spark = graft.core.SparkSessionFactory.local("graft-bench")
-    // Warm the JVM: parquet footers + one pass through the shuffle, join,
-    // window and codegen machinery so the first timed query doesn't absorb
-    // one-time JIT/session costs.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count(): Unit
-    }
-    locally {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      val o = spark.read.parquet(s"$sfDir/orders.parquet").limit(5000)
-      val c = spark.read.parquet(s"$sfDir/customer.parquet").limit(5000)
-      o.join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy("o_orderstatus").agg(sum("o_totalprice"), countDistinct("o_custkey"))
-        .count(): Unit
-      o.select(row_number().over(
-        Window.partitionBy("o_orderstatus").orderBy("o_orderkey")).as("rn")).count(): Unit
-    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Full untimed warmup pass: JIT-compiles every query's generated code and
-    // fills the parquet footer/OS page caches, so the timed pass measures
-    // steady-state throughput (what a long-running cluster job sees), not
-    // one-time driver JVM warmup.
-    ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => () }
+    if (!cold) {
+      // Warm the JVM: parquet footers + one pass through the shuffle, join,
+      // window and codegen machinery so the first timed query doesn't absorb
+      // one-time JIT/session costs.
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count(): Unit
+      }
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val o = spark.read.parquet(s"$sfDir/orders.parquet").limit(5000)
+        val c = spark.read.parquet(s"$sfDir/customer.parquet").limit(5000)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderstatus").agg(sum("o_totalprice"), countDistinct("o_custkey"))
+          .count(): Unit
+        o.select(row_number().over(
+          Window.partitionBy("o_orderstatus").orderBy("o_orderkey")).as("rn")).count(): Unit
+      }
+      // Full untimed warmup pass: JIT-compiles every query's generated code
+      // and fills the parquet footer/OS page caches, so the timed pass
+      // measures steady-state throughput (what a long-running cluster job
+      // sees), not one-time driver JVM warmup.
+      ordered.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => () }
+      }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
