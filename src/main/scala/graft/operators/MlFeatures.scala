@@ -22,12 +22,15 @@ object MlFeatures {
   def eventFeatures(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(unix_timestamp(col("ts")))
     val trailing = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-5, -1)
-    val stats = events.agg(avg("value").as("mu"), stddev_pop("value").as("sigma")).head()
-    val (mu, sigma) = (stats.getDouble(0), stats.getDouble(1))
+    // global moments as a broadcast 1-row frame, not a driver .head():
+    // keeps the whole feature build one lazy job with no eager scan
+    val stats = events.agg(avg("value").as("mu"), stddev_pop("value").as("sigma"))
     events
+      .crossJoin(broadcast(stats))
       .withColumn("hour_of_day", hour(col("ts")).cast("double"))
       .withColumn("day_of_week", dayofweek(col("ts")).cast("double"))
-      .withColumn("value_z", EmFunctions.clip((col("value") - mu) / sigma, -3, 3))
+      .withColumn("value_z", EmFunctions.clip((col("value") - col("mu")) / col("sigma"), -3, 3))
+      .drop("mu", "sigma")
       .withColumn("events_prev_30d",
         count(lit(1)).over(byUser.rangeBetween(-30L * 86400, -1)).cast("double"))
       .withColumn("trailing_avg_value", coalesce(avg(col("value")).over(trailing), lit(0.0)))
