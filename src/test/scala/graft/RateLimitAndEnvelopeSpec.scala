@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.RateLimit
-import graft.streaming.KafkaEnvelope
+import graft.streaming.{KafkaEnvelope, TopicProvisioning}
 
 /** Rate limiting over the usage log + Kafka message envelope round-trip. */
 class RateLimitAndEnvelopeSpec extends SparkSpecBase {
@@ -44,5 +44,45 @@ class RateLimitAndEnvelopeSpec extends SparkSpecBase {
     val corrupt = wrapped.unionByName(Seq(("bad", "not-json{{")).toDF("key", "value"))
     val parsed = KafkaEnvelope.unwrap(corrupt, schema)
     assert(parsed.filter(col("__unparsed").isNotNull).count() == 1)
+  }
+
+  test("topic provisioning declares the six reference topics with layered config") {
+    val byName = TopicProvisioning.emergencyTopics.map(t => t.name -> t).toMap
+    assert(byName.keySet == Set(
+      "fema_disasters", "noaa_weather_alerts", "coagmet_weather",
+      "usda_agricultural_data", "data_quality_metrics", "ml_predictions"))
+
+    // partition sizing follows expected volume (noaa highest, metrics lowest)
+    assert(byName("noaa_weather_alerts").partitions == 5)
+    assert(byName("data_quality_metrics").partitions == 1)
+
+    // per-topic overrides layer over shared defaults
+    val metrics = byName("data_quality_metrics").resolvedConfig
+    assert(metrics("cleanup.policy") == "compact")
+    assert(metrics("retention.ms") == (90L * 24 * 60 * 60 * 1000).toString)
+    assert(metrics("compression.type") == "gzip") // inherited default
+    assert(metrics("segment.ms") == (24L * 60 * 60 * 1000).toString)
+
+    val fema = byName("fema_disasters").resolvedConfig
+    assert(fema("cleanup.policy") == "delete")
+    assert(fema("retention.ms") == (30L * 24 * 60 * 60 * 1000).toString)
+
+    // unknown override keys are kept (sorted, after the defaults)
+    val custom = TopicProvisioning.TopicSpec("x", 1,
+      overrides = Map("max.message.bytes" -> "1048576")).resolvedConfig
+    assert(custom.keys.toSeq ==
+      Seq("cleanup.policy", "retention.ms", "segment.ms", "compression.type", "max.message.bytes"))
+  }
+
+  test("topic provisioning renders idempotent CLI commands") {
+    val cmds = TopicProvisioning.cliCommands("broker:9092")
+    assert(cmds.size == 6)
+    assert(cmds.forall(_.startsWith(
+      "kafka-topics.sh --create --if-not-exists --bootstrap-server broker:9092 ")))
+    val noaa = cmds.find(_.contains("--topic noaa_weather_alerts")).get
+    assert(noaa.contains("--partitions 5"))
+    assert(noaa.contains("--replication-factor 1"))
+    assert(noaa.contains("--config cleanup.policy=delete"))
+    assert(noaa.contains("--config retention.ms=604800000"))
   }
 }
