@@ -149,6 +149,42 @@ object Dedup {
       )
   }
 
+  /** Benchmark decontamination (training-data hygiene): score every
+    * training document by the fraction of its distinct word-n-gram
+    * shingles that appear anywhere in a held-out benchmark/eval corpus —
+    * the standard n-gram-overlap contamination check run before LLM
+    * training. Eval sets are small by construction, so the benchmark
+    * shingle set is collapsed to a distinct-set and broadcast: the
+    * 100 TB train side streams map-side against it (no shuffle for the
+    * membership probe; the per-doc counts partial-aggregate before the
+    * one groupBy exchange). Set `broadcastBench=false` for an
+    * unusually large eval corpus to fall back to a shuffled join. */
+  def contaminationScores(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    val tSh = shingles(train, idCol, textCol, n)
+    val bSet0 = shingles(bench, idCol, textCol, n).select("sh").distinct()
+    val bSet = if (broadcastBench) broadcast(bSet0) else bSet0
+    val sizes = tSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = tSh
+      .join(bSet, Seq("sh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"))
+    sizes
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_sh"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_sh")).as("contamination")
+      )
+  }
+
   /** SimHash near-dup pairs: block-key candidates → exact hamming check. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val s = simHash(docs, idCol, textCol)

@@ -81,6 +81,15 @@ object DedupQueries {
         threshold = 0.4, dim = 64
       ).select(col("id_a"), col("id_b"))
     }),
+    "d7_decontamination" -> ((s, d) => {
+      // benchmark-overlap contamination check: every 23rd doc plays the
+      // held-out eval set, the rest are "training" docs scored by the
+      // fraction of their 3-gram shingles that leak from the benchmark
+      val docs = Tables(s, d).documents
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val train = docs.filter(col("doc_id") % 23 =!= 0)
+      Dedup.contaminationScores(train, bench, "doc_id", "text", n = 3)
+    }),
     "s1_knn_bruteforce" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -203,6 +212,24 @@ object DedupQueries {
         |SELECT cluster_id, doc_id AS keep_doc_id, cluster_size
         |FROM ranked WHERE rn = 1""".stripMargin,
     "d4_embedding_neardup" -> d4OracleSql,
+    "d7_decontamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0),
+        |train AS (SELECT * FROM sh WHERE doc_id % 23 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY 1),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS hits
+        |  FROM train t JOIN bench b ON t.sh = b.sh GROUP BY 1)
+        |SELECT s.doc_id, s.n_sh, COALESCE(h.hits, 0) AS hits,
+        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / s.n_sh AS contamination
+        |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |p AS (

@@ -52,6 +52,23 @@ class OperatorsSpec extends SparkSpecBase {
       capped((1L, 2L))) // stop-shingle-only pairs pruned under the cap
   }
 
+  test("contamination scores: benchmark-overlapping docs flagged, clean docs zero") {
+    val bench = Seq((100L, "the capital of france is paris")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "quiz answer the capital of france is paris obviously"), // leaks the phrase
+      (2L, "completely unrelated text about weather stations today"),
+      (3L, "the capital of france") // 2 shingles, fully contained in bench
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 7 shingles, 4 of them ("the capital of" ... "france is paris") in bench
+    assert(got(1L) == ((7L, 4L, 4.0 / 7)))
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    // bench side never appears in the output
+    assert(!got.contains(100L))
+  }
+
   test("embedding near-dup maxBucketSize cap drops degenerate-bucket pairs only") {
     // 10 identical vectors flood every LSH bucket they touch (the skew
     // shape: one hot bucket goes quadratic); an unrelated duplicate pair
