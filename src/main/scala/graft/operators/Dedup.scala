@@ -168,20 +168,22 @@ object Dedup {
       broadcastBench: Boolean = true
   ): DataFrame = {
     val tSh = shingles(train, idCol, textCol, n)
+    // distinct bench shingles tagged for the conditional count; a left join
+    // against a distinct set never multiplies rows, so total + hit counts
+    // come out of ONE pass over the exploded train side (one scan, one
+    // aggregate exchange — vs the naive two-scan sizes⟗hits plan)
     val bSet0 = shingles(bench, idCol, textCol, n).select("sh").distinct()
+      .withColumn("__hit", lit(1))
     val bSet = if (broadcastBench) broadcast(bSet0) else bSet0
-    val sizes = tSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val hits = tSh
-      .join(bSet, Seq("sh"), "left_semi")
+    tSh
+      .join(bSet, Seq("sh"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("hits"))
-    sizes
-      .join(hits, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("hits"))
       .select(
         col("doc_id"),
         col("n_sh"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_sh")).as("contamination")
+        col("hits"),
+        (col("hits").cast("double") / col("n_sh")).as("contamination")
       )
   }
 
