@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-statistics language-model scoring for training-data quality
+  * filtering — the CCNet/KenLM-style "how typical is this document of the
+  * corpus" signal, built from the corpus' own unigram statistics.
+  *
+  * Shapes chosen for 100 TB:
+  *   - token → document-frequency is the classic inverted-index shuffle
+  *     (groupBy token with map-side partial counts);
+  *   - the top-K vocabulary comes from `orderBy(desc(cnt)).limit(K)` —
+  *     Spark plans TakeOrderedAndProject (per-partition heaps + one
+  *     driver merge of K rows), never a global sort — and is broadcast
+  *     back, so the scoring join adds no extra shuffle of the big side;
+  *   - per-doc aggregation is one exchange on doc_id.
+  */
+object LanguageModel {
+
+  /** Per-document corpus-typicality statistics, all integer-exact (counts
+    * and single divisions), so results are engine-reproducible:
+    * `n_tokens`, `sum_df` (sum of each token instance's corpus frequency),
+    * `avg_df`, `oov_cnt`/`oov_rate` (tokens outside the top-`topK`
+    * most-frequent vocabulary; vocabulary ties broken by token for
+    * determinism). High `oov_rate` + low `avg_df` = atypical/noisy doc. */
+  def corpusTypicality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 1000
+  ): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val df = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = broadcast(
+      df.orderBy(desc("cnt"), asc("tok")).limit(topK)
+        .select(col("tok"), lit(1).as("__in")))
+    tok
+      .join(df.hint("shuffle_hash"), Seq("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_df"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_cnt")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("sum_df"),
+        (col("sum_df").cast("double") / col("n_tokens")).as("avg_df"),
+        col("oov_cnt"),
+        (col("oov_cnt").cast("double") / col("n_tokens")).as("oov_rate")
+      )
+  }
+
+  /** Per-document average negative log-probability under the corpus'
+    * own unigram model (≈ log-perplexity): the production quality-filter
+    * score. Float log/summation order is engine-specific, so this
+    * variant is differentially spec-tested rather than oracle-hashed. */
+  def unigramNegLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val df = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = df.agg(sum(col("cnt")).as("total"))
+    tok
+      .join(df.hint("shuffle_hash"), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(avg(-log(col("cnt").cast("double") / col("total"))).as("avg_neg_logprob"))
+  }
+}

@@ -62,6 +62,13 @@ object TextQueries {
         element_at(bpePieces(col("text")), 1).as("first_piece")
       )
     }),
+    "t10_unigram_lm" -> ((s, d) => {
+      // corpus-typicality stats (inverted-index token df + top-1000 vocab
+      // OOV rate) — integer-exact columns so the oracle hash-checks; the
+      // float log-perplexity twin is spec-tested in Operators2Spec
+      graft.operators.LanguageModel.corpusTypicality(
+        Tables(s, d).documents, "doc_id", "text", topK = 1000)
+    }),
     "m1_multimodal_meta" -> ((s, d) => {
       // binary-column plumbing: text treated as an opaque payload column;
       // byte length + content hash are the metadata a decode stage keys on
@@ -118,6 +125,21 @@ object TextQueries {
         |CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INTEGER) AS piece_cnt,
         |regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')[1] AS first_piece
         |FROM documents""".stripMargin,
+    "t10_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |df AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |vocab AS (SELECT tok, 1 AS in_v FROM df ORDER BY cnt DESC, tok LIMIT 1000),
+        |j AS (
+        |  SELECT t.doc_id, d.cnt, CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t JOIN df d USING (tok) LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_df,
+        |  CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS avg_df,
+        |  CAST(sum(oov) AS BIGINT) AS oov_cnt,
+        |  CAST(CAST(sum(oov) AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
+        |FROM j GROUP BY 1""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -5,7 +5,7 @@ import java.sql.Date
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Retention, Skew, Tenant}
+import graft.operators.{LanguageModel, Retention, Skew, Tenant}
 
 /** Skew salting, tenant scoping, retention. */
 class Operators2Spec extends SparkSpecBase {
@@ -57,5 +57,34 @@ class Operators2Spec extends SparkSpecBase {
     assert(keep.count() + drop.count() == events.count())
     assert(keep.filter(to_date(col("ts")) < lit("2024-01-10")).count() == 0)
     assert(drop.filter(to_date(col("ts")) >= lit("2024-01-10")).count() == 0)
+  }
+
+  test("corpus typicality: common-token docs score high avg_df, rare-token docs flag OOV") {
+    // "the cat" x3 makes {the, cat} the frequent vocabulary; doc 4 is junk
+    val docs = Seq(
+      (1L, "the cat the cat"),
+      (2L, "the cat"),
+      (3L, "the the the cat"),
+      (4L, "zzzq qqqz")
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.corpusTypicality(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    // corpus counts: the=6, cat=4, zzzq=1, qqqz=1; top-2 vocab = {the, cat}
+    assert(got(1L) == ((4L, 2 * 6L + 2 * 4L, 0L, 0.0)))
+    assert(got(3L) == ((4L, 3 * 6L + 4L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 2L, 2L, 1.0))) // every token OOV
+  }
+
+  test("unigram neg-log-prob ranks rare-token docs as less typical") {
+    val docs = Seq(
+      (1L, "the cat the cat the cat"),
+      (2L, "zzzq qqqz xxxv")
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.unigramNegLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) > got(1L)) // junk doc is further from the corpus model
+    // common-token doc: p(the)=p(cat)=3/9 -> avg -ln(1/3)
+    assert(math.abs(got(1L) - math.log(3.0)) < 1e-9)
   }
 }
