@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.plans.VectorExpressions.{lsh_buckets, nearest_centroids, vector_dot, vector_normalize}
+import graft.plans.VectorExpressions.{lsh_buckets, nearest_centroids, pq_lut, pq_score, vector_dot, vector_normalize}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column. Baseline: brute-force cosine top-k with the (small) query set
@@ -125,6 +125,92 @@ object Similarity {
       .join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), vector_dot(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Train product-quantization codebooks: the vector is split into `m`
+    * subspaces of dim/m dims and each gets an independent `ksub`-centroid
+    * k-means codebook (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"). Trained on (a sample of) the unit-normalized
+    * corpus — one cached sample feeds all m fits, so the 100 TB corpus
+    * is scanned once regardless of m. */
+  def pqTrain(
+      corpus: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10
+  ): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val unit = corpus.select(vector_normalize(col(vecCol)).as("nv"))
+    val sample = (if (trainFraction < 1.0) unit.sample(trainFraction, seed) else unit).cache()
+    try {
+      (0 until m).map { s =>
+        val train = sample.select(
+          array_to_vector(slice(col("nv"), s * dsub + 1, dsub)).as("features"))
+        val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter).fit(train)
+        val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
+        // k-means yields < ksub centers when a subspace has few distinct
+        // points; pad to a uniform ksub so the ADC LUT stride is constant
+        // (padded duplicates of center 0 lose every nearest-tie to index 0,
+        // so they are never assigned)
+        centers ++ Seq.fill(ksub - centers.length)(centers.head)
+      }
+    } finally { sample.unpersist(): Unit }
+  }
+
+  /** Encode each vector into m byte-sized codes (nearest sub-centroid per
+    * subspace) — 256-dim float storage collapses to m bytes per vector,
+    * the compression that makes a 100 TB embedding store scannable.
+    * Row-local codegen'd expressions; no shuffle. */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]
+  ): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val codeCols = codebooks.indices.map { s =>
+      nearest_centroids(slice(vector_normalize(col(vecCol)), s * dsub + 1, dsub),
+        codebooks(s), 1)(0)
+    }
+    corpus.select(col(idCol).as("neighbor_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ ADC top-k: each query precomputes its m×ksub inner-product lookup
+    * table ONCE (PqLut), then every encoded corpus vector scores in O(m)
+    * table lookups (PqScore) instead of an O(dim) dot product — against
+    * codes 32× smaller than the raw floats. Queries ride a broadcast
+    * nested-loop over the code scan (no corpus shuffle); recall vs
+    * brute force is asserted in OperatorsSpec. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0
+  ): DataFrame = {
+    val codebooks = pqTrain(corpus, vecCol, dim, m, ksub, seed, trainFraction)
+    val encoded = pqEncode(corpus, idCol, vecCol, codebooks)
+    val q = queries.select(col(idCol).as("query_id"),
+      pq_lut(vector_normalize(col(vecCol)), codebooks).as("lut"))
+    val scored = encoded
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pq_score(col("codes"), col("lut"), ksub).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

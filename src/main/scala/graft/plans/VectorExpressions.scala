@@ -332,6 +332,97 @@ object VectorExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Product-quantization asymmetric-distance lookup table for one query
+    * vector: `lut[s*ksub + c] = dot(q_sub_s, codebooks[s][c])`, flattened
+    * to one array<double> of m·ksub entries. Computed ONCE per query row
+    * (the codebooks ride along as a single reference object), then every
+    * candidate scores in O(m) lookups via [[PqScore]] instead of an O(dim)
+    * dot product — the standard IVFADC scan cost model. */
+  case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    private val m = codebooks.length
+    private val ksub = codebooks(0).length
+    private val dsub = codebooks(0)(0).length
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val a = toDoubles(v.asInstanceOf[ArrayData], elemType(child))
+      val out = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        val off = s * dsub
+        var c = 0
+        while (c < ksub) {
+          val cen = codebooks(s)(c)
+          var acc = 0.0
+          var i = 0
+          val n = math.min(dsub, a.length - off)
+          while (i < n) { acc += a(off + i) * cen(i); i += 1 }
+          out(s * ksub + c) = acc
+          c += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val out = ctx.freshName("out"); val s = ctx.freshName("s")
+        val c = ctx.freshName("c"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc"); val cen = ctx.freshName("cen")
+        val off = ctx.freshName("off"); val n = ctx.freshName("n")
+        s"""
+           |double[] $out = new double[${m * ksub}];
+           |for (int $s = 0; $s < $m; $s++) {
+           |  int $off = $s * $dsub;
+           |  for (int $c = 0; $c < $ksub; $c++) {
+           |    double[] $cen = $cbRef[$s][$c];
+           |    double $acc = 0.0;
+           |    int $n = java.lang.Math.min($dsub, $v.numElements() - $off);
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $acc += ${getAsDouble(v, s"($off + $i)", elemType(child))} * $cen[$i];
+           |    }
+           |    $out[$s * $ksub + $c] = $acc;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** PQ ADC score: `sum_s lut[s*ksub + codes[s]]` — O(m) integer lookups
+    * per (candidate, query) pair against the query's precomputed
+    * [[PqLut]]. Left-to-right summation, codegen'd. */
+  case class PqScore(left: Expression, right: Expression, ksub: Int)
+      extends BinaryExpression {
+    // left = codes array<int> (length m), right = lut array<double>
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(codes: Any, lut: Any): Any = {
+      val cd = codes.asInstanceOf[ArrayData]
+      val lu = lut.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var s = 0
+      val m = cd.numElements()
+      while (s < m) { acc += lu.getDouble(s * ksub + cd.getInt(s)); s += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (cd, lu) => {
+        val acc = ctx.freshName("acc"); val s = ctx.freshName("s")
+        s"""
+           |double $acc = 0.0;
+           |for (int $s = 0; $s < $cd.numElements(); $s++) {
+           |  $acc += $lu.getDouble($s * $ksub + $cd.getInt($s));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-level API (Spark 4: Column <-> Expression via the sql-package bridge)
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
 
@@ -344,4 +435,8 @@ object VectorExpressions {
     toCol(NearestCentroids(toExpr(v), centroids.map(_.toArray).toArray, nprobe))
   def rolling_fingerprint(text: Column, window: Int): Column =
     toCol(RollingFingerprint(toExpr(text), window))
+  def pq_lut(q: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toCol(PqLut(toExpr(q), codebooks.map(_.map(_.toArray).toArray).toArray))
+  def pq_score(codes: Column, lut: Column, ksub: Int): Column =
+    toCol(PqScore(toExpr(codes), toExpr(lut), ksub))
 }

@@ -138,6 +138,33 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("PQ with exactly-representable subvectors reproduces brute force; real embeddings keep recall") {
+    // 4 distinct 4-dim vectors, m=2 subspaces: ksub=4 codebooks can represent
+    // every subvector exactly -> ADC scoring degenerates to the exact dot
+    // product and PQ top-k == brute-force top-k
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)), (3L, Array(0f, 0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = Similarity.pqTopK(vecs, q, "vec_id", "embedding", k = 2, dim = 4, m = 2, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pq == brute, s"exact-codebook PQ must equal brute force: $pq vs $brute")
+
+    // real embeddings: 64-dim -> m=8 bytes per vector (32x compression),
+    // approximate ranking still recalls most true neighbors
+    val e = Tables(spark, Sf0001).embeddings
+    val qs = e.filter(col("vec_id") < 20)
+    val b2 = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Similarity.pqTopK(e, qs, "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (b2 & p2).size.toDouble / b2.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("IVF at nlist=256: packed-centroid expression plans, runs, and full probe is still exact") {
     // the literal struct-ladder formulation embedded nlist×dim expression
     // nodes and stopped compiling around nlist≈10³ — the packed-matrix
