@@ -45,7 +45,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // environment fingerprint: a contended machine (stray JVMs, parallel
+    // builds) inflates CPU-bound queries 10-100x — recording cores + the
+    // 1-min load average alongside the numbers makes contamination
+    // self-evident in the artifact instead of requiring a manual re-run
+    val cores = Runtime.getRuntime.availableProcessors
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cores,"load_avg_1m":$load,"cold":$cold}""")
     spark.stop()
   }
 }

@@ -1,55 +1,150 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.StructType
+
+/** Decoded media features: true pixel dimensions + channel statistics for
+  * payloads the JDK can decode, deterministic content-hash pseudo-features
+  * for codecs it can't. `decoded` says which path produced the row. */
+case class MediaFeatures(
+    doc_id: Long,
+    byte_len: Int,
+    format_guess: String,
+    width: Int,
+    height: Int,
+    decoded: Boolean,
+    features: Array[Float])
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; decode/feature-extract runs
   * per-partition in batches (the Scala analogue of mapInPandas batch
-  * processing). The actual media decode is STUBBED — codec libraries are
-  * not in this container — but the Spark-side contract is real: schema,
-  * batch iteration, partition-preserving execution, deterministic fake
-  * features keyed on content bytes.
+  * processing). Image decode is REAL for the formats the JDK ships
+  * codecs for (PNG/JPEG/BMP/GIF via `javax.imageio` — zero added
+  * dependencies): true width/height, per-channel means, luma histogram.
+  * Payloads no installed codec can read fall back to a deterministic
+  * content-hash stub so the pipeline stays total — swap-in point for
+  * ffmpeg/opencv codecs in a production image.
   */
 object Multimodal {
 
-  val FeatureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("byte_len", IntegerType, nullable = false),
-    StructField("format_guess", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
-  ))
+  val FeatureSchema: StructType = Encoders.product[MediaFeatures].schema
 
-  /** STUB decode: in production this would call an image codec; here it
-    * derives deterministic pseudo-features from the payload bytes so the
-    * pipeline is testable end-to-end. Pure function of content. */
-  private[operators] def decodeStub(id: Long, payload: Array[Byte], featureDim: Int): Row = {
-    val fmt =
-      if (payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte) "jpeg"
-      else if (payload.length >= 4 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
-      else "unknown"
+  /** Magic-byte container sniff — cheap, no decode attempt. */
+  private[operators] def formatGuess(payload: Array[Byte]): String =
+    if (payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte) "jpeg"
+    else if (payload.length >= 4 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8') "gif"
+    else "unknown"
+
+  /** Real decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF). None when no
+    * installed reader accepts the payload. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Fallback for codecs the JVM lacks: deterministic pseudo-features from
+    * a content hash, so unknown media still flows through the pipeline
+    * with stable, reproducible values. Pure function of content. */
+  private[operators] def stubFeatures(id: Long, payload: Array[Byte], featureDim: Int): MediaFeatures = {
     var h = 1125899906842597L // deterministic FNV-ish rolling hash of bytes
     var i = 0
     while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
     val rng = new scala.util.Random(h)
     val feats = Array.fill(featureDim)(rng.nextFloat())
-    Row(id, payload.length, fmt, 64 + (math.abs(h) % 1024).toInt, 64 + (math.abs(h / 7) % 1024).toInt, feats.toSeq)
+    MediaFeatures(id, payload.length, formatGuess(payload),
+      64 + (math.abs(h) % 1024).toInt, 64 + (math.abs(h / 7) % 1024).toInt,
+      decoded = false, feats)
+  }
+
+  /** Decode one payload: true dimensions + feature vector
+    * [meanR, meanG, meanB, meanLuma, luma histogram...] (all in [0,1]),
+    * or the stub fallback when no codec accepts the bytes. */
+  private[operators] def decodeRow(id: Long, payload: Array[Byte], featureDim: Int): MediaFeatures = {
+    require(featureDim >= 4, s"featureDim $featureDim must be >= 4 (RGB means + luma)")
+    decodeImage(payload) match {
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](featureDim - 4)
+        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            val luma = (r * 299 + g * 587 + b * 114) / 1000
+            sr += r; sg += g; sb += b; sl += luma
+            if (hist.nonEmpty) hist(luma * hist.length / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val feats = new Array[Float](featureDim)
+        feats(0) = sr.toFloat / (255f * n)
+        feats(1) = sg.toFloat / (255f * n)
+        feats(2) = sb.toFloat / (255f * n)
+        feats(3) = sl.toFloat / (255f * n)
+        var i = 0
+        while (i < hist.length) { feats(4 + i) = hist(i).toFloat / n; i += 1 }
+        MediaFeatures(id, payload.length, formatGuess(payload), w, h, decoded = true, feats)
+      case None => stubFeatures(id, payload, featureDim)
+    }
   }
 
   /** Decode + featurize binary payloads per partition. Input needs
     * (idCol: long, payloadCol: binary); output follows FeatureSchema.
-    * mapPartitions keeps the work distributed and batch-shaped — swap the
-    * stub for a real codec without touching the plan. */
+    * Dataset.mapPartitions with a product encoder keeps rows in Tungsten
+    * format (no InternalRow↔Row conversion) while the per-partition batch
+    * shape stays codec-friendly. */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String, featureDim: Int = 16): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .rdd.mapPartitions { rows =>
-        rows.map { r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1), featureDim) }
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // in-memory ImageInputStreams: ImageIO's default disk cache would
+        // put a tmp-file write in every decode
+        ImageIO.setUseCache(false)
+        rows.map { case (id, payload) => decodeRow(id, payload, featureDim) }
       }
-    spark.createDataFrame(rdd, FeatureSchema)
+      .toDF()
+  }
+
+  /** Deterministic synthetic PNG per id: width = 8 + id % 32, height =
+    * 8 + id % 16, solid RGB (id % 256, 7·id % 256, 13·id % 256). The
+    * ground truth is arithmetic on the id, so a decode stage over these
+    * payloads is fully oracle-checkable: recovered dimensions and channel
+    * means must reproduce the formulas. Doubles as the fixture generator
+    * for environments whose testdata has no real media columns. */
+  def syntheticPngs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (8 + math.floorMod(id, 32)).toInt
+          val h = (8 + math.floorMod(id, 16)).toInt
+          val rgb = (math.floorMod(id, 256).toInt << 16) |
+            (math.floorMod(7 * id, 256).toInt << 8) | math.floorMod(13 * id, 256).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** Deterministic frame sampling plan for video-ish payloads: emit

@@ -77,6 +77,25 @@ object TextQueries {
         length(col("text").cast("binary")).cast("long").as("byte_len"),
         md5(col("text")).as("content_md5")
       )
+    }),
+    "m2_image_decode" -> ((s, d) => {
+      // REAL image decode (javax.imageio): synthetic PNGs whose ground
+      // truth is arithmetic on doc_id, decoded back to true dimensions +
+      // per-channel means — the oracle recomputes the formulas in SQL, so
+      // the decode stage is hash-checked against ground truth
+      val imgs = graft.operators.Multimodal.syntheticPngs(
+        Tables(s, d).documents.select("doc_id"), "doc_id")
+      graft.operators.Multimodal.extractFeatures(imgs, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          col("format_guess"),
+          col("width"),
+          col("height"),
+          col("decoded"),
+          round(element_at(col("features"), 1) * 255).cast("int").as("mean_r"),
+          round(element_at(col("features"), 2) * 255).cast("int").as("mean_g"),
+          round(element_at(col("features"), 3) * 255).cast("int").as("mean_b")
+        )
     })
   )
 
@@ -144,6 +163,16 @@ object TextQueries {
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "m2_image_decode" ->
+      """SELECT doc_id,
+        |'png' AS format_guess,
+        |CAST(8 + doc_id % 32 AS INTEGER) AS width,
+        |CAST(8 + doc_id % 16 AS INTEGER) AS height,
+        |TRUE AS decoded,
+        |CAST(doc_id % 256 AS INTEGER) AS mean_r,
+        |CAST((7 * doc_id) % 256 AS INTEGER) AS mean_g,
+        |CAST((13 * doc_id) % 256 AS INTEGER) AS mean_b
         |FROM documents""".stripMargin
   )
 }

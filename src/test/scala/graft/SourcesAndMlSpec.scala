@@ -73,6 +73,45 @@ class SourcesAndMlSpec extends SparkSpecBase {
     assert(frames.groupBy("doc_id").count().count() == 50)
   }
 
+  test("multimodal: ImageIO decode recovers true dimensions and channel means from a generated PNG") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 20x12 solid orange PNG generated in-process: decode must recover the
+    // exact dimensions and RGB means, via the real-codec path
+    val img = new BufferedImage(20, 12, BufferedImage.TYPE_INT_RGB)
+    (0 until 12).foreach(y => (0 until 20).foreach(x => img.setRGB(x, y, 0xFF8040)))
+    val png = { val o = new ByteArrayOutputStream(); ImageIO.write(img, "png", o); o.toByteArray }
+    val bmp = { val o = new ByteArrayOutputStream(); ImageIO.write(img, "bmp", o); o.toByteArray }
+    val payloads = Seq((1L, png), (2L, bmp), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.extractFeatures(payloads, "doc_id", "payload", featureDim = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, fmt) <- Seq(1L -> "png", 2L -> "bmp")) {
+      val r = got(id)
+      assert(r.getString(2) == fmt && r.getInt(3) == 20 && r.getInt(4) == 12 && r.getBoolean(5),
+        s"payload $id: $r")
+      val f = r.getSeq[Float](6)
+      assert(math.round(f(0) * 255) == 0xFF && math.round(f(1) * 255) == 0x80 &&
+        math.round(f(2) * 255) == 0x40, s"channel means: $f")
+    }
+    assert(!got(3L).getBoolean(5), "non-image bytes must take the stub fallback")
+
+    // the oracle-checked m2 pattern: synthetic PNGs round-trip to their
+    // id-derived ground truth
+    val ids = Seq(0L, 5L, 123L, 255L, 300L).toDF("doc_id")
+    val dec = Multimodal.extractFeatures(Multimodal.syntheticPngs(ids, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 5L, 123L, 255L, 300L)) {
+      val r = dec(id)
+      assert(r.getInt(3) == 8 + id % 32 && r.getInt(4) == 8 + id % 16 && r.getBoolean(5))
+      val f = r.getSeq[Float](6)
+      assert(math.round(f(0) * 255) == id % 256 && math.round(f(1) * 255) == (7 * id) % 256 &&
+        math.round(f(2) * 255) == (13 * id) % 256, s"id $id means: $f")
+    }
+  }
+
   test("spark.ml: window features + random forest trains and scores") {
     val feats = MlFeatures.eventFeatures(Tables(spark, Sf0001).events)
     assert(feats.count() > 0)
