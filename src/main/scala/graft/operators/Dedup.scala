@@ -187,6 +187,29 @@ object Dedup {
       )
   }
 
+  /** Leaked-span report: the concrete benchmark n-grams found in each
+    * training document — what a decontamination audit actually reviews
+    * (which eval spans leaked, where). Production screens at n=8–13,
+    * where a match is near-certain verbatim leakage rather than idiom.
+    * Same broadcast-membership shape as contaminationScores: the train
+    * side probes the distinct benchmark shingle set map-side (left_semi
+    * against a broadcast — no shuffle, no row multiplication), so the
+    * report costs one scan of the exploded train side. */
+  def contaminationSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    val tSh = shingles(train, idCol, textCol, n)
+    val bSet0 = shingles(bench, idCol, textCol, n).select("sh").distinct()
+    val bSet = if (broadcastBench) broadcast(bSet0) else bSet0
+    tSh.join(bSet, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("sh").as("span"))
+  }
+
   /** SimHash near-dup pairs: block-key candidates → exact hamming check. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val s = simHash(docs, idCol, textCol)

@@ -115,6 +115,16 @@ object DedupQueries {
       val train = docs.filter(col("doc_id") % 23 =!= 0)
       Dedup.contaminationScores(train, bench, "doc_id", "text", n = 3)
     }),
+    "d7b_leaked_spans" -> ((s, d) => {
+      // production-n decontamination audit: n=8 word-grams (a match is
+      // near-certain verbatim leakage) with the concrete leaked spans
+      // reported per training doc — the reviewable artifact, not just a
+      // score. Same eval-set split as d7.
+      val docs = Tables(s, d).documents
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val train = docs.filter(col("doc_id") % 23 =!= 0)
+      Dedup.contaminationSpans(train, bench, "doc_id", "text", n = 8)
+    }),
     "s1_knn_bruteforce" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -270,6 +280,19 @@ object DedupQueries {
         |SELECT s.doc_id, s.n_sh, COALESCE(h.hits, 0) AS hits,
         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / s.n_sh AS contamination
         |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin,
+    "d7b_leaked_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 7, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7])))) AS sh
+        |  FROM docs),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0),
+        |train AS (SELECT * FROM sh WHERE doc_id % 23 <> 0)
+        |SELECT t.doc_id, t.sh AS span
+        |FROM train t JOIN bench b ON t.sh = b.sh""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |p AS (

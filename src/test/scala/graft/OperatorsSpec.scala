@@ -69,6 +69,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(!got.contains(100L))
   }
 
+  test("contamination spans: reports exactly the leaked benchmark n-grams per training doc") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro alpha beta gamma delta epsilon zeta eta theta iota"), // leaks both bench 8-grams
+      (2L, "no overlap with the benchmark text here at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(train, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "beta gamma delta epsilon zeta eta theta iota")
+    ), s"got $got")
+  }
+
   test("embedding near-dup maxBucketSize cap drops degenerate-bucket pairs only") {
     // 10 identical vectors flood every LSH bucket they touch (the skew
     // shape: one hot bucket goes quadratic); an unrelated duplicate pair
