@@ -67,4 +67,31 @@ object EmSchemas {
     StructField("ingestion_timestamp", TimestampType, nullable = false),
     StructField("data_source", StringType)
   ))
+
+  /** NOAA API measurement object `{unitCode, value, qualityControl}` —
+    * the nested struct every observation field arrives as
+    * (scrapers/main.py:294-298 unwraps it value-only; here the struct is
+    * kept typed so unit normalization can be explicit). */
+  val NoaaMeasurement: StructType = StructType(Seq(
+    StructField("value", DoubleType),
+    StructField("unitCode", StringType),
+    StructField("qualityControl", StringType)
+  ))
+
+  /** Per-station observations feed (scrapers/main.py:254-292): every
+    * meteorological field is a NoaaMeasurement struct. */
+  val NoaaObservations: StructType = StructType(
+    Seq(
+      StructField("station_id", StringType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false)
+    ) ++ Seq(
+      "temperature", "dewpoint", "wind_direction", "wind_speed", "wind_gust",
+      "barometric_pressure", "sea_level_pressure", "visibility",
+      "max_temperature_last_24_hours", "min_temperature_last_24_hours",
+      "precipitation_last_hour", "precipitation_last_3_hours",
+      "precipitation_last_6_hours", "relative_humidity", "wind_chill", "heat_index"
+    ).map(StructField(_, NoaaMeasurement)) ++ Seq(
+      StructField("ingestion_timestamp", TimestampType, nullable = false),
+      StructField("data_source", StringType)
+    ))
 }

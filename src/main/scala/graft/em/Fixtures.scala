@@ -73,6 +73,49 @@ object Fixtures {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), EmSchemas.Noaa)
   }
 
+  /** NOAA station observations with nested {value, unitCode,
+    * qualityControl} measurement structs — mixed units (the API reports
+    * degC or degF, m/s or km/h, Pa, by station) and occasional null
+    * measurements, matching the feed's real shape. */
+  def noaaObservations(spark: SparkSession, stations: Int, hoursBack: Int, seed: Long = 46L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    def m(value: Double, unit: String): Row = Row(value, unit, "qc:V")
+    val rows = for {
+      s <- 0 until stations
+      h <- 0 until hoursBack
+    } yield {
+      val tempC = -10.0 + rng.nextDouble() * 45.0
+      val dewC = tempC - rng.nextDouble() * 15.0
+      val windMs = rng.nextDouble() * 25.0
+      val fahrenheit = rng.nextBoolean() // station-dependent unit choice
+      val tUnit = if (fahrenheit) "wmoUnit:degF" else "wmoUnit:degC"
+      def temp(c: Double): Row = m(if (fahrenheit) c * 9.0 / 5.0 + 32 else c, tUnit)
+      Row(
+        f"KSTN$s%03d",
+        ts(19950L - h / 24, h % 24),
+        temp(tempC),
+        temp(dewC),
+        m(rng.nextInt(360).toDouble, "wmoUnit:degree_(angle)"),
+        m(windMs, "wmoUnit:m_s-1"),
+        if (rng.nextInt(3) == 0) m(windMs * 1.8, "wmoUnit:m_s-1") else null,
+        m(85000.0 + rng.nextDouble() * 20000.0, "wmoUnit:Pa"),
+        m(98000.0 + rng.nextDouble() * 7000.0, "wmoUnit:Pa"),
+        m(2000.0 + rng.nextDouble() * 14000.0, "wmoUnit:m"),
+        temp(tempC + 3),
+        temp(tempC - 8),
+        if (rng.nextInt(4) == 0) m(rng.nextDouble() * 20.0, "wmoUnit:mm") else Row(null, "wmoUnit:mm", "qc:Z"),
+        null,
+        null,
+        m(rng.nextDouble() * 100.0, "wmoUnit:percent"),
+        if (tempC < 5) temp(tempC - windMs * 0.7) else null,
+        if (tempC > 27) temp(tempC + 4) else null,
+        ts(19950L, h % 24),
+        "NOAA_NWS"
+      )
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), EmSchemas.NoaaObservations)
+  }
+
   def coagmet(spark: SparkSession, stations: Int, daysBack: Int, asOfDay: Long, seed: Long = 44L): DataFrame = {
     val rng = new scala.util.Random(seed)
     val rows = for {

@@ -101,6 +101,59 @@ object Staging {
     auditCols(std, retentionDays = 1095, runTs)
   }
 
+  /** Unit-normalizing unwraps for the NOAA `{value, unitCode}` measurement
+    * structs (scrapers/main.py:294-298 discards the unit; here it drives
+    * explicit conversion to canonical units, then range validation). A
+    * null struct or null value flows through as null — a feed outage on
+    * one field never fails the pipeline. NOAA WMO unit codes, e.g.
+    * "wmoUnit:degC", "wmoUnit:m_s-1", "wmoUnit:Pa". */
+  private def celsiusOf(field: String): Column = {
+    val v = col(s"$field.value")
+    when(col(s"$field.unitCode").endsWith("degF"), (v - 32) * 5.0 / 9.0).otherwise(v)
+  }
+  private def kmhOf(field: String): Column = {
+    val v = col(s"$field.value")
+    when(col(s"$field.unitCode").endsWith("m_s-1"), v * 3.6).otherwise(v)
+  }
+  private def hpaOf(field: String): Column = {
+    val v = col(s"$field.value")
+    when(col(s"$field.unitCode").endsWith(":Pa"), v / 100.0).otherwise(v)
+  }
+
+  /** Observations staging: nested measurement structs unwrapped via dotted
+    * projections, units normalized (degF→degC, m/s→km/h, Pa→hPa, m→km),
+    * then range-validated like the CoAgMet feed. Struct-typed sibling of
+    * stg_coagmet_data; source shape scrapers/main.py:254-298. */
+  def noaaObservations(raw: DataFrame, runTs: Timestamp): DataFrame = {
+    val std = raw
+      .filter(col("station_id").isNotNull && col("timestamp").isNotNull)
+      .select(
+        col("station_id"),
+        col("timestamp").as("observation_datetime"),
+        to_date(col("timestamp")).as("observation_date"),
+        hour(col("timestamp")).as("observation_hour"),
+        rangeValid(celsiusOf("temperature"), -60, 60).as("temperature_celsius"),
+        rangeValid(celsiusOf("dewpoint"), -60, 40).as("dewpoint_celsius"),
+        rangeValid(col("wind_direction.value"), 0, 360).as("wind_direction_degrees"),
+        rangeValid(kmhOf("wind_speed"), 0, 300).as("wind_speed_kmh"),
+        rangeValid(kmhOf("wind_gust"), 0, 400).as("wind_gust_kmh"),
+        rangeValid(hpaOf("barometric_pressure"), 800, 1100).as("barometric_pressure_hpa"),
+        rangeValid(hpaOf("sea_level_pressure"), 800, 1100).as("sea_level_pressure_hpa"),
+        rangeValid(col("visibility.value") / 1000.0, 0, 500).as("visibility_km"),
+        rangeValid(celsiusOf("max_temperature_last_24_hours"), -60, 60).as("max_temp_24h_celsius"),
+        rangeValid(celsiusOf("min_temperature_last_24_hours"), -60, 60).as("min_temp_24h_celsius"),
+        rangeValid(col("precipitation_last_hour.value"), 0, 500).as("precip_1h_mm"),
+        rangeValid(col("precipitation_last_3_hours.value"), 0, 1000).as("precip_3h_mm"),
+        rangeValid(col("precipitation_last_6_hours.value"), 0, 1500).as("precip_6h_mm"),
+        rangeValid(col("relative_humidity.value"), 0, 100).as("relative_humidity_percent"),
+        rangeValid(celsiusOf("wind_chill"), -80, 30).as("wind_chill_celsius"),
+        rangeValid(celsiusOf("heat_index"), 0, 70).as("heat_index_celsius"),
+        col("ingestion_timestamp"),
+        col("data_source")
+      )
+    auditCols(std, retentionDays = 1095, runTs)
+  }
+
   /** stg_coagmet_data.sql:19-84 — range-validated measurements, heat
     * index, agricultural risk indicator. */
   def coagmetData(raw: DataFrame, runTs: Timestamp): DataFrame = {

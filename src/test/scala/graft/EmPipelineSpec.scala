@@ -60,6 +60,53 @@ class EmPipelineSpec extends SparkSpecBase {
     assert(!noaa.columns.contains("geometry_struct"))
   }
 
+  test("noaa observations: measurement-struct unwrap + unit normalization") {
+    import org.apache.spark.sql.Row
+    import graft.em.EmSchemas
+    // hand-crafted rows with known unit mixes: exact conversions asserted
+    def m(v: Any, u: String) = Row(v, u, "qc:V")
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("KDEN", Timestamp.valueOf("2024-06-30 12:00:00"),
+          m(77.0, "wmoUnit:degF"),          // 77F = 25C
+          m(10.0, "wmoUnit:degC"),
+          m(90.0, "wmoUnit:degree_(angle)"),
+          m(10.0, "wmoUnit:m_s-1"),         // 10 m/s = 36 km/h
+          null,                             // wind_gust: whole struct null
+          m(101325.0, "wmoUnit:Pa"),        // 1013.25 hPa
+          m(1013.0, "wmoUnit:hPa"),         // already hPa: unchanged
+          m(16000.0, "wmoUnit:m"),          // 16 km
+          m(30.0, "wmoUnit:degC"),
+          m(15.0, "wmoUnit:degC"),
+          Row(null, "wmoUnit:mm", "qc:Z"),  // null value inside struct
+          null, null,
+          m(150.0, "wmoUnit:percent"),      // out of range -> null
+          null, null,
+          Timestamp.valueOf("2024-06-30 12:05:00"), "NOAA_NWS")
+      )), EmSchemas.NoaaObservations)
+    val got = Staging.noaaObservations(raw, runTs).collect().head
+    def d(n: String): Any = got.get(got.fieldIndex(n))
+    assert(d("temperature_celsius") == 25.0)
+    assert(d("dewpoint_celsius") == 10.0)
+    assert(d("wind_direction_degrees") == 90.0)
+    assert(d("wind_speed_kmh") == 36.0)
+    assert(d("wind_gust_kmh") == null)       // null struct -> null, row kept
+    assert(d("barometric_pressure_hpa") == 1013.25)
+    assert(d("sea_level_pressure_hpa") == 1013.0)
+    assert(d("visibility_km") == 16.0)
+    assert(d("precip_1h_mm") == null)        // null value -> null
+    assert(d("relative_humidity_percent") == null) // range-violating -> null
+    assert(d("data_classification") == "PUBLIC")
+
+    // fixture feed: mixed per-station units normalize into one canonical
+    // range; nulls never drop rows
+    val staged = Staging.noaaObservations(Fixtures.noaaObservations(spark, 6, 48), runTs)
+    assert(staged.count() == 6 * 48)
+    assert(staged.filter(col("temperature_celsius") < -60 || col("temperature_celsius") > 60).count() == 0)
+    assert(staged.filter(col("wind_speed_kmh") < 0 || col("wind_speed_kmh") > 300).count() == 0)
+    assert(staged.filter(col("barometric_pressure_hpa") > 1100).count() == 0) // Pa would be ~100000
+  }
+
   test("emergency_events: union alignment, enrichment, flags (marts schema tests)") {
     // event_type enum (models/marts/schema.yml:15-19)
     assert(events.filter(!col("event_type").isin("DISASTER", "WEATHER_ALERT")).count() == 0)
