@@ -66,4 +66,33 @@ class PhysicalLayoutSpec extends SparkSpecBase {
       s"no dynamic partition pruning in plan:\n${plan.take(2000)}")
     assert(q.count() > 0)
   }
+
+  test("decontamination span report probes the bench set map-side (broadcast left-semi, no sort-merge)") {
+    val t = Tables(spark, Sf0001)
+    val docs = t.documents
+    val spans = graft.operators.Dedup.contaminationSpans(
+      docs.filter(col("doc_id") % 23 =!= 0), docs.filter(col("doc_id") % 23 === 0),
+      "doc_id", "text", n = 8)
+    val plan = physicalPlan(spans)
+    // the 100 TB train side must stream against a broadcast benchmark set:
+    // a sort-merge (or shuffled-hash) join here would shuffle the full
+    // exploded train corpus on the shingle key
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"span probe not a broadcast left-semi:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), s"train side shuffles on shingle:\n${plan.take(3000)}")
+  }
+
+  test("PQ rerank fetches shortlist vectors via broadcast joins (corpus never shuffles)") {
+    val t = Tables(spark, Sf0001)
+    val e = t.embeddings
+    val topk = graft.operators.Similarity.pqTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, dim = 64, m = 4, ksub = 16, refine = 5)
+    val plan = physicalPlan(topk)
+    // ADC scan rides a broadcast nested-loop over the encoded corpus; the
+    // rerank joins (shortlist ids + query vectors) must both broadcast —
+    // any sort-merge join would exchange the corpus by id
+    assert(plan.contains("BroadcastHashJoin"), s"rerank joins not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled in rerank:\n${plan.take(3000)}")
+  }
 }
