@@ -64,6 +64,11 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     graft.plans.WordShingles.word_shingles(text, n)
 
+  /** Every shingle occurrence (no dedup) — repetition statistics need the
+    * multiplicity that the distinct variant erases. Same codegen'd scan. */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    graft.plans.WordShingles.word_shingles_all(text, n)
+
   /** BPE-ish token estimate: words + punctuation marks counted separately
     * (regex splitter; approximates subword token counts for budget math). */
   def tokenEstimate(text: Column): Column =

@@ -121,6 +121,51 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Oracle-portable MinHash + LSH: identical banding pipeline to
+    * [[minHashLshPairs]], but the k "permutations" are md5 hex digests of
+    * `"<seed>|<shingle>"` min-selected LEXICOGRAPHICALLY — md5 and string
+    * min/compare behave identically in Spark and in ANSI-SQL engines, so
+    * the full signature → band → candidate → estimate pipeline is
+    * replayable as plain SQL and the driver can hash-check it end to end
+    * (xxhash64, used by the fast variant, exists only in Spark).
+    * ~2× the hash cost of the xxhash64 variant — the portability tax; use
+    * minHashLshPairs in production, this one to validate it. */
+  def minHashLshPairsPortable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sh = shingles(docs, idCol, textCol, n)
+    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        md5(concat_ws("|", (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i")): _*)).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val simExpr = (0 until k).map(i => (col("a." + s"h$i") === col("b." + s"h$i")).cast("int")).reduce(_ + _).cast("double") / k
+    cand
+      .join(sigs.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), simExpr.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash per document: token hashes vote per bit position.
     * Single shuffle (groupBy doc over exploded tokens); bit assembly is a
     * pure expression fold. Also emits 4×16-bit block keys — near-dup pairs

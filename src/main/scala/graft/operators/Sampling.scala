@@ -34,6 +34,37 @@ object Sampling {
     df.withColumn("split", expr).filter(col("split").isNotNull)
   }
 
+  /** Oracle-portable hash split: same contract as [[hashSplit]] but the
+    * bucket is the first 4 hex chars of `md5("<key>|<seed>")` compared
+    * against cumulative-fraction thresholds quantized to 1/65536 — md5 and
+    * lexicographic string compare are identical in Spark and ANSI-SQL
+    * engines, so split membership is replayable (and driver-checkable) as
+    * plain SQL. Fractions are honored to ±1/65536. Production path is
+    * [[hashSplit]] (one 64-bit hash, no string materialization); this
+    * variant exists to cross-validate it. */
+  def hashSplitPortable(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      seed: Long = 42L
+  ): DataFrame = {
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val bucket = substring(md5(concat(col(keyCol).cast("string"), lit(s"|$seed"))), 1, 4)
+    val (expr, _) = fractions.foldLeft((lit(null).cast("string"), 0.0)) {
+      case ((acc, lo), (name, frac)) =>
+        val hi = lo + frac
+        val loHex = f"${math.round(lo * 65536)}%04x"
+        // fractions summing to 1 ("ffff" is in the last split): skip the
+        // upper bound instead of emitting a 5-char "10000" literal, which
+        // would compare lexicographically BELOW every 4-char bucket
+        val cond =
+          if (math.round(hi * 65536) >= 65536L) bucket >= loHex
+          else bucket >= loHex && bucket < f"${math.round(hi * 65536)}%04x"
+        (when(cond, name).otherwise(acc), hi)
+    }
+    df.withColumn("split", expr).filter(col("split").isNotNull)
+  }
+
   /** Stratified downsample: per-stratum keep fraction, deterministic by key
     * hash (the hash is salted with the stratum so strata are independent). */
   def stratifiedByHash(

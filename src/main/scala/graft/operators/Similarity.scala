@@ -100,6 +100,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Coarse-quantizer training: k-means over (a sample of) the UNIT
+    * vectors — centroids on the unit sphere make nearest-centroid-by-L2
+    * equivalent to nearest-by-angle, matching the cosine metric of the
+    * search. `unitCorpus` must carry the normalized vector in column "nv". */
+  private def trainCoarseCentroids(
+      unitCorpus: DataFrame,
+      nlist: Int,
+      seed: Long,
+      trainFraction: Double,
+      maxIter: Int
+  ): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled = if (trainFraction < 1.0) unitCorpus.sample(trainFraction, seed) else unitCorpus
+    val train = deterministicTrainOrder(sampled, "nv")
+      .select(array_to_vector(col("nv")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * centroids and exact-cosine-ranks only those cells. The cell
@@ -121,19 +141,10 @@ object Similarity {
       maxIter: Int = 10,
       cacheKey: Option[String] = None
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val unitCorpus = corpus
       .select(col(idCol).as("neighbor_id"), vector_normalize(col(vecCol)).as("nv"))
     val centroids: Seq[Seq[Double]] = cachedModel(cacheKey) {
-      // train the coarse quantizer on (a sample of) the unit vectors —
-      // centroids on the unit sphere make nearest-centroid-by-L2 equivalent
-      // to nearest-by-angle, matching the cosine metric of the search
-      val sampled = if (trainFraction < 1.0) unitCorpus.sample(trainFraction, seed) else unitCorpus
-      val train = deterministicTrainOrder(sampled, "nv")
-        .select(array_to_vector(col("nv")).as("features"))
-      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
+      trainCoarseCentroids(unitCorpus, nlist, seed, trainFraction, maxIter)
     }
 
     // nearest cell per corpus vector: ONE codegen'd expression holding the
@@ -257,6 +268,80 @@ object Similarity {
       val shortlist = adcTop.select(col("query_id"), col("neighbor_id"))
       val unitC = corpus.select(col(idCol).as("neighbor_id"), vector_normalize(col(vecCol)).as("nv"))
       val unitQ = queries.select(col(idCol).as("query_id"), vector_normalize(col(vecCol)).as("qv"))
+      val rescored = unitC
+        .join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(broadcast(unitQ), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), vector_dot(col("qv"), col("nv")).as("sim"))
+      rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }
+  }
+
+  /** IVF-PQ: the production 100 TB ANN layout — an IVF coarse quantizer
+    * prunes the corpus to `nprobe`/`nlist` of its cells, and within the
+    * probed cells vectors are scored from m-byte PQ codes via ADC lookup
+    * tables, then the shortlist is exact-cosine re-ranked. Composes the
+    * two quantizers this engine already has (FAISS IndexIVFPQ shape, Jégou
+    * et al. §V; codes are built on the RAW unit vectors rather than
+    * per-cell residuals — FAISS's by_residual=false variant — so encode
+    * stays one row-local pass and the same codebook serves every cell).
+    *
+    * Plan shape: corpus side = one scan (assign cell + encode, both
+    * codegen'd row-local expressions, no shuffle); query side = tiny
+    * (cells × LUTs, broadcast); the ADC scan joins on the cell key; the
+    * refine pass re-reads raw vectors for |Q|·k·refine ids (broadcast
+    * semi-join against the scan — map-side). At scale, write the encoded
+    * corpus partitioned by `cell` and a probe touches nprobe/nlist of the
+    * files — the partition-pruning layout S16 already demonstrates. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 32,
+      refine: Int = 10,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10,
+      cacheKey: Option[String] = None
+  ): DataFrame = {
+    val unitC = corpus.select(col(idCol).as("neighbor_id"), vector_normalize(col(vecCol)).as("nv"))
+    val (centroids, codebooks) = cachedModel(cacheKey) {
+      (trainCoarseCentroids(unitC, nlist, seed, trainFraction, maxIter),
+        pqTrain(corpus, vecCol, dim, m, ksub, seed, trainFraction, maxIter))
+    }
+    val dsub = dim / m
+    val codeCols = codebooks.indices.map { s =>
+      nearest_centroids(slice(col("nv"), s * dsub + 1, dsub), codebooks(s), 1)(0)
+    }
+    // one corpus pass: cell assignment + PQ codes, both row-local codegen
+    val encoded = unitC.select(
+      col("neighbor_id"),
+      nearest_centroids(col("nv"), centroids, 1)(0).as("cell"),
+      array(codeCols: _*).as("codes"))
+
+    val unitQ = queries.select(col(idCol).as("query_id"), vector_normalize(col(vecCol)).as("qv"))
+    val probed = unitQ
+      .select(col("query_id"), col("qv"),
+        explode(nearest_centroids(col("qv"), centroids, nprobe)).as("cell"))
+      .select(col("query_id"), col("cell"), pq_lut(col("qv"), codebooks).as("lut"))
+    val scored = encoded
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pq_score(col("codes"), col("lut"), ksub).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val adcTop = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    if (refine <= 1) adcTop
+    else {
+      val shortlist = adcTop.select(col("query_id"), col("neighbor_id"))
       val rescored = unitC
         .join(broadcast(shortlist), Seq("neighbor_id"))
         .join(broadcast(unitQ), Seq("query_id"))

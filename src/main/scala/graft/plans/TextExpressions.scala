@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Duplicate shingles are dropped preserving first occurrence, matching
   * `array_distinct`.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true) extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -44,10 +44,14 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       s"word_shingles expects a string column, got ${child.dataType.catalogString}")
   }
 
-  override def nullSafeEval(v: Any): Any = WordShingles.compute(v.asInstanceOf[UTF8String], n)
+  override def nullSafeEval(v: Any): Any =
+    if (distinct) WordShingles.compute(v.asInstanceOf[UTF8String], n)
+    else WordShingles.computeAll(v.asInstanceOf[UTF8String], n)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = graft.plans.WordShingles.compute($s, $n);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (distinct) "compute" else "computeAll"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = graft.plans.WordShingles.$method($s, $n);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
@@ -57,6 +61,11 @@ object WordShingles {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
 
   def word_shingles(text: Column, n: Int): Column = toCol(WordShingles(toExpr(text), n))
+
+  /** All shingle OCCURRENCES (no dedup) — for repetition statistics, where
+    * how often an n-gram repeats IS the signal `array_distinct` would erase. */
+  def word_shingles_all(text: Column, n: Int): Column =
+    toCol(WordShingles(toExpr(text), n, distinct = false))
 
   /** Distinct word shingles of `text` (single-space tokenizer, `split(text,
     * " ", -1)` semantics incl. empty tokens from leading/trailing/double
@@ -86,5 +95,31 @@ object WordShingles {
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Every shingle occurrence in order (no dedup) — same single boundary
+    * scan + byte-range slices as [[compute]]. */
+  def computeAll(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var numToks = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) numToks += 1; i += 1 }
+    val starts = new Array[Int](numToks + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(numToks) = len + 1
+
+    val count = math.max(numToks - n, 0) + 1
+    val out = new Array[AnyRef](count)
+    i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(math.min(i + n, numToks)) - 1
+      out(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }

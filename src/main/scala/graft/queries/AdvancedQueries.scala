@@ -27,6 +27,23 @@ object AdvancedQueries {
           Seq("train" -> 0.8, "test" -> 0.2))
         .groupBy("split").agg(count(lit(1)).as("cnt"))
     }),
+    "x1b_hash_split_portable" -> ((s, d) => {
+      // the oracle-PORTABLE split twin: bucket = md5 hex prefix compared
+      // against quantized cumulative-fraction thresholds — replayable as
+      // plain SQL, so x1's rows-only check gets a hash-checked sibling
+      Sampling.hashSplitPortable(Tables(s, d).documents, "doc_id",
+          Seq("train" -> 0.8, "test" -> 0.2))
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+    }),
+    "x3_pack_sequences" -> ((s, d) => {
+      // LLM training-sequence packing: docs fill 512-token bins per source
+      // (offset-based first-fit — a pure window function, so deterministic,
+      // group-parallel, and SQL-replayable; see operators/Packing)
+      val docs = Tables(s, d).documents.select(
+        col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("toks"))
+      graft.operators.Packing.packedSummary(docs, "source", "doc_id", "toks", budget = 512L)
+    }),
     "j9_asof_join" -> ((s, d) => {
       // point-in-time lookup: each view event gets the value of the user's
       // most recent prior (or simultaneous) purchase — one shuffle, no
@@ -156,6 +173,26 @@ object AdvancedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "x1b_hash_split_portable" ->
+      // thresholds: round(0.8 * 65536) = 52429 = 0xcccd (P(train) ≈ 0.80000)
+      """WITH s AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 4) < 'cccd'
+        |    THEN 'train' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS cnt FROM s GROUP BY 1""".stripMargin,
+    "x3_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, toks,
+        |    COALESCE(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d)
+        |SELECT source, CAST(floor(off / 512.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS seq_tokens,
+        |  CAST(CAST(sum(toks) AS BIGINT) AS DOUBLE) / 512.0 AS fill_ratio
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "j9_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, ts, max(value) AS value

@@ -92,6 +92,16 @@ object DedupQueries {
         "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5
       )
     }),
+    "d2b_minhash_portable" -> ((s, d) => {
+      // the oracle-PORTABLE MinHash twin: permutation hashes are md5 hex
+      // strings (min = lexicographic), so the whole signature → band →
+      // candidate → estimate pipeline replays as DuckDB SQL and d2's
+      // rows-only sketch gets a fully hash-checked sibling
+      Dedup.minHashLshPairsPortable(
+        Tables(s, d).documents,
+        "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5
+      )
+    }),
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables(s, d).documents, "doc_id", "text")
     }),
@@ -161,6 +171,16 @@ object DedupQueries {
       // warmup+timed passes then time search, not k-means)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, trainFraction = 0.2, cacheKey = Some(s"ivf|$d|nlist16|tf0.2"))
+    }),
+    "s5_ann_ivfpq" -> ((s, d) => {
+      // the production 100 TB ANN layout: IVF cell pruning × PQ byte codes
+      // (ADC scoring) × exact shortlist rerank — FAISS IndexIVFPQ shape.
+      // No SQL equivalent (two trained quantizers) -> rows-only; recall vs
+      // brute force asserted in Wave3Spec.
+      val e = Tables(s, d).embeddings
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dim = 64, nlist = 16, nprobe = 8, m = 8, ksub = 32, refine = 10,
+        trainFraction = 0.2, cacheKey = Some(s"ivfpq|$d|nlist16|m8|ksub32|tf0.2"))
     }),
     "s4_ann_pq" -> ((s, d) => {
       // product-quantization ANN: m=8 byte codes (32x compression) scored
@@ -260,6 +280,31 @@ object DedupQueries {
         |  FROM cc JOIN documents d ON d.doc_id = cc.id)
         |SELECT cluster_id, doc_id AS keep_doc_id, cluster_size
         |FROM ranked WHERE rn = 1""".stripMargin,
+    "d2b_minhash_portable" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |hx AS (
+        |  SELECT doc_id, s.i AS seed, min(md5(concat(s.i, '|', sh.sh))) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) s GROUP BY 1, 2),
+        |bh AS (
+        |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bhash
+        |  FROM hx GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+        |  FROM cand c
+        |  JOIN hx a ON a.doc_id = c.id_a
+        |  JOIN hx b ON b.doc_id = c.id_b AND b.seed = a.seed
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
     "d4_embedding_neardup" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "d7_decontamination" ->

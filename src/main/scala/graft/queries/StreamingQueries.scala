@@ -15,7 +15,8 @@ object StreamingQueries {
 
   def queries: Map[String, Q] = Map(
     "st5_stream_tumbling" -> ((s, d) => StreamingJobs.tumblingEventCounts(s, d)),
-    "st6_stream_sliding" -> ((s, d) => StreamingJobs.slidingEventCounts(s, d))
+    "st6_stream_sliding" -> ((s, d) => StreamingJobs.slidingEventCounts(s, d)),
+    "st7_stream_join" -> ((s, d) => StreamingJobs.purchaseClickAttribution(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -33,6 +34,14 @@ object StreamingQueries {
         |SELECT CAST(hr - o * INTERVAL 1 HOUR AS TIMESTAMP) AS win_start,
         |       event_type, count(*) AS event_cnt, CAST(sum(v) AS DOUBLE) AS value_sum
         |FROM e, unnest([0, 1]) AS t(o)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // stream-stream inner join == batch join over the same window predicate
+    "st7_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin
   )
 }

@@ -69,6 +69,26 @@ object TextQueries {
       graft.operators.LanguageModel.corpusTypicality(
         Tables(s, d).documents, "doc_id", "text", topK = 1000)
     }),
+    "t11_repetition" -> ((s, d) => {
+      // Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+      // fraction of 2-gram occurrences in the most frequent 2-gram and in
+      // any repeated 2-gram — boilerplate/spam detectors that need shingle
+      // MULTIPLICITY, so this uses wordShinglesAll (no dedup). One shuffle
+      // (groupBy doc_id, g), then a per-doc rollup.
+      val g2 = Tables(s, d).documents.select(
+        col("doc_id"), explode(wordShinglesAll(col("text"), 2)).as("g"))
+      g2.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_2grams"),
+          max(col("c")).as("top_cnt"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_cnt"))
+        .select(
+          col("doc_id"),
+          col("n_2grams"),
+          (col("top_cnt").cast("double") / col("n_2grams")).as("top2_frac"),
+          (col("dup_cnt").cast("double") / col("n_2grams")).as("dup_frac"))
+    }),
     "m1_multimodal_meta" -> ((s, d) => {
       // binary-column plumbing: text treated as an opaque payload column;
       // byte length + content hash are the metadata a decode stage keys on
@@ -159,6 +179,19 @@ object TextQueries {
         |  CAST(sum(oov) AS BIGINT) AS oov_cnt,
         |  CAST(CAST(sum(oov) AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
         |FROM j GROUP BY 1""".stripMargin,
+    "t11_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1]))) AS g
+        |  FROM d),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_2grams,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top2_frac,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_frac
+        |FROM c GROUP BY 1""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

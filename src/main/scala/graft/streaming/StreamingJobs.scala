@@ -146,6 +146,47 @@ object StreamingJobs {
       .agg(count(lit(1)).as("event_cnt"))
   }
 
+  /** ST9: stream-stream inner join with an event-time range condition —
+    * every purchase joined to the same user's clicks from the preceding
+    * hour (attribution-window semantics). Both sides are watermarked and
+    * the join condition bounds event time on both, so Spark derives a
+    * state-eviction horizon for EACH side: click state older than
+    * (watermark − 1 h) and purchase state behind the watermark are dropped
+    * as the stream advances — state stays bounded by the join window, not
+    * the stream's lifetime. Run synchronously against the events table via
+    * a memory sink; the inner-join append output is the exact deterministic
+    * match set, so a batch SQL oracle can hash-check it. */
+  def purchaseClickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def eventsStream() = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = eventsStream()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = eventsStream()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(
+      clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val name = s"attribution_${counter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).select(
+      col("purchase_id"), col("click_id"), col("user_id"),
+      col("p_ts").cast("timestamp_ntz").as("p_ts"),
+      col("c_ts").cast("timestamp_ntz").as("c_ts"))
+  }
+
   /** ST8: compacted-topic semantics on a stream — keep-latest-per-key via
     * watermarked streaming dropDuplicates (duplicate re-deliveries within
     * the watermark horizon are suppressed). */

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Packing, Sampling, Similarity}
+import graft.streaming.StreamingJobs
+
+/** Round-3 wave: portable (SQL-replayable) sketch twins, sequence packing,
+  * stream-stream join, IVF-PQ. */
+class Wave3Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- non-distinct shingles ------------------------------------------
+
+  test("word_shingles_all keeps every occurrence; distinct variant dedups") {
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val all = df.select(graft.plans.WordShingles.word_shingles_all(col("text"), 2).as("g"))
+      .head().getSeq[String](0)
+    assert(all == Seq("a b", "b a", "a b", "b a"))
+    val dist = df.select(graft.plans.WordShingles.word_shingles(col("text"), 2).as("g"))
+      .head().getSeq[String](0)
+    assert(dist == Seq("a b", "b a"))
+  }
+
+  test("word_shingles_all matches the HOF formulation on real docs") {
+    val docs = Tables(spark, Sf0001).documents.limit(50)
+    val native = docs.select(col("doc_id"),
+      graft.plans.WordShingles.word_shingles_all(col("text"), 3).as("g"))
+    val hof = docs.select(col("doc_id"),
+      transform(
+        sequence(lit(0), greatest(size(split(col("text"), " ", -1)) - 3, lit(0))),
+        i => concat_ws(" ", slice(split(col("text"), " ", -1), i + 1, lit(3)))).as("g"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  // ---- portable minhash ------------------------------------------------
+
+  test("portable md5-minhash finds the near-dup pair and rejects distinct docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " zzz aaa bbb"
+    val distinctDoc = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinctDoc)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairsPortable(docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"near-dup pair not found: $pairs")
+    assert(pairs((1L, 2L)) > 0.5)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("portable minhash estimate is partitioning-independent") {
+    val docs = Tables(spark, Sf0001).documents
+    val a = Dedup.minHashLshPairsPortable(docs, "doc_id", "text").collect().toSet
+    val b = Dedup.minHashLshPairsPortable(docs.repartition(7), "doc_id", "text").collect().toSet
+    assert(a == b)
+  }
+
+  // ---- portable hash split --------------------------------------------
+
+  test("portable hash split: full coverage, stable membership, ~fractions") {
+    val docs = Tables(spark, Sf0001).documents
+    val split = Sampling.hashSplitPortable(docs, "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+    assert(split.count() == docs.count(), "fractions summing to 1 must cover every row")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frac = counts("train").toDouble / (counts("train") + counts("test"))
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // membership is a pure function of the key: same rows under repartition
+    val again = Sampling.hashSplitPortable(docs.repartition(13), "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    assert(split.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).isEmpty)
+  }
+
+  // ---- sequence packing -------------------------------------------------
+
+  test("offset packing: bins fill to budget, overrun bounded by one doc, groups independent") {
+    val docs = Seq(
+      // group g1: toks 300, 300, 300, 300 -> offsets 0,300,600,900 -> bins 0,0,1,1
+      ("g1", 1L, 300), ("g1", 2L, 300), ("g1", 3L, 300), ("g1", 4L, 300),
+      // group g2 restarts at offset 0: 600 -> bin 0; next offset 600 -> bin 1
+      ("g2", 1L, 600), ("g2", 2L, 100)
+    ).toDF("grp", "doc_id", "toks")
+    val packed = Packing.packSequences(docs, "grp", "doc_id", "toks", budget = 512L)
+      .select("grp", "doc_id", "seq_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(packed(("g1", 1L)) == 0 && packed(("g1", 2L)) == 0)
+    assert(packed(("g1", 3L)) == 1 && packed(("g1", 4L)) == 1)
+    assert(packed(("g2", 1L)) == 0 && packed(("g2", 2L)) == 1)
+
+    val summary = Packing.packedSummary(docs, "grp", "doc_id", "toks", budget = 512L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(summary(("g1", 0L)) == ((2L, 600L))) // fills past budget by < 1 doc
+    assert(summary(("g2", 0L)) == ((1L, 600L)))
+  }
+
+  test("packing conserves docs and tokens at corpus scale") {
+    val docs = Tables(spark, Sf0001).documents.select(
+      col("source"), col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("toks"))
+    val summary = Packing.packedSummary(docs, "source", "doc_id", "toks", budget = 512L)
+    val (nd, nt) = summary.agg(sum("n_docs"), sum("seq_tokens")).as[(Long, Long)].head()
+    val (ed, et) = docs.agg(count(lit(1)), sum("toks")).as[(Long, Long)].head()
+    assert(nd == ed && nt == et)
+    // every full (non-terminal) sequence must have reached the budget:
+    // a doc starts bin b only because bin b-1's span was already >= budget
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val nonTerminal = summary
+      .withColumn("mx", max("seq_id").over(w)).filter(col("seq_id") < col("mx"))
+    assert(nonTerminal.filter(col("seq_tokens") < 512 - 99).count() == 0,
+      "non-terminal bins must fill to within one doc (max doc 99 toks) of the budget")
+  }
+
+  // ---- IVF-PQ -----------------------------------------------------------
+
+  test("IVF-PQ recalls brute-force neighbors; full-probe + heavy refine nears exhaustive") {
+    val e = Tables(spark, Sf0001).embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // production shape: nprobe/nlist cell pruning + ADC shortlist + rerank
+    val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+      k = 5, dim = 64, nlist = 16, nprobe = 8, m = 8, ksub = 32, refine = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    info(s"IVF-PQ recall (nprobe=8/16, refine=10): $recall")
+    // bound set with margin: IVF probing at nprobe=nlist/2 caps recall; the
+    // PQ shortlist + exact rerank recovers most of what the cells contain
+    assert(recall >= 0.3, s"recall=$recall")
+
+    // probing every cell removes the IVF loss; a shortlist wider than the
+    // corpus removes the ADC loss -> must reproduce brute force exactly
+    val full = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+      k = 5, dim = 64, nlist = 4, nprobe = 4, m = 8, ksub = 32, refine = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "full-probe IVF-PQ with exhaustive refine must equal brute force")
+  }
+
+  test("IVF-PQ is partitioning-independent (deterministic training)") {
+    val e = Tables(spark, Sf0001).embeddings
+    val q = e.filter(col("vec_id") < 5)
+    val a = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+      k = 5, dim = 64, nlist = 8, nprobe = 4, m = 4, ksub = 16).collect().toSet
+    val b = Similarity.ivfPqTopK(e.repartition(7), q, "vec_id", "embedding",
+      k = 5, dim = 64, nlist = 8, nprobe = 4, m = 4, ksub = 16).collect().toSet
+    assert(a == b)
+  }
+
+  // ---- stream-stream join ------------------------------------------------
+
+  test("stream-stream attribution join equals the batch join") {
+    val sfDir = Sf0001
+    val streamed = StreamingJobs.purchaseClickAttribution(spark, sfDir)
+      .select("purchase_id", "click_id")
+    val ev = Tables(spark, sfDir).events
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("c_ts"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") && col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "click_id")
+    assert(streamed.count() > 0, "join must produce matches at sf0.001")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  // ---- repetition signals -------------------------------------------------
+
+  test("repetition fractions: known 2-gram multiplicities") {
+    // "x y x y x": 2-gram occurrences = [x y, y x, x y, y x] -> top2=2/4, dup=4/4
+    val docs = Seq((1L, "x y x y x"), (2L, "a b c d")).toDF("doc_id", "text")
+    val g2 = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.wordShinglesAll(col("text"), 2)).as("g"))
+    val out = g2.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), max("c").as("mx"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 4L)))
+    assert(out(2L) == ((3L, 1L, 0L)))
+  }
+}
