@@ -69,6 +69,12 @@ object TextFunctions {
   def wordShinglesAll(text: Column, n: Int): Column =
     graft.plans.WordShingles.word_shingles_all(text, n)
 
+  /** Unicode canonicalization (normalize form + lowercase + whitespace
+    * collapse) — native codegen'd expression, see plans/NormalizeText. */
+  def normalizeText(text: Column, form: String = "NFKC",
+      lowercase: Boolean = true, collapseWs: Boolean = true): Column =
+    graft.plans.NormalizeText.normalize_text(text, form, lowercase, collapseWs)
+
   /** BPE-ish token estimate: words + punctuation marks counted separately
     * (regex splitter; approximates subword token counts for budget math). */
   def tokenEstimate(text: Column): Column =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, cluster-stable sampling for training-data pipelines.
@@ -63,6 +63,27 @@ object Sampling {
         (when(cond, name).otherwise(acc), hi)
     }
     df.withColumn("split", expr).filter(col("split").isNotNull)
+  }
+
+  /** Per-row weighted Bernoulli keep (quality-weighted downsampling — the
+    * "sample good documents more" step of corpus curation): row survives
+    * iff u(key) < weight, where u is a deterministic uniform in [0,1)
+    * derived from the md5 hex prefix of the salted key — so membership is
+    * a pure function of (key, seed), stable under repartition/retry, and
+    * the whole filter replays as plain SQL (`('0x'||substr(md5(..),1,4))
+    * ::INT / 65536.0`), which is how the x4 oracle hash-checks it.
+    * u is quantized to 1/65536 — weights are honored to ±1.5e-5. */
+  def weightedKeepPortable(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      seed: Long = 42L
+  ): DataFrame = {
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"), lit(s"|ws$seed"))), 1, 4), 16, 10)
+      .cast("double") / 65536.0)
+    df.withColumn("keep_p", weight.cast("double"))
+      .withColumn("u", u)
+      .filter(col("u") < col("keep_p"))
   }
 
   /** Stratified downsample: per-stratum keep fraction, deterministic by key

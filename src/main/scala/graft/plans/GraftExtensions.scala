@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  private def literalString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().toString
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     register(ext, "vector_dot",
       "vector_dot(a, b) - dot product of two array<float|double> vectors in double precision") {
@@ -48,6 +53,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "word_shingles(text, n) - distinct word n-gram shingles (single-space tokenizer)") {
       case Seq(t, n) => WordShinglesExpr(t, literalInt(n, "word_shingles width"))
       case other => throw new IllegalArgumentException(s"word_shingles expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "word_shingles_all",
+      "word_shingles_all(text, n) - every word n-gram occurrence, no dedup (repetition stats)") {
+      case Seq(t, n) => WordShinglesExpr(t, literalInt(n, "word_shingles_all width"), distinct = false)
+      case other => throw new IllegalArgumentException(s"word_shingles_all expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "normalize_text",
+      "normalize_text(text[, form[, lowercase[, collapse_ws]]]) - Unicode canonicalization (NFC/NFD/NFKC/NFKD + lower + whitespace collapse)") {
+      case Seq(t) => NormalizeText(t, "NFKC", lowercase = true, collapseWs = true)
+      case Seq(t, f) => NormalizeText(t, literalString(f, "normalize_text form"), lowercase = true, collapseWs = true)
+      case Seq(t, f, lc) => NormalizeText(t, literalString(f, "normalize_text form"),
+        literalString(lc, "normalize_text lowercase").toBoolean, collapseWs = true)
+      case Seq(t, f, lc, ws) => NormalizeText(t, literalString(f, "normalize_text form"),
+        literalString(lc, "normalize_text lowercase").toBoolean,
+        literalString(ws, "normalize_text collapse_ws").toBoolean)
+      case other => throw new IllegalArgumentException(s"normalize_text expects 1-4 arguments, got ${other.length}")
     }
     register(ext, "rolling_fingerprint",
       "rolling_fingerprint(text, window) - Rabin-Karp rolling document fingerprint over UTF-8 bytes") {

@@ -123,3 +123,75 @@ object WordShingles {
     new GenericArrayData(out)
   }
 }
+
+/** Unicode text canonicalization — the first pass of every training-corpus
+  * cleanup (mirrors the reference's normalize-before-fingerprint step,
+  * ops/data_ingestion_ops.py:180-200, widened to real Unicode): a
+  * configurable composition of
+  *
+  *   1. Unicode normalization (`form`: NFC/NFD/NFKC/NFKD via
+  *      `java.text.Normalizer` — NFKC folds ligatures/fullwidth/compat
+  *      chars, the form LLM pipelines use),
+  *   2. root-locale lowercasing,
+  *   3. whitespace canonicalization (any `Character.isWhitespace` run →
+  *      one 0x20, ends trimmed; one scan).
+  *
+  * A native codegen'd expression (not a UDF), so it runs inside
+  * whole-stage codegen like the rest of the scalar surface. The NFC+lower+
+  * collapse configuration is exactly replayable in ANSI engines with
+  * `nfc_normalize`/`lower`/`regexp_replace` — the t12 oracle does. */
+case class NormalizeText(
+    child: Expression,
+    form: String,
+    lowercase: Boolean,
+    collapseWs: Boolean
+) extends UnaryExpression {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form), s"unknown normalization form $form")
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects a string column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NormalizeText.compute(v.asInstanceOf[UTF8String], form, lowercase, collapseWs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.plans.NormalizeText.compute($s, "$form", $lowercase, $collapseWs);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object NormalizeText {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
+
+  def normalize_text(text: Column, form: String = "NFKC",
+      lowercase: Boolean = true, collapseWs: Boolean = true): Column =
+    toCol(NormalizeText(toExpr(text), form, lowercase, collapseWs))
+
+  def compute(text: UTF8String, form: String, lowercase: Boolean, collapseWs: Boolean): UTF8String = {
+    var s = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.valueOf(form))
+    if (lowercase) s = s.toLowerCase(java.util.Locale.ROOT)
+    if (collapseWs) {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      var pendingSpace = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isWhitespace(c)) pendingSpace = true
+        else {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          sb.append(c)
+        }
+        i += 1
+      }
+      s = sb.toString
+    }
+    UTF8String.fromString(s)
+  }
+}

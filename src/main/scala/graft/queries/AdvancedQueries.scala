@@ -35,6 +35,32 @@ object AdvancedQueries {
           Seq("train" -> 0.8, "test" -> 0.2))
         .groupBy("split").agg(count(lit(1)).as("cnt"))
     }),
+    "x4_weighted_sample" -> ((s, d) => {
+      // quality-weighted downsampling: keep probability grows with doc
+      // length (proxy for any per-doc quality score); membership is a pure
+      // function of (doc_id, seed) via the portable md5 uniform, so the
+      // sample is stable across runs/partitionings AND SQL-replayable
+      Sampling.weightedKeepPortable(
+        Tables(s, d).documents, "doc_id",
+        least(lit(1.0), col("n_chars").cast("double") / 3000.0))
+        .select("doc_id", "keep_p", "u")
+    }),
+    "x5_mixture_rebalance" -> ((s, d) => {
+      // source-mixture rebalancing report: per-source token mass, corpus
+      // share, and the sampling rate that levels every source to a uniform
+      // target — the planning artifact before a weighted-sample pass. The
+      // window runs over the per-source AGGREGATE (5 rows), not the corpus.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables(s, d).documents
+        .groupBy("source")
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
+        .withColumn("total", sum("tokens").over(w))
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .select(
+          col("source"), col("tokens"),
+          (col("tokens").cast("double") / col("total")).as("share"),
+          least(lit(1.0), col("total").cast("double") / col("n_sources") / col("tokens")).as("rate"))
+    }),
     "x3_pack_sequences" -> ((s, d) => {
       // LLM training-sequence packing: docs fill 512-token bins per source
       // (offset-based first-fit — a pure window function, so deterministic,
@@ -180,6 +206,27 @@ object AdvancedQueries {
         |    THEN 'train' ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, count(*) AS cnt FROM s GROUP BY 1""".stripMargin,
+    "x4_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / 3000.0) AS keep_p,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws42'), 1, 4)) AS INTEGER) AS DOUBLE)
+        |      / 65536.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, keep_p, u FROM s WHERE u < keep_p""".stripMargin,
+    "x5_mixture_rebalance" ->
+      """WITH t AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (
+        |  SELECT source, tokens,
+        |    CAST(sum(tokens) OVER () AS BIGINT) AS total,
+        |    count(*) OVER () AS n_sources
+        |  FROM t)
+        |SELECT source, tokens,
+        |  CAST(tokens AS DOUBLE) / total AS share,
+        |  least(CAST(1.0 AS DOUBLE), CAST(total AS DOUBLE) / n_sources / tokens) AS rate
+        |FROM s""".stripMargin,
     "x3_pack_sequences" ->
       """WITH d AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),

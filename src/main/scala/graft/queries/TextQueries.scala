@@ -69,6 +69,17 @@ object TextQueries {
       graft.operators.LanguageModel.corpusTypicality(
         Tables(s, d).documents, "doc_id", "text", topK = 1000)
     }),
+    "t12_normalize" -> ((s, d) => {
+      // Unicode canonicalization (native codegen NormalizeText): NFC config
+      // here because DuckDB's nfc_normalize can replay it — the NFKC default
+      // (ligature/fullwidth folding) is spec-tested in Wave3Spec against
+      // java.text.Normalizer ground truth
+      val norm = normalizeText(col("text"), form = "NFC")
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        norm.as("norm_text"),
+        length(norm).as("norm_len"))
+    }),
     "t11_repetition" -> ((s, d) => {
       // Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
       // fraction of 2-gram occurrences in the most frequent 2-gram and in
@@ -179,6 +190,12 @@ object TextQueries {
         |  CAST(sum(oov) AS BIGINT) AS oov_cnt,
         |  CAST(CAST(sum(oov) AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
         |FROM j GROUP BY 1""".stripMargin,
+    "t12_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS norm_len FROM n""".stripMargin,
     "t11_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (

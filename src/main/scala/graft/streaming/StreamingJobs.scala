@@ -15,6 +15,27 @@ object StreamingJobs {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` (which must start AND fully drain its streaming query) with
+    * the session's shuffle-partition count scoped to `n`, restoring after.
+    *
+    * Stateful streaming queries keep one state store PER OPERATOR PER
+    * shuffle partition (a stream-stream join keeps four per side), and
+    * every HDFS-backed store pays a commit (file create+rename) every
+    * microbatch — so partition count is a per-batch FIXED cost independent
+    * of data volume (measured: the attribution join spent ~7 s flat from
+    * sf0.001 to sf0.1 at 32 partitions, ~3 s at 8). Production sizing rule
+    * this encodes: pick stateful-stream partitions for state-per-partition
+    * memory, not scan parallelism — state commits, not CPU, are the
+    * bottleneck resource. The count is captured into the query's offset
+    * metadata during (async) first-batch construction, hence the
+    * restore-after-drain contract rather than restore-after-start. */
+  private def withScopedShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** ST2–ST4: pass-through pipeline — stream of typed rows, stamped with a
     * processing-time column (Flink PROCTIME parity), checkpointed, upserted
     * into a bronze parquet table via idempotent foreachBatch. */
@@ -63,13 +84,15 @@ object StreamingJobs {
         sum(col("value").cast("decimal(18,2)")).as("value_sum")
       )
     val name = s"tumbling_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withScopedShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark
       .table(name)
       .select(
@@ -105,13 +128,15 @@ object StreamingJobs {
         sum(col("value").cast("decimal(18,2)")).as("value_sum")
       )
     val name = s"sliding_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withScopedShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark
       .table(name)
       .select(
@@ -178,9 +203,11 @@ object StreamingJobs {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"))
     val name = s"attribution_${counter.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withScopedShufflePartitions(spark, 8) {
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name).select(
       col("purchase_id"), col("click_id"), col("user_id"),
       col("p_ts").cast("timestamp_ntz").as("p_ts"),
@@ -204,9 +231,11 @@ object StreamingJobs {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keys)
     val name = s"dedup_${counter.incrementAndGet()}"
-    val q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withScopedShufflePartitions(spark, 8) {
+      val q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 

@@ -161,6 +161,65 @@ class Wave3Spec extends SparkSpecBase {
       .select("purchase_id", "click_id")
     assert(streamed.count() > 0, "join must produce matches at sf0.001")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the state-store partition scoping must restore the session conf
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+  }
+
+  // ---- unicode normalization ----------------------------------------------
+
+  test("normalize_text: NFKC folds ligatures/fullwidth, NFC composes accents, ws collapses") {
+    val rows = Seq(
+      (1L, "Café STUFF"),       // e + combining acute -> é (NFC/NFKC compose)
+      (2L, "ﬁne"),                    // ﬁ ligature -> "fi" under NFKC only
+      (3L, "ＦＵＬＬ１２３"),               // fullwidth -> ASCII under NFKC only
+      (4L, "  a \t\n b   c  ")             // whitespace runs -> single spaces, trimmed
+    ).toDF("id", "t")
+    val nfkc = rows.select(col("id"),
+      graft.functions.TextFunctions.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfkc(1L) == "café stuff")
+    assert(nfkc(2L) == "fine")
+    assert(nfkc(3L) == "full123")
+    assert(nfkc(4L) == "a b c")
+    // NFC must NOT fold compatibility chars
+    val nfc = rows.select(col("id"),
+      graft.functions.TextFunctions.normalizeText(col("t"), form = "NFC").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc(1L) == "café stuff")
+    assert(nfc(2L) == "ﬁne")
+    // and the java.text.Normalizer ground truth agrees on NFKC
+    assert(nfkc(2L) == java.text.Normalizer
+      .normalize("ﬁne", java.text.Normalizer.Form.NFKC).toLowerCase(java.util.Locale.ROOT))
+  }
+
+  test("normalize_text SQL registration equals the Column API") {
+    val docs = Tables(spark, Sf0001).documents.limit(20)
+    docs.createOrReplaceTempView("w3_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, normalize_text(text, 'NFKC', 'true', 'true') AS n FROM w3_docs")
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.normalizeText(col("text")).as("n"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  // ---- weighted sampling ----------------------------------------------------
+
+  test("weighted keep: rate tracks weights, membership stable under repartition") {
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("wt", when(col("id") % 2 === 0, 0.9).otherwise(0.1))
+    val kept = Sampling.weightedKeepPortable(df, "id", col("wt"))
+    val byW = kept.groupBy("wt").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // 2000 rows per weight class; binomial 3-sigma bands
+    assert(byW(0.9) > 1700 && byW(0.9) < 1900, s"p=0.9 kept ${byW(0.9)}")
+    assert(byW(0.1) > 140 && byW(0.1) < 260, s"p=0.1 kept ${byW(0.1)}")
+    val again = Sampling.weightedKeepPortable(df.repartition(13), "id", col("wt"))
+    assert(kept.select("id").exceptAll(again.select("id")).isEmpty)
+    // weight 0 never keeps; weight 1 always keeps
+    val edge = Sampling.weightedKeepPortable(
+      spark.range(0, 500).toDF("id").withColumn("wt", when(col("id") < 250, 0.0).otherwise(1.0)),
+      "id", col("wt"))
+    assert(edge.count() == 250 && edge.filter(col("id") < 250).count() == 0)
   }
 
   // ---- repetition signals -------------------------------------------------
