@@ -194,6 +194,37 @@ object Dedup {
       )
   }
 
+  /** Oracle-portable SimHash twin: same votes-per-bit construction as
+    * [[simHash]] but 60-bit (not 64) and built on md5 — the token hash is
+    * the first 15 hex chars of md5(token) parsed as an integer, which both
+    * Spark (`conv(hex,16,10)`) and ANSI engines (`('0x'||hex)::BIGINT`)
+    * compute identically (15 chars = 60 bits keeps the value inside a
+    * signed 64-bit integer in both). Emits 4×15-bit block keys (same
+    * pigeonhole banding as the fast variant). Production path is
+    * [[simHash]] (one xxhash64, no string math); this twin exists so the
+    * whole vote → bit → block pipeline is SQL-replayable and hash-checked. */
+  def simHashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val h = toks.withColumn("th", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { i =>
+      sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val voted = h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until 60)
+      .map(i => shiftleft(when(col(s"v$i") > 0, 1L).otherwise(0L), i))
+      .reduce((a, b) => a.bitwiseOR(b))
+    voted
+      .select(col("doc_id"), sim.as("simhash"))
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        shiftrightunsigned(col("simhash"), 0).bitwiseAND(0x7fffL).as("block0"),
+        shiftrightunsigned(col("simhash"), 15).bitwiseAND(0x7fffL).as("block1"),
+        shiftrightunsigned(col("simhash"), 30).bitwiseAND(0x7fffL).as("block2"),
+        shiftrightunsigned(col("simhash"), 45).bitwiseAND(0x7fffL).as("block3")
+      )
+  }
+
   /** Benchmark decontamination (training-data hygiene): score every
     * training document by the fraction of its distinct word-n-gram
     * shingles that appear anywhere in a held-out benchmark/eval corpus —

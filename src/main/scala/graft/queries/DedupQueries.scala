@@ -71,6 +71,32 @@ object DedupQueries {
        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 5""".stripMargin
   }
 
+  /** DuckDB oracle for d3b: the portable 60-bit SimHash — md5-derived token
+    * hashes, per-bit ±1 votes, bit assembly, 15-bit block keys — generated
+    * as 60 vote sums + a 60-term bit recombination (same generated-SQL
+    * recipe as the LSH plane oracles). */
+  private lazy val d3bOracleSql: String = {
+    val votes = (0 until 60).map(i =>
+      s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
+    val bits = (0 until 60).map(i =>
+      s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th FROM toks),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY 1),
+       |s AS (SELECT doc_id, $bits AS simhash FROM v)
+       |SELECT doc_id, simhash,
+       |  (simhash >> 0) & 32767 AS block0,
+       |  (simhash >> 15) & 32767 AS block1,
+       |  (simhash >> 30) & 32767 AS block2,
+       |  (simhash >> 45) & 32767 AS block3
+       |FROM s""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "u4_exact_dedup" -> ((s, d) => {
       Dedup.exactGroups(Tables(s, d).documents, "doc_id", "text")
@@ -104,6 +130,12 @@ object DedupQueries {
     }),
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables(s, d).documents, "doc_id", "text")
+    }),
+    "d3b_simhash_portable" -> ((s, d) => {
+      // the oracle-PORTABLE SimHash twin (md5-derived 60-bit hashes): the
+      // votes→bits→blocks pipeline replays as generated DuckDB SQL, so
+      // d3's rows-only sketch gets a fully hash-checked sibling
+      Dedup.simHashPortable(Tables(s, d).documents, "doc_id", "text")
     }),
     "d4_embedding_neardup" -> ((s, d) => {
       // threshold tuned to the synthetic corpus (max pairwise cosine ≈0.6):
@@ -305,6 +337,7 @@ object DedupQueries {
         |  JOIN hx b ON b.doc_id = c.id_b AND b.seed = a.seed
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "d3b_simhash_portable" -> d3bOracleSql,
     "d4_embedding_neardup" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "d7_decontamination" ->

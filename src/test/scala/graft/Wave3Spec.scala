@@ -55,6 +55,21 @@ class Wave3Spec extends SparkSpecBase {
     assert(a == b)
   }
 
+  // ---- portable simhash -------------------------------------------------
+
+  test("portable simhash: identical docs equal, near-dups within small hamming, distinct docs far") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val tweaked = base.replace("w40", "w40x")
+    val unrelated = (200 to 280).map(i => s"q$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, tweaked), (4L, unrelated)).toDF("doc_id", "text")
+    val h = Dedup.simHashPortable(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 12)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) >= 15, "unrelated docs must be far apart")
+    assert(h.values.forall(v => v >= 0 && v < (1L << 60)), "60-bit range")
+  }
+
   // ---- portable hash split --------------------------------------------
 
   test("portable hash split: full coverage, stable membership, ~fractions") {
