@@ -204,6 +204,27 @@ object DedupQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, trainFraction = 0.2, cacheKey = Some(s"ivf|$d|nlist16|tf0.2"))
     }),
+    "x6_ann_recall_report" -> ((s, d) => {
+      // retrieval-quality evaluation: per-query recall@k of the LSH ANN
+      // path against brute-force ground truth — the continuous-eval report
+      // a vector-search deployment runs after every index rebuild. Both
+      // sides are this engine's own operators; the oracle composes the s1
+      // and s2 oracle SQL bodies as CTEs, so the report is hash-checked.
+      val e = Tables(s, d).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val ann = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, dim = 64)
+      brute.as("b")
+        .join(ann.as("a"),
+          col("b.query_id") === col("a.query_id") &&
+            col("b.neighbor_id") === col("a.neighbor_id"),
+          "left")
+        .groupBy(col("b.query_id").as("query_id"))
+        .agg(
+          count(lit(1)).as("k"),
+          count(col("a.neighbor_id")).as("hits"),
+          (count(col("a.neighbor_id")).cast("double") / count(lit(1))).as("recall_at_k"))
+    }),
     "s5_ann_ivfpq" -> ((s, d) => {
       // the production 100 TB ANN layout: IVF cell pruning × PQ byte codes
       // (ADC scoring) × exact shortlist rerank — FAISS IndexIVFPQ shape.
@@ -371,17 +392,31 @@ object DedupQueries {
         |train AS (SELECT * FROM sh WHERE doc_id % 23 <> 0)
         |SELECT t.doc_id, t.sh AS span
         |FROM train t JOIN bench b ON t.sh = b.sh""".stripMargin,
-    "s1_knn_bruteforce" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-        |p AS (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |         list_cosine_similarity(q.embedding, e.embedding) AS sim
-        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-        |  FROM p)
-        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
-        |FROM r WHERE rnk <= 5""".stripMargin
+    "s1_knn_bruteforce" -> s1OracleSql,
+    // recall@k report: the s1 (ground truth) and s2 (ANN) oracles composed
+    // as CTEs — DuckDB allows a nested WITH inside a parenthesized subquery
+    "x6_ann_recall_report" ->
+      s"""WITH brute AS ($s1OracleSql),
+         |ann AS ($s2OracleSql)
+         |SELECT b.query_id,
+         |  count(*) AS k,
+         |  count(a.neighbor_id) AS hits,
+         |  CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+         |FROM brute b
+         |LEFT JOIN ann a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY 1""".stripMargin
   )
+
+  private lazy val s1OracleSql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |         list_cosine_similarity(q.embedding, e.embedding) AS sim
+      |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM p)
+      |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
+      |FROM r WHERE rnk <= 5""".stripMargin
 }
