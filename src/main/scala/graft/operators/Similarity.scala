@@ -399,4 +399,60 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Seeded unit-norm centroids: a deterministic spherical partitioner
+    * (nearest-centroid on unit vectors ≡ max-cosine cell). Trained k-means
+    * centroids slot into the same assignment expression; the seeded form
+    * keeps the operator a pure function of (seed, k) so an external SQL
+    * engine can replicate the cells from literals. */
+  def seededCentroids(dim: Int, k: Int, seed: Long): Seq[Seq[Double]] =
+    randomPlanes(dim, k, seed).map { p =>
+      val n = math.sqrt(p.map(x => x * x).sum)
+      p.map(_ / n)
+    }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning through semantic deduplication"): partition
+    * the corpus into k spherical cells by nearest centroid, score pairwise
+    * cosine ONLY within a cell, and flag every vector that has a lower-id
+    * in-cell neighbor at/above `threshold` (min-id keeper rule, as
+    * Graph.keepers). Candidate generation is one row-local codegen'd
+    * assignment + one exchange on the cell id — no all-pairs. At 100 TB:
+    * k grows with the corpus (k ≈ N / target cell size, the paper's
+    * regime) so cells stay small and the within-cell self-join is bounded;
+    * written `partitionBy(cell)`, each cell dedups without a second
+    * shuffle. `maxCellSize` caps degenerate cells the same way
+    * embeddingNearDupPairs' maxBucketSize does. */
+  def semanticDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      k: Int = 64,
+      seed: Long = 42L,
+      centroids: Option[Seq[Seq[Double]]] = None,
+      maxCellSize: Option[Int] = None
+  ): DataFrame = {
+    val cents = centroids.getOrElse(seededCentroids(dim, k, seed))
+    val assigned = vectors
+      .select(col(idCol).as("vec_id"), vector_normalize(col(vecCol)).as("nv"))
+      .withColumn("cluster", nearest_centroids(col("nv"), cents, 1)(0))
+    val capped = maxCellSize match {
+      case Some(cap) =>
+        val wC = Window.partitionBy("cluster")
+        assigned.withColumn("csz", count(lit(1)).over(wC)).filter(col("csz") <= cap).drop("csz")
+      case None => assigned
+    }
+    // materialized once: both self-join sides and the final flag join read
+    // the same assignment, not three recomputes of scan+normalize+assign
+    val a = capped.localCheckpoint()
+    val dups = a
+      .join(a.select(col("vec_id").as("lo_id"), col("nv").as("lo_nv"), col("cluster")), Seq("cluster"))
+      .filter(col("lo_id") < col("vec_id"))
+      .filter(vector_dot(col("nv"), col("lo_nv")) >= threshold)
+      .select("vec_id").distinct()
+    a.join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

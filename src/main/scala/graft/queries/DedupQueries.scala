@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{Dedup, Graph, Similarity}
+import graft.plans.VectorExpressions.{vector_dot, vector_normalize}
 
 /** Deduplication + similarity-search operators over `documents` and
   * `embeddings`. d1/u4/s1 are DuckDB-oracle-checked; the sketch-based
@@ -225,6 +226,30 @@ object DedupQueries {
           count(col("a.neighbor_id")).as("hits"),
           (count(col("a.neighbor_id")).cast("double") / count(lit(1))).as("recall_at_k"))
     }),
+    "d8_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: spherical-cell candidate generation + within-cell cosine
+      // + min-id keeper flag. Seeded centroids (not trained) so the full
+      // cell assignment replays in DuckDB from literals → hash-checked.
+      Similarity.semanticDedup(Tables(s, d).embeddings,
+        "vec_id", "embedding", threshold = 0.4, dim = 64, k = 64, seed = 42L)
+    }),
+    "d9_semantic_decontamination" -> ((s, d) => {
+      // embedding-space benchmark decontamination — the semantic analog of
+      // d7's n-gram screen: a train vector is contaminated if it sits
+      // within cos >= 0.4 of ANY bench vector. The bench side is small by
+      // nature, so it broadcasts and the corpus is screened in ONE
+      // map-side scan (codegen'd dot product in the join predicate, no
+      // corpus shuffle); the only exchange is the final count over the
+      // few contaminated ids. Same bench/train split convention as d7.
+      val e = Tables(s, d).embeddings
+        .select(col("vec_id"), vector_normalize(col("embedding")).as("nv"))
+      val bench = e.filter(col("vec_id") % 23 === 0)
+        .select(col("vec_id").as("bench_id"), col("nv").as("bv"))
+      val train = e.filter(col("vec_id") % 23 =!= 0)
+      train.join(broadcast(bench), vector_dot(col("nv"), col("bv")) >= 0.4)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_bench_hits"))
+    }),
     "s5_ann_ivfpq" -> ((s, d) => {
       // the production 100 TB ANN layout: IVF cell pruning × PQ byte codes
       // (ADC scoring) × exact shortlist rerank — FAISS IndexIVFPQ shape.
@@ -393,6 +418,15 @@ object DedupQueries {
         |SELECT t.doc_id, t.sh AS span
         |FROM train t JOIN bench b ON t.sh = b.sh""".stripMargin,
     "s1_knn_bruteforce" -> s1OracleSql,
+    "d8_semantic_dedup" -> d8OracleSql,
+    "d9_semantic_decontamination" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 23 = 0),
+        |t AS (SELECT vec_id, v FROM e WHERE vec_id % 23 <> 0),
+        |h AS (SELECT t.vec_id, b.bench_id, list_cosine_similarity(t.v, b.bv) AS sim
+        |      FROM t CROSS JOIN b)
+        |SELECT vec_id, count(*) AS n_bench_hits
+        |FROM h WHERE sim >= 0.4 GROUP BY 1""".stripMargin,
     // recall@k report: the s1 (ground truth) and s2 (ANN) oracles composed
     // as CTEs — DuckDB allows a nested WITH inside a parenthesized subquery
     "x6_ann_recall_report" ->
@@ -406,6 +440,37 @@ object DedupQueries {
          |LEFT JOIN ann a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY 1""".stripMargin
   )
+
+  /** DuckDB oracle for d8: the seeded unit centroids inlined as literals.
+    * Spark assigns by Euclidean argmin on the unit-normalized vector,
+    * which on unit centroids is exactly cosine argmax — so the oracle
+    * ranks `list_cosine_similarity(v, centroid)` DESC with the same
+    * lowest-index tie-break as NearestCentroids' strict-less scan. */
+  private lazy val d8OracleSql: String = {
+    val cents = Similarity.seededCentroids(dim = 64, k = 64, seed = 42L)
+    val sims = cents.zipWithIndex.map { case (c, j) =>
+      s"list_cosine_similarity(v, ${c.mkString("[", ", ", "]")}) AS s$j"
+    }
+    val unions = cents.indices
+      .map(j => s"SELECT vec_id, $j AS c, s$j AS sim FROM d")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT vec_id,
+       |  ${sims.mkString(",\n  ")}
+       |  FROM e),
+       |u AS ($unions),
+       |a AS (SELECT vec_id, c AS cluster FROM (
+       |    SELECT vec_id, c,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+       |    FROM u) WHERE rn = 1),
+       |dup AS (SELECT DISTINCT hi.vec_id
+       |    FROM a hi JOIN a lo ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+       |    JOIN e eh ON eh.vec_id = hi.vec_id
+       |    JOIN e el ON el.vec_id = lo.vec_id
+       |    WHERE list_cosine_similarity(eh.v, el.v) >= 0.4)
+       |SELECT a.vec_id, a.cluster, (dup.vec_id IS NOT NULL) AS is_dup
+       |FROM a LEFT JOIN dup ON dup.vec_id = a.vec_id""".stripMargin
+  }
 
   private lazy val s1OracleSql: String =
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

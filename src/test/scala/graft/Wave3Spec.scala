@@ -252,4 +252,39 @@ class Wave3Spec extends SparkSpecBase {
     assert(out(1L) == ((4L, 2L, 4L)))
     assert(out(2L) == ((3L, 1L, 0L)))
   }
+
+  // ---- semantic dedup (SemDeDup) ----------------------------------------
+
+  test("semantic dedup: flags agree with brute-force within-cell check, planted near-dups caught") {
+    val emb = Tables(spark, Sf0001).embeddings
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, k = 16)
+    val flags = out.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(flags.size == emb.count(), "one row per vector")
+    // brute-force replica: same cells, all within-cell pairs, min-id keeper
+    val cells = out.select("vec_id", "cluster")
+    val vecs = emb.select(col("vec_id"),
+      graft.plans.VectorExpressions.vector_normalize(col("embedding")).as("nv"))
+    val byId = vecs.join(cells, "vec_id")
+    val expectDup = byId.as("hi")
+      .join(byId.as("lo").select(col("vec_id").as("lo_id"), col("nv").as("lo_nv"), col("cluster")), Seq("cluster"))
+      .filter(col("lo_id") < col("vec_id"))
+      .filter(graft.plans.VectorExpressions.vector_dot(col("nv"), col("lo_nv")) >= 0.4)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    flags.foreach { case (id, (_, isDup)) =>
+      assert(isDup == expectDup.contains(id), s"flag mismatch for vec $id")
+    }
+    // the testdata's planted near-dups (cos ≈ 0.9+) co-locate and get flagged
+    assert(expectDup.nonEmpty, "no semantic dups found — query is signal-free")
+  }
+
+  test("semantic dedup is partitioning-independent and keeps one per dup group") {
+    val emb = Tables(spark, Sf0001).embeddings
+    val a = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.4, dim = 64, k = 16)
+    val b = Similarity.semanticDedup(emb.repartition(7), "vec_id", "embedding", 0.4, dim = 64, k = 16)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // min-id keeper rule: the lowest id of any flagged cell-group is kept
+    val kept = a.filter(!col("is_dup")).count()
+    assert(kept > 0 && kept < emb.count())
+  }
 }
