@@ -127,6 +127,25 @@ object TextQueries {
           round(element_at(col("features"), 2) * 255).cast("int").as("mean_g"),
           round(element_at(col("features"), 3) * 255).cast("int").as("mean_b")
         )
+    }),
+    "t13_bpe_learned" -> ((s, d) => {
+      // BPE with merges LEARNED from this corpus (operators/Bpe): one
+      // distributed word-histogram job trains 200 merges on the top-5000
+      // words; encoding is the codegen'd BpeEncode expression carrying the
+      // merge table as one reference object. Learned merges are iterative
+      // corpus state no single SQL statement can express -> rows-only
+      // check; the merge learner itself is verified against the classic
+      // Sennrich ground truth + partitioning independence in Wave3Spec.
+      val docs = Tables(s, d).documents
+      val merges = graft.operators.Bpe.learnMerges(
+        docs, "text", numMerges = 200, vocabWords = 5000,
+        cacheKey = Some(s"bpe|$d|m200|v5000"))
+      docs.select(
+        col("doc_id"),
+        size(graft.operators.Bpe.encode(col("text"), merges)).as("n_pieces"),
+        col("n_chars"))
+        .withColumn("chars_per_piece",
+          col("n_chars").cast("double") / col("n_pieces"))
     })
   )
 

@@ -253,6 +253,43 @@ class Wave3Spec extends SparkSpecBase {
     assert(out(2L) == ((3L, 1L, 0L)))
   }
 
+  // ---- learned BPE -------------------------------------------------------
+
+  test("BPE trainer reproduces the classic Sennrich merge sequence") {
+    // low×5, lower×2, newest×6, widest×3 — the canonical worked example:
+    // pair freqs round 1 peak at 9 for (e,s),(s,t),(t,</w>); lexicographic
+    // tie-break picks (e,s), then merges cascade est -> est</w> -> lo -> low
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = graft.operators.Bpe.learnFromHistogram(hist, numMerges = 5)
+    assert(merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("BPE encode applies merges greedily by rank; unseen words fall back to chars") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+    val df = Seq((1L, "lowest low zzz")).toDF("doc_id", "text")
+    val pieces = df.select(graft.operators.Bpe.encode(col("text"), merges).as("p"))
+      .head().getSeq[String](0)
+    // lowest -> low + est</w>; low -> low + </w> ((l,o) then (lo,w) apply,
+    // (low,</w>) was never learned); zzz has no learned merges -> chars + </w>
+    assert(pieces == Seq("low", "est</w>", "low", "</w>", "z", "z", "z", "</w>"))
+  }
+
+  test("learned merges are partitioning-independent and compress the real corpus") {
+    val docs = Tables(spark, Sf0001).documents
+    val a = graft.operators.Bpe.learnMerges(docs, "text", numMerges = 50, vocabWords = 2000)
+    val b = graft.operators.Bpe.learnMerges(docs.repartition(7), "text", numMerges = 50, vocabWords = 2000)
+    assert(a == b, "merge table must be a pure function of the corpus")
+    val enc = docs.select(
+      size(graft.operators.Bpe.encode(col("text"), a)).as("learned"),
+      size(graft.operators.Bpe.encode(col("text"), Seq.empty)).as("charLevel"))
+    val row = enc.agg(sum("learned"), sum("charLevel")).head()
+    val (learned, charLevel) = (row.getLong(0), row.getLong(1))
+    // 50 learned merges must compress well past the 0-merge char baseline
+    assert(learned < (charLevel * 7) / 10,
+      s"weak compression: $learned pieces vs char-level $charLevel")
+  }
+
   // ---- semantic dedup (SemDeDup) ----------------------------------------
 
   test("semantic dedup: flags agree with brute-force within-cell check, planted near-dups caught") {
