@@ -95,4 +95,43 @@ class PhysicalLayoutSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"rerank joins not broadcast:\n${plan.take(3000)}")
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled in rerank:\n${plan.take(3000)}")
   }
+
+  test("semantic decontamination screens the corpus map-side (broadcast, train never shuffles pre-agg)") {
+    val e = Tables(spark, Sf0001).embeddings
+      .select(col("vec_id"), graft.plans.VectorExpressions.vector_normalize(col("embedding")).as("nv"))
+    val bench = e.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("bench_id"), col("nv").as("bv"))
+    val screened = e.filter(col("vec_id") % 23 =!= 0)
+      .join(org.apache.spark.sql.functions.broadcast(bench),
+        graft.plans.VectorExpressions.vector_dot(col("nv"), col("bv")) >= 0.4)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_bench_hits"))
+    val plan = physicalPlan(screened)
+    // the non-equi cosine predicate must ride a broadcast nested-loop over
+    // the streaming train side; the only exchange is the final count over
+    // the (tiny) contaminated set — never the corpus pre-join
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bench set not broadcast into the scan:\n${plan.take(3000)}")
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"corpus shuffled before the screen:\n${plan.take(3000)}")
+  }
+
+  test("semantic dedup shuffles once on the cell id (row-local assignment, no corpus-wide exchange)") {
+    val out = graft.operators.Similarity.semanticDedup(
+      Tables(spark, Sf0001).embeddings, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, k = 16)
+    val plan = physicalPlan(out)
+    // cell assignment is a codegen'd expression (no join against a
+    // centroid table); the within-cell self-join may hash-exchange both
+    // localCheckpointed sides on `cluster`, and the final flag join is on
+    // vec_id — what must NOT appear is any broadcast-materialized corpus
+    // or a nested-loop pair enumeration
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs enumeration leaked into semantic dedup:\n${plan.take(3000)}")
+    // bounded exchanges: pair self-join on cluster + dup-id agg + flag join
+    // on vec_id (SMJ is the RIGHT default here — SemDeDup can flag a large
+    // corpus fraction, so the dup side must not be assumed broadcastable;
+    // AQE demotes it to broadcast at runtime when it is actually small)
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 4,
+      s"unexpected extra corpus exchange:\n${plan.take(3000)}")
+  }
 }
