@@ -16,7 +16,10 @@ object StreamingQueries {
   def queries: Map[String, Q] = Map(
     "st5_stream_tumbling" -> ((s, d) => StreamingJobs.tumblingEventCounts(s, d)),
     "st6_stream_sliding" -> ((s, d) => StreamingJobs.slidingEventCounts(s, d)),
-    "st7_stream_join" -> ((s, d) => StreamingJobs.purchaseClickAttribution(s, d))
+    "st7_stream_join" -> ((s, d) => StreamingJobs.purchaseClickAttribution(s, d)),
+    "st9_stream_decontaminate" -> ((s, d) =>
+      // d9's screen at ingest time: stream-static broadcast join, stateless
+      StreamingJobs.streamingDecontamination(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -42,6 +45,14 @@ object StreamingQueries {
         |FROM events p JOIN events c
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
-        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin,
+    // stream-static join == the batch screen over the same pair predicate
+    "st9_stream_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 23 = 0),
+        |t AS (SELECT vec_id, v FROM e WHERE vec_id % 23 <> 0)
+        |SELECT t.vec_id, b.bench_id
+        |FROM t CROSS JOIN b
+        |WHERE list_cosine_similarity(t.v, b.bv) >= 0.4""".stripMargin
   )
 }

@@ -239,6 +239,36 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** ST9: INGEST-TIME benchmark decontamination — the d9 screen as a
+    * stream-static join: each arriving embedding is checked against the
+    * small static bench set (broadcast into the stream side's scan, cosine
+    * predicate codegen'd) and contaminated (vec_id, bench_id) hits emit
+    * immediately. Stateless append — no watermark, no state store, so the
+    * per-microbatch cost is pure compute: the shape that holds when the
+    * ingest stream is the 100 TB firehose and the bench set stays small. */
+  def streamingDecontamination(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    import graft.plans.VectorExpressions.{vector_dot, vector_normalize}
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val bench = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("bench_id"), vector_normalize(col("embedding")).as("bv"))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .filter(col("vec_id") % 23 =!= 0)
+      .select(col("vec_id"), vector_normalize(col("embedding")).as("nv"))
+    val hits = stream
+      .join(broadcast(bench), vector_dot(col("nv"), col("bv")) >= threshold)
+      .select(col("vec_id"), col("bench_id"))
+    val name = s"decontam_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = hits.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** ST7: per-source freshness monitor — each source's newest processed
     * timestamp vs its SLA (sensor semantics, batch-evaluated against an
     * injected clock). One tiny agg per source, unioned. */

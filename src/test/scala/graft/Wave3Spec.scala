@@ -253,6 +253,22 @@ class Wave3Spec extends SparkSpecBase {
     assert(out(2L) == ((3L, 1L, 0L)))
   }
 
+  // ---- ingest-time decontamination ---------------------------------------
+
+  test("streaming decontamination equals the batch screen (stream-static broadcast join)") {
+    import graft.plans.VectorExpressions.{vector_dot, vector_normalize}
+    val streamed = StreamingJobs.streamingDecontamination(spark, Sf0001)
+    val e = Tables(spark, Sf0001).embeddings
+      .select(col("vec_id"), vector_normalize(col("embedding")).as("nv"))
+    val bench = e.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("bench_id"), col("nv").as("bv"))
+    val batch = e.filter(col("vec_id") % 23 =!= 0)
+      .join(bench, vector_dot(col("nv"), col("bv")) >= 0.4)
+      .select("vec_id", "bench_id")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0, "screen is signal-free at sf0.001")
+  }
+
   // ---- learned BPE -------------------------------------------------------
 
   test("BPE trainer reproduces the classic Sennrich merge sequence") {
