@@ -233,6 +233,10 @@ object DedupQueries {
       Similarity.semanticDedup(Tables(s, d).embeddings,
         "vec_id", "embedding", threshold = 0.4, dim = 64, k = 64, seed = 42L)
     }),
+    "st10_stream_semantic_dedup" -> ((s, d) =>
+      // d8 as an ONLINE stateful stream (flatMapGroupsWithState per cell);
+      // identical flag semantics, so it shares d8's full oracle
+      graft.streaming.StreamingJobs.streamingSemanticDedup(s, d)),
     "d9_semantic_decontamination" -> ((s, d) => {
       // embedding-space benchmark decontamination — the semantic analog of
       // d7's n-gram screen: a train vector is contaminated if it sits
@@ -419,6 +423,7 @@ object DedupQueries {
         |FROM train t JOIN bench b ON t.sh = b.sh""".stripMargin,
     "s1_knn_bruteforce" -> s1OracleSql,
     "d8_semantic_dedup" -> d8OracleSql,
+    "st10_stream_semantic_dedup" -> d8OracleSql,
     "d9_semantic_decontamination" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 23 = 0),

@@ -269,6 +269,70 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** ST10: ONLINE SemDeDup — the d8 semantic dedup as a stateful stream.
+    * Each arriving embedding is assigned its spherical cell ROW-LOCALLY
+    * (the same codegen'd nearest-centroid expression as the batch op, so
+    * only the per-cell state read shuffles), then checked against the
+    * cell's previously-seen vectors held in flatMapGroupsWithState state.
+    * With arrival ordered by id (microbatch groups are sorted before the
+    * state scan), the flag set is EXACTLY the batch operator's min-id
+    * semantics — so this stateful query is hash-checked against the same
+    * DuckDB oracle as d8. State per cell is the cell's seen vectors; at
+    * 100 TB that is bounded the same way the batch op is: k grows with the
+    * corpus so cells stay small (production adds per-cell caps/TTL). */
+  def streamingSemanticDedup(
+      spark: SparkSession,
+      sfDir: String,
+      threshold: Double = 0.4,
+      dim: Int = 64,
+      k: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.plans.VectorExpressions.{nearest_centroids, vector_normalize}
+    val cents = graft.operators.Similarity.seededCentroids(dim, k, seed)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select(
+        col("vec_id").as[Long],
+        nearest_centroids(vector_normalize(col("embedding")), cents, 1)(0).as[Int],
+        vector_normalize(col("embedding")).as[Seq[Double]])
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def fn(cell: Int, rows: Iterator[(Long, Int, Seq[Double])],
+           state: GroupState[Seq[(Long, Seq[Double])]]): Iterator[(Long, Int, Boolean)] = {
+      val sorted = rows.toArray.sortBy(_._1)
+      var seen = state.getOption.getOrElse(Seq.empty).toList
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Boolean)](sorted.length)
+      sorted.foreach { case (id, _, nv) =>
+        val dup = seen.exists { case (_, sv) => dot(sv, nv) >= threshold }
+        out += ((id, cell, dup))
+        seen = (id, nv) :: seen
+      }
+      state.update(seen)
+      out.iterator
+    }
+
+    val flagged = stream
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("vec_id", "cluster", "is_dup")
+    val name = s"semdedup_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = flagged.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** ST7: per-source freshness monitor — each source's newest processed
     * timestamp vs its SLA (sensor semantics, batch-evaluated against an
     * injected clock). One tiny agg per source, unioned. */

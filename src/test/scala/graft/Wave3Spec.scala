@@ -269,6 +269,51 @@ class Wave3Spec extends SparkSpecBase {
     assert(batch.count() > 0, "screen is signal-free at sf0.001")
   }
 
+  // ---- online SemDeDup ---------------------------------------------------
+
+  test("streaming semantic dedup equals the batch operator on the full corpus") {
+    val streamed = StreamingJobs.streamingSemanticDedup(spark, Sf0001, k = 16)
+    val batch = Similarity.semanticDedup(Tables(spark, Sf0001).embeddings,
+      "vec_id", "embedding", threshold = 0.4, dim = 64, k = 16)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming semantic dedup state carries across microbatches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // two batches, same cell: batch-2 duplicate of a batch-1 vector must be
+    // flagged even though they never share a microbatch
+    val ms = MemoryStream[(Long, Int, Seq[Double])](spark)
+    def fn(cell: Int, rows: Iterator[(Long, Int, Seq[Double])],
+           state: GroupState[Seq[(Long, Seq[Double])]]): Iterator[(Long, Int, Boolean)] = {
+      def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+      val sorted = rows.toArray.sortBy(_._1)
+      var seen = state.getOption.getOrElse(Seq.empty).toList
+      val out = sorted.map { case (id, _, nv) =>
+        val dup = seen.exists { case (_, sv) => dot(sv, nv) >= 0.9 }
+        seen = (id, nv) :: seen
+        (id, cell, dup)
+      }
+      state.update(seen)
+      out.iterator
+    }
+    val flagged = ms.toDS().groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("vec_id", "cluster", "is_dup")
+    val q = flagged.writeStream.outputMode("append").format("memory")
+      .queryName("semdedup_xbatch").start()
+    try {
+      ms.addData((1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(0.0, 1.0)))
+      q.processAllAvailable()
+      ms.addData((3L, 0, Seq(1.0, 0.0)), (4L, 1, Seq(0.5, 0.5)))
+      q.processAllAvailable()
+      val flags = spark.table("semdedup_xbatch").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(flags == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
+    } finally q.stop()
+  }
+
   // ---- learned BPE -------------------------------------------------------
 
   test("BPE trainer reproduces the classic Sennrich merge sequence") {
