@@ -61,6 +61,33 @@ object AdvancedQueries {
           (col("tokens").cast("double") / col("total")).as("share"),
           least(lit(1.0), col("total").cast("double") / col("n_sources") / col("tokens")).as("rate"))
     }),
+    "x7_quantile_shards" -> ((s, d) => {
+      // curriculum sharding done scale-right: quartile cut points of the
+      // difficulty score come from ONE aggregate row broadcast back, and
+      // shard assignment is a map-side comparison — never the global-sort
+      // single-partition ntile window (w7 has ntile for the SQL surface;
+      // this is the shape that survives 100 TB, where `percentile` swaps
+      // for approx_percentile with no other change). Cut points are only
+      // used for comparisons, not emitted: an interpolated cut lies
+      // strictly between adjacent data values, so last-bit interpolation
+      // differences between engines cannot move any doc across a shard.
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        (col("n_chars").cast("double") /
+          TextFunctions.tokenCount(col("text"))).as("difficulty"))
+      val cuts = docs.agg(
+        expr("percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("q"))
+      docs.crossJoin(broadcast(cuts))
+        .withColumn("shard",
+          when(col("difficulty") <= element_at(col("q"), 1), 0)
+            .when(col("difficulty") <= element_at(col("q"), 2), 1)
+            .when(col("difficulty") <= element_at(col("q"), 3), 2)
+            .otherwise(3))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("difficulty").as("min_difficulty"),
+          max("difficulty").as("max_difficulty"))
+    }),
     "x3_pack_sequences" -> ((s, d) => {
       // LLM training-sequence packing: docs fill 512-token bins per source
       // (offset-based first-fit — a pure window function, so deterministic,
@@ -227,6 +254,23 @@ object AdvancedQueries {
         |  CAST(tokens AS DOUBLE) / total AS share,
         |  least(CAST(1.0 AS DOUBLE), CAST(total AS DOUBLE) / n_sources / tokens) AS rate
         |FROM s""".stripMargin,
+    "x7_quantile_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS difficulty
+        |  FROM documents),
+        |c AS (SELECT quantile_cont(difficulty, [0.25, 0.5, 0.75]) AS q FROM s),
+        |a AS (
+        |  SELECT difficulty,
+        |    CASE WHEN difficulty <= q[1] THEN 0
+        |         WHEN difficulty <= q[2] THEN 1
+        |         WHEN difficulty <= q[3] THEN 2
+        |         ELSE 3 END AS shard
+        |  FROM s, c)
+        |SELECT shard, count(*) AS n_docs,
+        |  min(difficulty) AS min_difficulty,
+        |  max(difficulty) AS max_difficulty
+        |FROM a GROUP BY 1""".stripMargin,
     "x3_pack_sequences" ->
       """WITH d AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
