@@ -286,6 +286,50 @@ object Dedup {
       .select(col("doc_id"), col("sh").as("span"))
   }
 
+  /** Cross-document repeated-substring coverage — the exact-substring
+    * duplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed Spark-first: instead of
+    * a monolithic suffix array, every k-token window (with multiplicity)
+    * becomes a row, windows reduce to per-(doc, gram) counts, and a gram
+    * is "repeated" when it occurs in ≥ `minDocs` distinct documents. The
+    * per-doc output is the fraction of windows covered by cross-document
+    * repeats — the score a curation pipeline thresholds on.
+    *
+    * Scale shape: the per-(doc, gram) reduce happens BEFORE any gram-wide
+    * work, and the gram-level document count is a count-over-window on
+    * that already-distinct-per-doc frame — NOT a self-join (which would
+    * compute the explode+aggregate twice unless exchange reuse happens to
+    * fire, and would tempt the planner into broadcasting a corpus-sized
+    * gram aggregate). One scan, three exchanges ((doc,gram) → gram →
+    * doc), each over aggregated rows, never over raw window explosions.
+    * Stop-gram skew (a boilerplate k-gram in millions of docs) stays
+    * bounded: the window partition holds one row per (doc, gram), not
+    * per occurrence.
+    */
+  def repeatedSpanCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val wins = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.wordShinglesAll(col(textCol), k)).as("gram"))
+    val dg = wins.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    dg.withColumn("nd", count(lit(1)).over(byGram))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_windows"),
+        sum(when(col("nd") >= minDocs, col("c")).otherwise(0L)).as("dup_windows"))
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        col("dup_windows"),
+        (col("dup_windows").cast("double") / col("n_windows")).as("dup_frac"))
+  }
+
   /** SimHash near-dup pairs: block-key candidates → exact hamming check. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val s = simHash(docs, idCol, textCol)

@@ -86,6 +86,33 @@ object Sampling {
       .filter(col("u") < col("keep_p"))
   }
 
+  /** Deterministic global shuffle — training-example randomization as a
+    * pure function of (key, seed): order key = md5 of the salted key,
+    * shard = the order key's first `hexChars` hex chars, position = rank
+    * within shard. The scale shape: NO single-partition global sort —
+    * shards are hash-uniform slices of the md5 keyspace, so `hexChars`
+    * sets the fan-out (16^hexChars shards) and each shard's row_number
+    * window sorts ~N/shards rows in parallel. The total order is
+    * (shard, pos) lexicographic and reproducible across runs,
+    * partitionings, retries, and engines (the x8 oracle replays it as
+    * plain SQL). At 100 TB: raise hexChars (4 → 65 536 shards), write
+    * one file per shard — a reader streaming shards in key order sees a
+    * fully shuffled corpus without any epoch-time shuffle at all. */
+  def globalShuffle(
+      df: DataFrame,
+      keyCol: String,
+      seed: Long = 42L,
+      hexChars: Int = 1
+  ): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
+    val okey = md5(concat(col(keyCol).cast("string"), lit(s"|gs$seed")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("okey"), col(keyCol))
+    df.withColumn("okey", okey)
+      .withColumn("shard", substring(col("okey"), 1, hexChars))
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** Stratified downsample: per-stratum keep fraction, deterministic by key
     * hash (the hash is salted with the stratum so strata are independent). */
   def stratifiedByHash(

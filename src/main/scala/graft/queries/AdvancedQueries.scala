@@ -88,6 +88,15 @@ object AdvancedQueries {
           min("difficulty").as("min_difficulty"),
           max("difficulty").as("max_difficulty"))
     }),
+    "x8_global_shuffle" -> ((s, d) => {
+      // deterministic training-data shuffle: every doc gets a reproducible
+      // (shard, pos) address in a fully shuffled global order — md5 order
+      // key, hex-prefix shard, per-shard rank. 16 shards here; at 100 TB
+      // the same plan runs with 65 536 shards and one output file each,
+      // so no epoch-time shuffle is ever needed (readers stream shards).
+      Sampling.globalShuffle(Tables(s, d).documents, "doc_id")
+        .select("doc_id", "okey", "shard", "pos")
+    }),
     "x3_pack_sequences" -> ((s, d) => {
       // LLM training-sequence packing: docs fill 512-token bins per source
       // (offset-based first-fit — a pure window function, so deterministic,
@@ -271,6 +280,14 @@ object AdvancedQueries {
         |  min(difficulty) AS min_difficulty,
         |  max(difficulty) AS max_difficulty
         |FROM a GROUP BY 1""".stripMargin,
+    "x8_global_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|gs42') AS okey
+        |  FROM documents)
+        |SELECT doc_id, okey, substr(okey, 1, 1) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY substr(okey, 1, 1)
+        |    ORDER BY okey, doc_id) AS INTEGER) AS pos
+        |FROM s""".stripMargin,
     "x3_pack_sequences" ->
       """WITH d AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),

@@ -168,6 +168,15 @@ object DedupQueries {
       val train = docs.filter(col("doc_id") % 23 =!= 0)
       Dedup.contaminationSpans(train, bench, "doc_id", "text", n = 8)
     }),
+    "d10_repeated_spans" -> ((s, d) => {
+      // exact-substring duplication coverage (Lee et al. 2022): fraction
+      // of each doc's 5-token windows that appear verbatim in at least
+      // one OTHER document — the signal a pipeline uses to cut boilerplate
+      // and templated text before training. k=5 on this corpus yields a
+      // stable non-trivial dup set (71/500 docs at sf0.01).
+      Dedup.repeatedSpanCoverage(
+        Tables(s, d).documents, "doc_id", "text", k = 5)
+    }),
     "s1_knn_bruteforce" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -421,6 +430,21 @@ object DedupQueries {
         |train AS (SELECT * FROM sh WHERE doc_id % 23 <> 0)
         |SELECT t.doc_id, t.sh AS span
         |FROM train t JOIN bench b ON t.sh = b.sh""".stripMargin,
+    "d10_repeated_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 4, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS gram
+        |  FROM d),
+        |dg AS (SELECT doc_id, gram, count(*) AS c FROM wins GROUP BY 1, 2),
+        |g AS (SELECT gram, count(*) AS nd FROM dg GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_windows,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS BIGINT) AS dup_frac
+        |FROM dg JOIN g USING (gram) GROUP BY 1""".stripMargin,
     "s1_knn_bruteforce" -> s1OracleSql,
     "d8_semantic_dedup" -> d8OracleSql,
     "st10_stream_semantic_dedup" -> d8OracleSql,

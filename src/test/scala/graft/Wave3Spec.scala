@@ -385,4 +385,53 @@ class Wave3Spec extends SparkSpecBase {
     val kept = a.filter(!col("is_dup")).count()
     assert(kept > 0 && kept < emb.count())
   }
+
+  // ---- repeated-substring coverage (d10) -------------------------------
+
+  test("repeatedSpanCoverage marks exactly the cross-doc repeated windows") {
+    // docs 1 and 2 share the 5-gram "a b c d e" (doc 2 carries it twice);
+    // doc 3 shares nothing. Window counts: doc1 = 4 (8 tokens), doc2 = 7
+    // (11 tokens), doc3 = 1 (short doc -> whole-text window).
+    val docs = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "q a b c d e a b c d e"),
+      (3L, "u v w")
+    ).toDF("doc_id", "text")
+    val r = Dedup.repeatedSpanCoverage(docs, "doc_id", "text", k = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((4L, 1L)))  // only "a b c d e" is cross-doc
+    assert(r(2L) == ((7L, 2L)))  // both occurrences of the shared gram
+    assert(r(3L) == ((1L, 0L)))  // short doc: one whole-text window, unique
+  }
+
+  test("repeatedSpanCoverage is partitioning-independent") {
+    val docs = Tables(spark, Sf0001).documents
+    val a = Dedup.repeatedSpanCoverage(docs, "doc_id", "text", k = 5)
+    val b = Dedup.repeatedSpanCoverage(docs.repartition(7), "doc_id", "text", k = 5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.agg(sum("dup_windows")).head().getLong(0) > 0,
+      "no cross-doc repeats found at k=5 — query is signal-free")
+  }
+
+  // ---- deterministic global shuffle (x8) -------------------------------
+
+  test("globalShuffle gives every row a unique stable (shard, pos) address") {
+    val docs = Tables(spark, Sf0001).documents
+    val a = Sampling.globalShuffle(docs, "doc_id").select("doc_id", "shard", "pos")
+    val b = Sampling.globalShuffle(docs.repartition(7), "doc_id")
+      .select("doc_id", "shard", "pos")
+    // pure function of (key, seed): identical addresses on any partitioning
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // bijection: (shard, pos) collides never; pos is 1..n_shard contiguous
+    val n = docs.count()
+    assert(a.select("shard", "pos").distinct().count() == n)
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+    assert(perShard.filter(col("lo") =!= 1 || col("hi") =!= col("n")).isEmpty)
+    // the md5 order decorrelates from doc_id order: within any shard, the
+    // doc_ids adjacent in shuffle order are far apart in id order
+    val disorder = a.filter(col("shard") === "0").orderBy("pos")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(disorder != disorder.sorted, "shuffle order tracks id order")
+  }
 }
