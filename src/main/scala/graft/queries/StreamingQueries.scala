@@ -19,7 +19,11 @@ object StreamingQueries {
     "st7_stream_join" -> ((s, d) => StreamingJobs.purchaseClickAttribution(s, d)),
     "st9_stream_decontaminate" -> ((s, d) =>
       // d9's screen at ingest time: stream-static broadcast join, stateless
-      StreamingJobs.streamingDecontamination(s, d))
+      StreamingJobs.streamingDecontamination(s, d)),
+    "st11_stream_exact_dedup" -> ((s, d) =>
+      // u4's exact dedup at ingest time: O(1) state per fingerprint,
+      // min-id-in-batch / first-seen-across-batches keeper rule
+      StreamingJobs.streamingExactDedup(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -53,6 +57,11 @@ object StreamingQueries {
         |t AS (SELECT vec_id, v FROM e WHERE vec_id % 23 <> 0)
         |SELECT t.vec_id, b.bench_id
         |FROM t CROSS JOIN b
-        |WHERE list_cosine_similarity(t.v, b.bv) >= 0.4""".stripMargin
+        |WHERE list_cosine_similarity(t.v, b.bv) >= 0.4""".stripMargin,
+    // one corpus-sized microbatch -> the stateful stream's cumulative
+    // (keeper, count) frame equals the batch dedup oracle (u4's SQL)
+    "st11_stream_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

@@ -333,6 +333,52 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** ST11: ingest-time EXACT dedup — u4's fingerprint dedup as a stateful
+    * stream. Keyed on the content fingerprint, flatMapGroupsWithState
+    * keeps one keeper per fingerprint: min-id within a microbatch (groups
+    * sorted before the state scan, st10's determinism recipe), first-seen
+    * across microbatches (an ingest pipeline cannot retroactively unkeep
+    * a document it already admitted). Each batch-with-arrivals emits the
+    * cumulative (keeper, count) row — with the whole corpus in one
+    * microbatch that frame is EXACTLY u4's batch oracle. State per key is
+    * (keep_id, cnt): O(1), the smallest possible dedup state — at 100 TB
+    * the state store shards by fingerprint hash, and the per-key payload
+    * never grows with duplicates. */
+  def streamingExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(
+        md5(lower(trim(col("text")))).as[String],
+        col("doc_id").as[Long])
+
+    def fn(fp: String, rows: Iterator[(String, Long)],
+           state: GroupState[(Long, Long)]): Iterator[(String, Long, Long)] = {
+      val ids = rows.map(_._2).toArray.sorted
+      val (keeper, total) = state.getOption match {
+        case Some((keep, cnt)) => (keep, cnt + ids.length)
+        case None              => (ids.head, ids.length.toLong)
+      }
+      state.update((keeper, total))
+      Iterator.single((fp, keeper, total))
+    }
+
+    val deduped = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("fp", "keep_id", "dup_cnt")
+    val name = s"exactdedup_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** ST7: per-source freshness monitor — each source's newest processed
     * timestamp vs its SLA (sensor semantics, batch-evaluated against an
     * injected clock). One tiny agg per source, unioned. */

@@ -314,6 +314,49 @@ class Wave3Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // ---- ingest-time exact dedup (st11) ------------------------------------
+
+  test("streaming exact dedup equals the batch fingerprint dedup on one microbatch") {
+    val streamed = StreamingJobs.streamingExactDedup(spark, Sf0001)
+    val batch = Tables(spark, Sf0001).documents
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming exact dedup keeper is first-seen across microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ms = MemoryStream[(String, Long)](spark)
+    def fn(fp: String, rows: Iterator[(String, Long)],
+           state: GroupState[(Long, Long)]): Iterator[(String, Long, Long)] = {
+      val ids = rows.map(_._2).toArray.sorted
+      val (keeper, total) = state.getOption match {
+        case Some((keep, cnt)) => (keep, cnt + ids.length)
+        case None              => (ids.head, ids.length.toLong)
+      }
+      state.update((keeper, total))
+      Iterator.single((fp, keeper, total))
+    }
+    val deduped = ms.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("fp", "keep_id", "dup_cnt")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("exactdedup_xbatch").start()
+    try {
+      // batch 1: ids 7 and 4 share a fingerprint -> keeper = 4 (min in batch)
+      ms.addData(("A", 7L), ("A", 4L), ("B", 9L))
+      q.processAllAvailable()
+      // batch 2: id 1 arrives for A — LOWER than the admitted keeper, but
+      // ingest already happened: keeper stays 4 (first-seen), count grows
+      ms.addData(("A", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("exactdedup_xbatch").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("A", 4L, 2L), ("B", 9L, 1L), ("A", 4L, 3L)))
+    } finally q.stop()
+  }
+
   // ---- learned BPE -------------------------------------------------------
 
   test("BPE trainer reproduces the classic Sennrich merge sequence") {
