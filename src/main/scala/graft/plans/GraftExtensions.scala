@@ -75,5 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(t, w) => RollingFingerprint(t, literalInt(w, "rolling_fingerprint window"))
       case other => throw new IllegalArgumentException(s"rolling_fingerprint expects 2 arguments, got ${other.length}")
     }
+    register(ext, "deflate_size",
+      "deflate_size(text[, level]) - deflate-compressed byte count (compression-ratio quality signal)") {
+      case Seq(t) => DeflateSize(t, 6)
+      case Seq(t, l) => DeflateSize(t, literalInt(l, "deflate_size level"))
+      case other => throw new IllegalArgumentException(s"deflate_size expects 1-2 arguments, got ${other.length}")
+    }
   }
 }

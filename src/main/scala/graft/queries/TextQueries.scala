@@ -128,6 +128,18 @@ object TextQueries {
           round(element_at(col("features"), 3) * 255).cast("int").as("mean_b")
         )
     }),
+    "t14_compression_ratio" -> ((s, d) => {
+      // compression-ratio quality signal (model-free redundancy detector:
+      // templated/boilerplate text deflates far below natural prose, noise
+      // barely deflates). Deflate output has no SQL-engine twin -> rows-only
+      // check; ordering + determinism are spec-asserted in Wave3Spec.
+      val csize = graft.plans.DeflateSize.deflate_size(col("text"))
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        col("n_chars"),
+        csize.as("deflate_bytes"),
+        (csize.cast("double") / greatest(col("n_chars"), lit(1))).as("compression_ratio"))
+    }),
     "t13_bpe_learned" -> ((s, d) => {
       // BPE with merges LEARNED from this corpus (operators/Bpe): one
       // distributed word-histogram job trains 200 merges on the top-5000

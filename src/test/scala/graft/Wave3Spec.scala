@@ -357,6 +357,38 @@ class Wave3Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // ---- compression-ratio quality signal (t14) ----------------------------
+
+  test("deflate_size ranks repetitive text below prose below noise") {
+    val rep = "spam spam spam " * 50                      // highly repetitive
+    val prose = Tables(spark, Sf0001).documents
+      .orderBy("doc_id").select("text").as[String].head()
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(750)((rnd.nextInt(94) + 33).toChar).mkString
+    val df = Seq((1L, rep), (2L, noise)).toDF("id", "t")
+      .select(col("id"), graft.plans.DeflateSize.deflate_size(col("t")).as("c"),
+        length(col("t")).as("n"))
+    val m = df.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val (repC, repN) = m(1L); val (noiseC, noiseN) = m(2L)
+    assert(repC.toDouble / repN < 0.05, s"repetitive text should crush: $repC/$repN")
+    assert(noiseC.toDouble / noiseN > 0.8, s"noise should not compress: $noiseC/$noiseN")
+    val proseC = graft.plans.DeflateSize.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(prose), 6)
+    val proseRatio = proseC.toDouble / prose.length
+    assert(proseRatio > repC.toDouble / repN && proseRatio < noiseC.toDouble / noiseN)
+  }
+
+  test("deflate_size is deterministic, partitioning-independent, and SQL-registered") {
+    val docs = Tables(spark, Sf0001).documents
+    val a = docs.select(col("doc_id"), graft.plans.DeflateSize.deflate_size(col("text")).as("c"))
+    val b = docs.repartition(7)
+      .select(col("doc_id"), graft.plans.DeflateSize.deflate_size(col("text")).as("c"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    docs.createOrReplaceTempView("t14docs")
+    val viaSql = spark.sql("SELECT doc_id, deflate_size(text) AS c FROM t14docs")
+    assert(a.exceptAll(viaSql).isEmpty && viaSql.exceptAll(a).isEmpty)
+  }
+
   // ---- learned BPE -------------------------------------------------------
 
   test("BPE trainer reproduces the classic Sennrich merge sequence") {
