@@ -286,6 +286,43 @@ object Dedup {
       .select(col("doc_id"), col("sh").as("span"))
   }
 
+  /** Bloom-filter contamination screen — the 100 TB shape of
+    * [[contaminationScores]] when the eval corpus is too large to
+    * broadcast as an exact distinct set: the benchmark shingles fold into
+    * a FIXED-SIZE Bloom filter (built distributed via treeAggregate
+    * inside `stat.bloomFilter`, a few MB at fpp=1% regardless of corpus
+    * size), and the train side probes it map-side through a plan-side
+    * reference object — no join at all, just a filterless scan + one
+    * aggregation exchange. One-sided error: a leaked span is NEVER
+    * missed; over-flagging is bounded by fpp and cleaned up by an exact
+    * second pass over the (tiny) flagged subset if needed. The d7c query
+    * is rows-only (Bloom hashes have no SQL twin); the no-false-negative
+    * and bounded-FPR properties are differentially spec-asserted against
+    * the exact screen. */
+  def contaminationScoresBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val bSh = shingles(bench, idCol, textCol, n).select("sh")
+    val expected = math.max(bSh.count(), 1L)
+    val bf = bSh.stat.bloomFilter("sh", expected, fpp)
+    val hit = graft.plans.SketchExpressions.might_contain(col("sh"), bf)
+    shingles(train, idCol, textCol, n)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(hit, 1L).otherwise(0L)).as("hits"))
+      .select(
+        col("doc_id"),
+        col("n_sh"),
+        col("hits"),
+        (col("hits").cast("double") / col("n_sh")).as("contamination"))
+  }
+
   /** Cross-document repeated-substring coverage — the exact-substring
     * duplication signal of Lee et al. 2022 ("Deduplicating Training Data
     * Makes Language Models Better"), re-expressed Spark-first: instead of

@@ -168,6 +168,16 @@ object DedupQueries {
       val train = docs.filter(col("doc_id") % 23 =!= 0)
       Dedup.contaminationSpans(train, bench, "doc_id", "text", n = 8)
     }),
+    "d7c_decontamination_bloom" -> ((s, d) => {
+      // d7's screen probed through a fixed-size Bloom filter instead of a
+      // broadcast exact set — the shape that survives an eval corpus too
+      // big to broadcast. Rows-only (Bloom hashes have no SQL twin); the
+      // superset-of-exact-hits + bounded-FPR contract is spec-asserted.
+      val docs = Tables(s, d).documents
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val train = docs.filter(col("doc_id") % 23 =!= 0)
+      Dedup.contaminationScoresBloom(train, bench, "doc_id", "text", n = 3)
+    }),
     "d10_repeated_spans" -> ((s, d) => {
       // exact-substring duplication coverage (Lee et al. 2022): fraction
       // of each doc's 5-token windows that appear verbatim in at least

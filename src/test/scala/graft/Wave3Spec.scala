@@ -357,6 +357,30 @@ class Wave3Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // ---- Bloom-filter contamination screen (d7c) ---------------------------
+
+  test("bloom screen never misses an exact hit and over-flags within fpp bounds") {
+    val docs = Tables(spark, Sf0001).documents
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val exact = Dedup.contaminationScores(train, bench, "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("n_sh"), col("hits").as("exact_hits"))
+    val bloom = Dedup.contaminationScoresBloom(train, bench, "doc_id", "text", n = 3, fpp = 0.01)
+      .select(col("doc_id"), col("hits").as("bloom_hits"))
+    val j = exact.join(bloom, "doc_id").cache()
+    try {
+      // one-sided error: bloom hits are a superset of exact hits per doc
+      assert(j.filter(col("bloom_hits") < col("exact_hits")).isEmpty,
+        "bloom screen missed an exact contamination hit (false negative)")
+      // over-flag rate across all probed shingles stays near the configured fpp
+      val agg = j.agg(
+        sum(col("bloom_hits") - col("exact_hits")).as("fp"),
+        sum(col("n_sh") - col("exact_hits")).as("clean")).head()
+      val fpr = agg.getLong(0).toDouble / math.max(agg.getLong(1), 1L)
+      assert(fpr <= 0.05, s"false-positive rate $fpr far above configured fpp=0.01")
+    } finally j.unpersist()
+  }
+
   // ---- compression-ratio quality signal (t14) ----------------------------
 
   test("deflate_size ranks repetitive text below prose below noise") {
