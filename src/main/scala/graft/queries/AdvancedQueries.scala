@@ -61,6 +61,53 @@ object AdvancedQueries {
           (col("tokens").cast("double") / col("total")).as("share"),
           least(lit(1.0), col("total").cast("double") / col("n_sources") / col("tokens")).as("rate"))
     }),
+    "x5b_temperature_mixture" -> ((s, d) => {
+      // mT5-style temperature sampling (Xue et al. 2021, §3.1): source
+      // pick-probability ∝ share^alpha (alpha=0.3 upweights low-resource
+      // sources), then the per-source sampling rate that realizes the
+      // target mixture, normalized so the largest rate is 1.0 (no source
+      // oversamples). Same 5-row-aggregate window shape as x5 — the
+      // corpus is touched once, for the token counts.
+      val alpha = 0.3
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables(s, d).documents
+        .groupBy("source")
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
+        .withColumn("total", sum("tokens").over(w))
+        .withColumn("share", col("tokens").cast("double") / col("total"))
+        .withColumn("p_temp",
+          pow(col("share"), alpha) / sum(pow(col("share"), alpha)).over(w))
+        .withColumn("rel_rate", col("p_temp") / col("share"))
+        .withColumn("rate", col("rel_rate") / max(col("rel_rate")).over(w))
+        // pow() is not correctly-rounded and differs in the last bit
+        // between JVM and C runtimes; 12-dp rounding (both engines) makes
+        // the derived ratios hash-stable without hiding real error
+        .select(col("source"), col("tokens"), col("share"),
+          round(col("p_temp"), 12).as("p_temp"), round(col("rate"), 12).as("rate"))
+    }),
+    "t7b_pii_spans" -> ((s, d) => {
+      // PII audit report — the reviewable twin of t7's redaction: WHICH
+      // spans matched, per doc and type. The corpus carries no PII, so the
+      // spans are constructed deterministically from doc_id (m2's
+      // synthetic-ground-truth recipe) and must round-trip through the
+      // extraction regexes exactly; the oracle replays the construction.
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val seeded = Tables(s, d).documents.select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          format_string("%03d", col("doc_id") % 1000), lit("-555-"),
+          format_string("%04d", col("doc_id") % 10000)).as("text"))
+      seeded.select(
+        col("doc_id"),
+        explode(array(
+          struct(lit("email").as("pii_type"),
+            regexp_extract_all(col("text"), lit(email), lit(0)).as("spans")),
+          struct(lit("phone").as("pii_type"),
+            regexp_extract_all(col("text"), lit(phone), lit(0)).as("spans")))).as("x"))
+        .select(col("doc_id"), col("x.pii_type"), explode(col("x.spans")).as("span"))
+    }),
     "x7_quantile_shards" -> ((s, d) => {
       // curriculum sharding done scale-right: quartile cut points of the
       // difficulty score come from ONE aggregate row broadcast back, and
@@ -280,6 +327,38 @@ object AdvancedQueries {
         |  min(difficulty) AS min_difficulty,
         |  max(difficulty) AS max_difficulty
         |FROM a GROUP BY 1""".stripMargin,
+    "x5b_temperature_mixture" ->
+      """WITH t AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (
+        |  SELECT source, tokens,
+        |    CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS BIGINT) AS share
+        |  FROM t),
+        |p AS (
+        |  SELECT source, tokens, share,
+        |    pow(share, 0.3) / sum(pow(share, 0.3)) OVER () AS p_temp
+        |  FROM s),
+        |r AS (SELECT *, p_temp / share AS rel_rate FROM p)
+        |SELECT source, tokens, share, round(p_temp, 12) AS p_temp,
+        |  round(rel_rate / max(rel_rate) OVER (), 12) AS rate
+        |FROM r""".stripMargin,
+    "t7b_pii_spans" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, 'email' AS pii_type,
+        |    regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS spans
+        |  FROM seeded
+        |  UNION ALL
+        |  SELECT doc_id, 'phone' AS pii_type,
+        |    regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b') AS spans
+        |  FROM seeded)
+        |SELECT doc_id, pii_type, unnest(spans) AS span FROM x""".stripMargin,
     "x8_global_shuffle" ->
       """WITH s AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|gs42') AS okey
