@@ -134,4 +134,43 @@ class PhysicalLayoutSpec extends SparkSpecBase {
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 4,
       s"unexpected extra corpus exchange:\n${plan.take(3000)}")
   }
+
+  test("repeated-span coverage is one scan, no join, bounded exchanges (d10)") {
+    val out = graft.operators.Dedup.repeatedSpanCoverage(
+      Tables(spark, Sf0001).documents, "doc_id", "text", k = 5)
+    val plan = physicalPlan(out)
+    // the gram-level doc count is a count-over-window on the reduced
+    // (doc, gram) frame — a self-join would scan+explode the corpus twice
+    // and tempt a corpus-sized broadcast
+    assert(!plan.contains("Join"), s"self-join leaked into d10:\n${plan.take(3000)}")
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"corpus scanned more than once:\n${plan.take(3000)}")
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 3,
+      s"more than (doc,gram)->gram->doc exchanges:\n${plan.take(3000)}")
+  }
+
+  test("global shuffle sorts per shard, never in one partition (x8)") {
+    val out = graft.operators.Sampling.globalShuffle(
+      Tables(spark, Sf0001).documents, "doc_id")
+    val plan = physicalPlan(out)
+    // the rank window partitions by shard — a global-order window would
+    // show Exchange SinglePartition and serialize the corpus
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition sort leaked into x8:\n${plan.take(3000)}")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"x8 should exchange exactly once (on shard):\n${plan.take(3000)}")
+  }
+
+  test("bloom screen probes map-side: no join, one aggregation exchange (d7c)") {
+    val docs = Tables(spark, Sf0001).documents
+    val out = graft.operators.Dedup.contaminationScoresBloom(
+      docs.filter(col("doc_id") % 23 =!= 0), docs.filter(col("doc_id") % 23 === 0),
+      "doc_id", "text", n = 3)
+    val plan = physicalPlan(out)
+    // the bench set rides inside the BloomMightContain expression — the
+    // train side must not join or broadcast-exchange anything
+    assert(!plan.contains("Join"), s"join leaked into the bloom screen:\n${plan.take(3000)}")
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"bloom screen should exchange exactly once (doc agg):\n${plan.take(3000)}")
+  }
 }
