@@ -367,6 +367,49 @@ object Dedup {
         (col("dup_windows").cast("double") / col("n_windows")).as("dup_frac"))
   }
 
+  /** Longest cross-document repeated span per document — the criterion
+    * Lee et al. 2022 actually CUT on (remove/trim spans of ≥ N tokens
+    * that appear verbatim elsewhere), computed without a suffix array:
+    * mark each k-token window whose gram occurs in ≥ `minDocs` docs,
+    * then a gaps-and-islands window (pos − row_number over pos) turns
+    * consecutive dup windows into runs; a run of r windows is a repeated
+    * span of r + k − 1 tokens. Docs with no dup windows report 0.
+    *
+    * Scale shape: gram-level doc counts come from the distinct
+    * (doc, gram) aggregate; the occurrence frame exchanges once on gram
+    * to pick up the dup flag (inner join against the REDUCED gram
+    * aggregate — at 100 TB this is sort-merge over co-partitioned
+    * aggregates, never a corpus broadcast), once on doc for the run
+    * window. Every window sees one row per window occurrence; no
+    * all-pairs structure anywhere. */
+  def longestDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minDocs: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(TextFunctions.wordShinglesAll(col(textCol), k)).as(Seq("pos", "gram")))
+    val g = wins.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val dup = wins.join(g, Seq("gram"))
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(byDocPos))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id").agg(max("run_len").as("max_run"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("max_run") + (k - 1), lit(0L)).as("longest_dup_span_tokens"))
+  }
+
   /** SimHash near-dup pairs: block-key candidates → exact hamming check. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val s = simHash(docs, idCol, textCol)

@@ -187,6 +187,12 @@ object DedupQueries {
       Dedup.repeatedSpanCoverage(
         Tables(s, d).documents, "doc_id", "text", k = 5)
     }),
+    "d10b_longest_dup_span" -> ((s, d) => {
+      // the span-removal criterion: longest verbatim cross-doc repeat per
+      // doc in tokens (run of consecutive dup 5-gram windows + 4); docs
+      // below a cut threshold (e.g. 50 tokens) would pass untouched
+      Dedup.longestDupSpans(Tables(s, d).documents, "doc_id", "text", k = 5)
+    }),
     "s1_knn_bruteforce" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -455,6 +461,28 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(c) AS BIGINT) AS dup_frac
         |FROM dg JOIN g USING (gram) GROUP BY 1""".stripMargin,
+    "d10b_longest_dup_span" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 4, 1) + 1),
+        |    i -> struct_pack(pos := i,
+        |      gram := concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS s
+        |  FROM d),
+        |w2 AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM wins),
+        |g AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM w2)
+        |  GROUP BY gram HAVING count(*) >= 2),
+        |dup AS (SELECT w2.doc_id, pos FROM w2 JOIN g USING (gram)),
+        |runs AS (
+        |  SELECT doc_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup),
+        |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp),
+        |m AS (SELECT doc_id, max(run_len) AS max_run FROM rl GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  CAST(COALESCE(m.max_run + 4, 0) AS BIGINT) AS longest_dup_span_tokens
+        |FROM documents doc LEFT JOIN m USING (doc_id)""".stripMargin,
     "s1_knn_bruteforce" -> s1OracleSql,
     "d8_semantic_dedup" -> d8OracleSql,
     "st10_stream_semantic_dedup" -> d8OracleSql,

@@ -512,6 +512,31 @@ class Wave3Spec extends SparkSpecBase {
       "no cross-doc repeats found at k=5 — query is signal-free")
   }
 
+  test("longestDupSpans finds the maximal shared run, not just any window") {
+    // docs 1 and 2 share the 7-token substring "a b c d e f g": three
+    // consecutive dup 5-gram windows -> run 3 -> 3 + 4 = 7 tokens
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f g z"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val r = Dedup.longestDupSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 7L, 2L -> 7L, 3L -> 0L))
+  }
+
+  test("longestDupSpans agrees with repeatedSpanCoverage on who has dups") {
+    val docs = Tables(spark, Sf0001).documents
+    val spans = Dedup.longestDupSpans(docs, "doc_id", "text", k = 5)
+    val cov = Dedup.repeatedSpanCoverage(docs, "doc_id", "text", k = 5)
+    val joined = spans.join(cov, "doc_id")
+    assert(joined.filter(
+      (col("longest_dup_span_tokens") > 0) =!= (col("dup_windows") > 0)).isEmpty,
+      "span detector and coverage detector disagree on dup membership")
+    val b = Dedup.longestDupSpans(docs.repartition(7), "doc_id", "text", k = 5)
+    assert(spans.exceptAll(b).isEmpty && b.exceptAll(spans).isEmpty)
+  }
+
   // ---- deterministic global shuffle (x8) -------------------------------
 
   test("globalShuffle gives every row a unique stable (shard, pos) address") {
