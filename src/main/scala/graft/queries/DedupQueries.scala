@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Graph, Similarity}
+import graft.operators.{Dedup, Graph, Sampling, Similarity}
 import graft.plans.VectorExpressions.{vector_dot, vector_normalize}
 
 /** Deduplication + similarity-search operators over `documents` and
@@ -186,6 +186,20 @@ object DedupQueries {
       // stable non-trivial dup set (71/500 docs at sf0.01).
       Dedup.repeatedSpanCoverage(
         Tables(s, d).documents, "doc_id", "text", k = 5)
+    }),
+    "x9_leakage_safe_split" -> ((s, d) => {
+      // dedup-aware train/test split: the split key is the near-dup
+      // CLUSTER, not the document — so a doc and its near-duplicates can
+      // never straddle train/test (the eval-leakage failure mode of
+      // naive per-doc splitting). Split membership stays a pure function
+      // of (cluster_id, seed): no distinct/join, just the portable md5
+      // threshold applied to the cluster column.
+      val docs = Tables(s, d).documents
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      val cc = Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      Sampling.hashSplitPortable(cc, "cluster_id", Seq("train" -> 0.8, "test" -> 0.2))
+        .select("doc_id", "cluster_id", "split")
     }),
     "d10b_longest_dup_span" -> ((s, d) => {
       // the span-removal criterion: longest verbatim cross-doc repeat per
@@ -461,6 +475,37 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(c) AS BIGINT) AS dup_frac
         |FROM dg JOIN g USING (gram) GROUP BY 1""".stripMargin,
+    "x9_leakage_safe_split" ->
+      """WITH RECURSIVE
+        |docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.doc_id
+        |  JOIN sizes sb ON i.id_b = sb.doc_id
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= CAST(0.5 AS DOUBLE)),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR) || '|42'), 1, 4) < 'cccd'
+        |    THEN 'train' ELSE 'test' END AS split
+        |FROM cl""".stripMargin,
     "d10b_longest_dup_span" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |wins AS (

@@ -537,6 +537,26 @@ class Wave3Spec extends SparkSpecBase {
     assert(spans.exceptAll(b).isEmpty && b.exceptAll(spans).isEmpty)
   }
 
+  test("leakage-safe split never separates a near-dup pair") {
+    val docs = Tables(spark, Sf0001).documents
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+    val cc = graft.operators.Graph.connectedComponents(
+      docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val split = Sampling.hashSplitPortable(cc, "cluster_id", Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split")
+    val straddle = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+      .join(split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(pairs.count() > 0, "no near-dup pairs — co-travel assertion is vacuous")
+    assert(straddle.isEmpty, "a near-dup pair straddles train/test")
+    // both splits are populated (cluster-level hash still realizes ~80/20)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "test") && counts("train") > counts("test"))
+  }
+
   // ---- deterministic global shuffle (x8) -------------------------------
 
   test("globalShuffle gives every row a unique stable (shard, pos) address") {
