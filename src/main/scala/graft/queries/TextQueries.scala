@@ -140,6 +140,30 @@ object TextQueries {
         csize.as("deflate_bytes"),
         (csize.cast("double") / greatest(col("n_chars"), lit(1))).as("compression_ratio"))
     }),
+    "t15_chunking" -> ((s, d) => {
+      // RAG/embedding-pipeline document chunking: fixed 64-token windows
+      // on a 48-token stride (16-token overlap), purely declarative —
+      // sequence() of chunk starts + posexplode + slice, all codegen'd
+      // array ops, no per-doc loops. One row per (doc, chunk); the last
+      // chunk is the natural remainder, and a chunk only exists if it
+      // contributes tokens beyond the overlap (start <= n - overlap - 1),
+      // so no chunk is fully contained in its predecessor.
+      val chunkLen = 64
+      val stride = 48 // overlap = chunkLen - stride = 16
+      val toks = split(col("text"), " ", -1)
+      Tables(s, d).documents
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(0),
+            greatest(size(col("w")) - (chunkLen - stride) - 1, lit(0)), lit(stride)))
+            .as(Seq("chunk_idx", "start")),
+          col("w"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          size(slice(col("w"), col("start") + 1, lit(chunkLen))).as("n_chunk_tokens"),
+          concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkLen))).as("chunk_text"))
+    }),
     "t13_bpe_learned" -> ((s, d) => {
       // BPE with merges LEARNED from this corpus (operators/Bpe): one
       // distributed word-histogram job trains 200 merges on the top-5000
@@ -240,6 +264,18 @@ object TextQueries {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top2_frac,
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_frac
         |FROM c GROUP BY 1""".stripMargin,
+    "t15_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, unnest(list_transform(
+        |    range(0, greatest(len(w) - 16, 1), 48),
+        |    st -> struct_pack(idx := st // 48, s := st))) AS ch
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(ch.idx AS INTEGER) AS chunk_idx,
+        |  CAST(least(ch.s + 64, len(w)) - ch.s AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(w[ch.s + 1 : least(ch.s + 64, len(w))], ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

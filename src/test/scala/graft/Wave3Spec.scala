@@ -381,6 +381,31 @@ class Wave3Spec extends SparkSpecBase {
     } finally j.unpersist()
   }
 
+  // ---- document chunking (t15) -------------------------------------------
+
+  test("chunking tiles the doc: 16-token overlap, full coverage, no contained chunks") {
+    val words = (1 to 120).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, (1 to 10).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.queries.TextQueries.queries("t15_chunking")(spark, Sf0001) // shape only
+    val q = docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 17, lit(0)), lit(48)))
+          .as(Seq("chunk_idx", "start")), col("w"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("w"), col("start") + 1, lit(64)).as("ct"))
+      .collect().groupBy(_.getLong(0))
+    val d1 = q(1L).sortBy(_.getInt(1)).map(_.getSeq[String](2))
+    assert(d1.map(_.length).toSeq == Seq(64, 64, 24)) // starts 0, 48, 96
+    assert(d1(0).takeRight(16) == d1(1).take(16), "adjacent chunks must share the overlap")
+    // stitching chunks (dropping each successor's overlap) reconstructs the doc
+    val stitched = d1.head ++ d1.tail.flatMap(_.drop(16))
+    assert(stitched.toSeq == words)
+    assert(q(2L).map(_.getSeq[String](2)).toSeq == Seq((1 to 10).map(i => s"v$i")))
+    assert(chunks.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"))
+  }
+
   // ---- compression-ratio quality signal (t14) ----------------------------
 
   test("deflate_size ranks repetitive text below prose below noise") {
