@@ -144,6 +144,27 @@ object AdvancedQueries {
       Sampling.globalShuffle(Tables(s, d).documents, "doc_id")
         .select("doc_id", "okey", "shard", "pos")
     }),
+    "x7b_quantile_shards_approx" -> ((s, d) => {
+      // x7's 100 TB path made concrete: the quartile cuts come from
+      // approx_percentile (KLL-style mergeable sketch — one pass, fixed
+      // memory, no exact-percentile sort buffer), shard assignment stays
+      // the same map-side comparison. Sketch results have no SQL twin ->
+      // rows-only; Wave3Spec bounds the shard-size deviation vs exact x7.
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        (col("n_chars").cast("double") /
+          TextFunctions.tokenCount(col("text"))).as("difficulty"))
+      val cuts = docs.agg(
+        expr("approx_percentile(difficulty, array(0.25D, 0.5D, 0.75D), 10000)").as("q"))
+      docs.crossJoin(broadcast(cuts))
+        .withColumn("shard",
+          when(col("difficulty") <= element_at(col("q"), 1), 0)
+            .when(col("difficulty") <= element_at(col("q"), 2), 1)
+            .when(col("difficulty") <= element_at(col("q"), 3), 2)
+            .otherwise(3))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "x3_pack_sequences" -> ((s, d) => {
       // LLM training-sequence packing: docs fill 512-token bins per source
       // (offset-based first-fit — a pure window function, so deterministic,

@@ -381,6 +381,21 @@ class Wave3Spec extends SparkSpecBase {
     } finally j.unpersist()
   }
 
+  // ---- approx curriculum sharding (x7b) ------------------------------------
+
+  test("approx-percentile shards deviate from exact quartiles within sketch tolerance") {
+    val approx = graft.queries.AdvancedQueries.queries("x7b_quantile_shards_approx")(spark, Sf0001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = Tables(spark, Sf0001).documents.count()
+    assert(approx.keySet == Set(0, 1, 2, 3))
+    assert(approx.values.sum == n)
+    // at accuracy=10000 the rank error is ~n/10000 << 5% of a quartile
+    approx.values.foreach { c =>
+      assert(math.abs(c - n / 4.0) <= math.max(0.05 * n / 4.0, 2.0),
+        s"shard sizes $approx deviate from quartiles of $n")
+    }
+  }
+
   // ---- document chunking (t15) -------------------------------------------
 
   test("chunking tiles the doc: 16-token overlap, full coverage, no contained chunks") {
