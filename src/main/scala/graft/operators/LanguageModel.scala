@@ -20,6 +20,35 @@ import graft.functions.TextFunctions
   */
 object LanguageModel {
 
+  /** Bigram-LM corpus typicality — t10's unigram signal upgraded to
+    * conditional probability: score each doc by the average log p(w2|w1)
+    * of its bigrams under the corpus's own bigram counts (c12 over the
+    * count of w1 as a non-final token). Self-trained on the scored corpus
+    * means every observed bigram has mass — no smoothing parameter to
+    * match across engines, so the score is fully SQL-replayable (12-dp
+    * rounding absorbs ln()/summation-order last-bit drift).
+    *
+    * Scale shape: bigram counts reduce on the gram key before anything
+    * else; the per-first-token totals come from a window over that
+    * REDUCED frame (vocab²-bounded, not corpus-bounded); the occurrence
+    * frame joins only the reduced counts (sort-merge on gram at scale,
+    * AQE demotes to broadcast when the vocab is small). No driver-side
+    * vocabulary, no collect. */
+  def bigramTypicality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.wordShinglesAll(col(textCol), 2)).as("g"))
+    val bg = bi.groupBy("g").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+    bi.join(bg, Seq("g"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c12").cast("double") / col("c1"))), 12).as("avg_logp"))
+  }
+
   /** Per-document corpus-typicality statistics, all integer-exact (counts
     * and single divisions), so results are engine-reproducible:
     * `n_tokens`, `sum_df` (sum of each token instance's corpus frequency),

@@ -69,6 +69,14 @@ object TextQueries {
       graft.operators.LanguageModel.corpusTypicality(
         Tables(s, d).documents, "doc_id", "text", topK = 1000)
     }),
+    "t16_bigram_lm" -> ((s, d) => {
+      // conditional-probability corpus typicality: avg log p(w2|w1) per
+      // doc under the corpus's own bigram counts — t10's signal with
+      // context. Self-training makes every bigram observed (no smoothing),
+      // so the whole score replays as SQL.
+      graft.operators.LanguageModel.bigramTypicality(
+        Tables(s, d).documents, "doc_id", "text")
+    }),
     "t12_normalize" -> ((s, d) => {
       // Unicode canonicalization (native codegen NormalizeText): NFC config
       // here because DuckDB's nfc_normalize can replay it — the NFKC default
@@ -245,6 +253,22 @@ object TextQueries {
         |  CAST(sum(oov) AS BIGINT) AS oov_cnt,
         |  CAST(CAST(sum(oov) AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
         |FROM j GROUP BY 1""".stripMargin,
+    "t16_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1]))) AS g
+        |  FROM d),
+        |bg AS (SELECT g, count(*) AS c12 FROM bi GROUP BY 1),
+        |bg2 AS (
+        |  SELECT g, c12,
+        |    sum(c12) OVER (PARTITION BY string_split(g, ' ')[1]) AS c1
+        |  FROM bg)
+        |SELECT doc_id,
+        |  count(*) AS n_bigrams,
+        |  round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 12) AS avg_logp
+        |FROM bi JOIN bg2 USING (g) GROUP BY 1""".stripMargin,
     "t12_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,

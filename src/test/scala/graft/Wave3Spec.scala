@@ -381,6 +381,20 @@ class Wave3Spec extends SparkSpecBase {
     } finally j.unpersist()
   }
 
+  // ---- bigram-LM typicality (t16) ------------------------------------------
+
+  test("bigram typicality scores deterministic continuations at 0, branching below") {
+    // docs 1/2: every bigram's first token has ONE continuation -> p=1,
+    // avg log p = 0. doc 3: "x" branches to "y" and "z" -> p=0.5 each
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "x y x z")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.LanguageModel.bigramTypicality(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) == 0.0 && r(2L) == 0.0)
+    assert(math.abs(r(3L) - math.log(0.5) * 2 / 3) < 1e-9)
+  }
+
   // ---- approx curriculum sharding (x7b) ------------------------------------
 
   test("approx-percentile shards deviate from exact quartiles within sketch tolerance") {
