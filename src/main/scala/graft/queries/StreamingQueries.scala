@@ -23,7 +23,11 @@ object StreamingQueries {
     "st11_stream_exact_dedup" -> ((s, d) =>
       // u4's exact dedup at ingest time: O(1) state per fingerprint,
       // min-id-in-batch / first-seen-across-batches keeper rule
-      StreamingJobs.streamingExactDedup(s, d))
+      StreamingJobs.streamingExactDedup(s, d)),
+    "st12_stream_chunking" -> ((s, d) =>
+      // t15's RAG chunking at ingest time: stateless 1:N explosion,
+      // no state store or watermark needed
+      StreamingJobs.streamingChunking(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -62,6 +66,19 @@ object StreamingQueries {
     // (keeper, count) frame equals the batch dedup oracle (u4's SQL)
     "st11_stream_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+    // stateless 1:N stream transform == the batch chunker (t15's oracle)
+    "st12_stream_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, unnest(list_transform(
+        |    range(0, greatest(len(w) - 16, 1), 48),
+        |    st -> struct_pack(idx := st // 48, s := st))) AS ch
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(ch.idx AS INTEGER) AS chunk_idx,
+        |  CAST(least(ch.s + 64, len(w)) - ch.s AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(w[ch.s + 1 : least(ch.s + 64, len(w))], ' ') AS chunk_text
+        |FROM c""".stripMargin
   )
 }

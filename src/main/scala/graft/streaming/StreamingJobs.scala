@@ -379,6 +379,43 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** ST12: ingest-time document chunking — t15's RAG splitter as a
+    * STATELESS streaming transform (1:N row explosion is watermark-free:
+    * no state store, no output-mode subtleties, each microbatch chunks
+    * independently). The natural front of an ingest→chunk→embed→index
+    * streaming pipeline; with the whole corpus in one microbatch the
+    * output frame equals t15's batch oracle exactly. */
+  def streamingChunking(
+      spark: SparkSession,
+      sfDir: String,
+      chunkLen: Int = 64,
+      stride: Int = 48
+  ): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val chunks = stream
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("w")) - (chunkLen - stride) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start")),
+        col("w"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(slice(col("w"), col("start") + 1, lit(chunkLen))).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkLen))).as("chunk_text"))
+    val name = s"chunking_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = chunks.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** ST7: per-source freshness monitor — each source's newest processed
     * timestamp vs its SLA (sensor semantics, batch-evaluated against an
     * injected clock). One tiny agg per source, unioned. */
