@@ -390,9 +390,12 @@ object Dedup {
       minDocs: Int = 2
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one explicit exchange on gram shared by the dup-gram branch and the
+    // scoring join (ReusedExchange) — the window explosion is scanned once
     val wins = docs.select(
       col(idCol).as("doc_id"),
       posexplode(TextFunctions.wordShinglesAll(col(textCol), k)).as(Seq("pos", "gram")))
+      .repartition(col("gram"))
     val g = wins.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)

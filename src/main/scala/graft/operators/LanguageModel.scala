@@ -25,8 +25,9 @@ object LanguageModel {
     * of its bigrams under the corpus's own bigram counts (c12 over the
     * count of w1 as a non-final token). Self-trained on the scored corpus
     * means every observed bigram has mass — no smoothing parameter to
-    * match across engines, so the score is fully SQL-replayable (12-dp
-    * rounding absorbs ln()/summation-order last-bit drift).
+    * match across engines, so the score is fully SQL-replayable (6-dp
+    * rounding absorbs ln()/summation-order drift with a boundary-hit
+    * probability ~1e-8 per doc; 12 dp sat on the rounding grid edge).
     *
     * Scale shape: bigram counts reduce on the gram key before anything
     * else; the per-first-token totals come from a window over that
@@ -36,17 +37,24 @@ object LanguageModel {
     * vocabulary, no collect. */
   def bigramTypicality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the occurrence frame is pinned to ONE explicit exchange on the gram
+    // key: the counts branch and the scoring join both hang off the same
+    // shuffle, so AQE's runtime stage dedup materializes the scan+explode
+    // once; the SHUFFLE_HASH hint keeps the vocab aggregate the build side
+    // (file-size stats at toy scale would otherwise broadcast the
+    // corpus-sized occurrence explosion)
     val bi = docs.select(
       col(idCol).as("doc_id"),
       explode(graft.functions.TextFunctions.wordShinglesAll(col(textCol), 2)).as("g"))
+      .repartition(col("g"))
     val bg = bi.groupBy("g").agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
-    bi.join(bg, Seq("g"))
+    bi.join(bg.hint("shuffle_hash"), Seq("g"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("c12").cast("double") / col("c1"))), 12).as("avg_logp"))
+        round(avg(log(col("c12").cast("double") / col("c1"))), 6).as("avg_logp"))
   }
 
   /** Per-document corpus-typicality statistics, all integer-exact (counts

@@ -80,10 +80,10 @@ object AdvancedQueries {
         .withColumn("rel_rate", col("p_temp") / col("share"))
         .withColumn("rate", col("rel_rate") / max(col("rel_rate")).over(w))
         // pow() is not correctly-rounded and differs in the last bit
-        // between JVM and C runtimes; 12-dp rounding (both engines) makes
+        // between JVM and C runtimes; 9-dp rounding (both engines) makes
         // the derived ratios hash-stable without hiding real error
         .select(col("source"), col("tokens"), col("share"),
-          round(col("p_temp"), 12).as("p_temp"), round(col("rate"), 12).as("rate"))
+          round(col("p_temp"), 9).as("p_temp"), round(col("rate"), 9).as("rate"))
     }),
     "t7b_pii_spans" -> ((s, d) => {
       // PII audit report — the reviewable twin of t7's redaction: WHICH
@@ -361,8 +361,8 @@ object AdvancedQueries {
         |    pow(share, 0.3) / sum(pow(share, 0.3)) OVER () AS p_temp
         |  FROM s),
         |r AS (SELECT *, p_temp / share AS rel_rate FROM p)
-        |SELECT source, tokens, share, round(p_temp, 12) AS p_temp,
-        |  round(rel_rate / max(rel_rate) OVER (), 12) AS rate
+        |SELECT source, tokens, share, round(p_temp, 9) AS p_temp,
+        |  round(rel_rate / max(rel_rate) OVER (), 9) AS rate
         |FROM r""".stripMargin,
     "t7b_pii_spans" ->
       """WITH seeded AS (

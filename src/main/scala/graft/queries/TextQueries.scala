@@ -267,7 +267,7 @@ object TextQueries {
         |  FROM bg)
         |SELECT doc_id,
         |  count(*) AS n_bigrams,
-        |  round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 12) AS avg_logp
+        |  round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS avg_logp
         |FROM bi JOIN bg2 USING (g) GROUP BY 1""".stripMargin,
     "t12_normalize" ->
       """WITH n AS (
