@@ -392,7 +392,8 @@ class Wave3Spec extends SparkSpecBase {
     val r = graft.operators.LanguageModel.bigramTypicality(docs, "doc_id", "text")
       .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
     assert(r(1L) == 0.0 && r(2L) == 0.0)
-    assert(math.abs(r(3L) - math.log(0.5) * 2 / 3) < 1e-9)
+    // avg_logp is rounded to 6 dp in the operator output
+    assert(math.abs(r(3L) - math.log(0.5) * 2 / 3) < 1e-6)
   }
 
   // ---- approx curriculum sharding (x7b) ------------------------------------
