@@ -270,9 +270,14 @@ object TextQueries {
         |  round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS avg_logp
         |FROM bi JOIN bg2 USING (g) GROUP BY 1""".stripMargin,
     "t12_normalize" ->
+      // Collapse whitespace runs FIRST, then trim: boundary tabs/newlines
+      // become a single ASCII space which trim() removes, matching
+      // NormalizeText's trim-and-collapse. RE2's \s is ASCII-only while the
+      // Spark expression accepts Character.isWhitespace; the driver corpus
+      // carries no Unicode whitespace, so the classes agree on this data.
       """WITH n AS (
         |  SELECT doc_id,
-        |    regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS norm_text
+        |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
         |  FROM documents)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS norm_len FROM n""".stripMargin,
     "t11_repetition" ->

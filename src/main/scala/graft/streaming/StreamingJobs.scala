@@ -29,12 +29,20 @@ object StreamingJobs {
     * bottleneck resource. The count is captured into the query's offset
     * metadata during (async) first-batch construction, hence the
     * restore-after-drain contract rather than restore-after-start. */
-  private def withScopedShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private val shuffleScopeLock = new Object
+
+  private def withScopedShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    // The conf is session-global: two concurrent scopes on one session would
+    // interleave set/restore and one could capture or permanently restore the
+    // other's value, so scoped executions are serialized. Streaming jobs that
+    // must run concurrently belong on cloned sessions (spark.newSession) with
+    // the conf set per clone.
+    shuffleScopeLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   /** ST2–ST4: pass-through pipeline — stream of typed rows, stamped with a
     * processing-time column (Flink PROCTIME parity), checkpointed, upserted
@@ -327,8 +335,18 @@ object StreamingJobs {
     val name = s"semdedup_${counter.incrementAndGet()}"
     withScopedShufflePartitions(spark, 8) {
       val q = flagged.writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        // The d8-oracle equivalence (min-id-wins inside each cell) holds only
+        // when the corpus lands in ONE microbatch; across batches the flag set
+        // becomes first-seen (arrival-order) semantics. Assert the assumption
+        // instead of silently drifting from the oracle.
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed <= 1,
+          s"streamingSemanticDedup saw $fed non-empty microbatches; " +
+            "min-id oracle semantics require single-microbatch input " +
+            "(multi-batch runs are first-seen / arrival-order by design)")
+      } finally q.stop()
     }
     spark.table(name)
   }
@@ -339,8 +357,13 @@ object StreamingJobs {
     * sorted before the state scan, st10's determinism recipe), first-seen
     * across microbatches (an ingest pipeline cannot retroactively unkeep
     * a document it already admitted). Each batch-with-arrivals emits the
-    * cumulative (keeper, count) row — with the whole corpus in one
-    * microbatch that frame is EXACTLY u4's batch oracle. State per key is
+    * cumulative (keeper, count) row; the sink is collapsed to the FINAL
+    * frame per fingerprint after drain (max running count — the append-mode
+    * memory sink otherwise retains one stale cumulative row per earlier
+    * batch under multi-file / maxFilesPerTrigger input). With the whole
+    * corpus in one microbatch the keeper is EXACTLY u4's batch-oracle
+    * min-id; across batches it is first-seen-then-min — inherent streaming
+    * semantics, documented rather than hidden. State per key is
     * (keep_id, cnt): O(1), the smallest possible dedup state — at 100 TB
     * the state store shards by fingerprint hash, and the per-key payload
     * never grows with duplicates. */
@@ -376,7 +399,11 @@ object StreamingJobs {
       try q.processAllAvailable()
       finally q.stop()
     }
+    // keep_id is constant per fp once assigned; dup_cnt grows monotonically —
+    // the max row per fingerprint IS the final state.
     spark.table(name)
+      .groupBy("fp")
+      .agg(min("keep_id").as("keep_id"), max("dup_cnt").as("dup_cnt"))
   }
 
   /** ST12: ingest-time document chunking — t15's RAG splitter as a
