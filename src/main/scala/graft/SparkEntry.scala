@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.queries.{AdvancedQueries, DedupQueries, ExtraQueries, RelationalQueries, StreamingQueries, TextQueries}
+import graft.queries.{AdvancedQueries, DedupQueries, EmModelQueries, ExtraQueries, RelationalQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,11 +34,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      StreamingQueries.queries ++ ExtraQueries.queries ++ AdvancedQueries.queries
+      StreamingQueries.queries ++ ExtraQueries.queries ++ AdvancedQueries.queries ++
+      EmModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
-      StreamingQueries.oracle ++ ExtraQueries.oracle ++ AdvancedQueries.oracle
+      StreamingQueries.oracle ++ ExtraQueries.oracle ++ AdvancedQueries.oracle ++
+      EmModelQueries.oracle
 }

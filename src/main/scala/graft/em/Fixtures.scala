@@ -118,6 +118,12 @@ object Fixtures {
 
   def coagmet(spark: SparkSession, stations: Int, daysBack: Int, asOfDay: Long, seed: Long = 44L): DataFrame = {
     val rng = new scala.util.Random(seed)
+    // Station coordinates are per-STATION constants (stations do not move):
+    // exactly-representable quarter/half-degree grid points, CO-ish, with
+    // every 5th station placed north of the CO bounding box so downstream
+    // geo attribution exercises its UNKNOWN branch.
+    def lat(s: Int): Double = 37.5 + 0.25 * (s % 12) + (if (s % 5 == 4) 5.0 else 0.0)
+    def lon(s: Int): Double = -108.5 + 0.5 * (s % 12)
     val rows = for {
       s <- 0 until stations
       d <- 0 until daysBack
@@ -127,8 +133,8 @@ object Fixtures {
       Row(
         f"COAG$s%03d",
         s"Station $s",
-        37.5 + rng.nextDouble() * 3.0,            // CO-ish latitudes
-        -108.5 + rng.nextDouble() * 6.0,          // CO-ish longitudes
+        lat(s),
+        lon(s),
         ts(day, h),
         -15.0 + rng.nextDouble() * 60.0,          // occasionally freeze/heat
         rng.nextDouble() * 100.0,

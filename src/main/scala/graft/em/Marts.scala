@@ -95,17 +95,22 @@ object Marts {
   def weatherImpacts(stgCoagmet: DataFrame, stgNoaa: DataFrame, asOf: Date, runTs: Timestamp): DataFrame = {
     val obs = stgCoagmet.filter(col("observation_date") >= date_sub(lit(asOf), 90))
 
+    // Decimal-backed averages/sums (EmFunctions.dsum/davg): staged
+    // measurements are 2-dp validated values — the reference declares them
+    // DECIMAL(p,2) (sources.yml) — so decimal aggregation is both faithful
+    // and order-independent (bit-identical under any partitioning).
+    import EmFunctions.{davg, dsum}
     val daily = obs
       .groupBy("station_id", "observation_date")
       .agg(
-        avg(col("temperature_celsius")).as("avg_temperature"),
+        davg(col("temperature_celsius")).as("avg_temperature"),
         min(col("temperature_celsius")).as("min_temperature"),
         max(col("temperature_celsius")).as("max_temperature"),
-        avg(col("relative_humidity_percent")).as("avg_humidity"),
+        davg(col("relative_humidity_percent")).as("avg_humidity"),
         min(col("relative_humidity_percent")).as("min_humidity"),
-        avg(col("wind_speed_kmh")).as("avg_wind_speed"),
+        davg(col("wind_speed_kmh")).as("avg_wind_speed"),
         max(col("wind_speed_kmh")).as("max_wind_speed"),
-        sum(col("precipitation_mm")).as("total_precipitation"),
+        dsum(col("precipitation_mm")).cast("double").as("total_precipitation"),
         max(col("precipitation_mm")).as("max_hourly_precipitation"),
         count(when(col("agricultural_risk_indicator") =!= "NORMAL", 1)).as("risk_hours"),
         max(when(col("agricultural_risk_indicator") === "FREEZE_WARNING", 1).otherwise(0)).as("had_freeze_warning"),
@@ -195,7 +200,9 @@ object Marts {
         count(lit(1)).as("event_count"),
         count(when(col("risk_level").isin("HIGH", "CRITICAL"), 1)).as("high_risk_events"),
         count(when(col("is_long_duration_event"), 1)).as("long_duration_events"),
-        avg(col("event_duration_days")).as("avg_event_duration"),
+        // decimal-backed mean (order-independent); scale 6 holds the
+        // hours/24 fractional durations exactly enough for parity
+        EmFunctions.davg(col("event_duration_days"), 6).as("avg_event_duration"),
         max(col("event_duration_days")).as("max_event_duration"),
         count(when(col("event_season") === "WINTER", 1)).as("winter_events"),
         count(when(col("event_season") === "SPRING", 1)).as("spring_events"),
@@ -207,9 +214,9 @@ object Marts {
       .filter(col("program_year") >= year(lit(asOf)) - 10)
       .groupBy(col("state_code"), col("program_year"))
       .agg(
-        sum(col("indemnity_amount_usd")).as("total_indemnity"),
-        sum(col("liability_amount_usd")).as("total_liability"),
-        avg(col("loss_ratio")).as("avg_loss_ratio"),
+        EmFunctions.dsum(col("indemnity_amount_usd")).cast("double").as("total_indemnity"),
+        EmFunctions.dsum(col("liability_amount_usd")).cast("double").as("total_liability"),
+        EmFunctions.davg(col("loss_ratio"), 4).as("avg_loss_ratio"),
         count(when(col("loss_category") === "HIGH_LOSS", 1)).as("high_loss_policies")
       )
 

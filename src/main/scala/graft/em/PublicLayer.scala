@@ -91,11 +91,13 @@ object PublicLayer {
       .groupBy("state_code", "county_code", "program_year", "commodity_name")
       .agg(
         count(lit(1)).as("policy_count"),
-        round(avg(col("coverage_level_percent")), 1).as("avg_coverage_level"),
-        sum(col("premium_amount_usd")).as("total_premiums_raw"),
-        sum(col("liability_amount_usd")).as("total_liability_raw"),
-        sum(col("indemnity_amount_usd")).as("total_indemnities_raw"),
-        round(avg(col("loss_ratio")), 3).as("avg_loss_ratio"),
+        // decimal-backed sums/means (order-independent; money is DECIMAL in
+        // the reference's source schema) — see EmFunctions.dsum/davg
+        round(EmFunctions.davg(col("coverage_level_percent")), 1).as("avg_coverage_level"),
+        EmFunctions.dsum(col("premium_amount_usd")).as("total_premiums_raw"),
+        EmFunctions.dsum(col("liability_amount_usd")).as("total_liability_raw"),
+        EmFunctions.dsum(col("indemnity_amount_usd")).as("total_indemnities_raw"),
+        round(EmFunctions.davg(col("loss_ratio"), 4), 3).as("avg_loss_ratio"),
         count(when(col("loss_category") === "HIGH_LOSS", 1)).as("high_loss_policies"),
         count(when(col("loss_category") === "NO_LOSS", 1)).as("no_loss_policies")
       )
@@ -111,14 +113,16 @@ object PublicLayer {
         col("commodity_name").as("crop_type"),
         col("policy_count").as("number_of_policies"),
         col("avg_coverage_level").as("average_coverage_percent"),
-        EmFunctions.privacyRound(col("total_premiums_raw")).as("total_premiums"),
-        EmFunctions.privacyRound(col("total_liability_raw")).as("total_liability"),
-        EmFunctions.privacyRound(col("total_indemnities_raw")).as("total_indemnities"),
+        EmFunctions.privacyRound(col("total_premiums_raw")).cast("double").as("total_premiums"),
+        EmFunctions.privacyRound(col("total_liability_raw")).cast("double").as("total_liability"),
+        EmFunctions.privacyRound(col("total_indemnities_raw")).cast("double").as("total_indemnities"),
         col("avg_loss_ratio"),
         col("high_loss_policies"),
         col("no_loss_policies"),
-        round(EmFunctions.safeRatio(col("total_indemnities_raw"), col("total_premiums_raw")), 3)
-          .as("county_loss_ratio")
+        // ratio taken in double space (decimal/decimal division scale rules
+        // differ across engines; the doubles are identical)
+        round(EmFunctions.safeRatio(col("total_indemnities_raw").cast("double"),
+          col("total_premiums_raw").cast("double")), 3).as("county_loss_ratio")
       )
 
   /** public_agricultural_summary: the daily serving view the reference's
