@@ -27,7 +27,12 @@ object StreamingQueries {
     "st12_stream_chunking" -> ((s, d) =>
       // t15's RAG chunking at ingest time: stateless 1:N explosion,
       // no state store or watermark needed
-      StreamingJobs.streamingChunking(s, d))
+      StreamingJobs.streamingChunking(s, d)),
+    "st13_stream_sessionize" -> ((s, d) =>
+      // x2's gap sessionization as arbitrary stateful streaming
+      // (flatMapGroupsWithState); per-user sentinel events force-close
+      // final sessions inside the stream so ALL sessions are emitted
+      StreamingJobs.streamingSessionize(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -79,6 +84,26 @@ object StreamingQueries {
         |  CAST(ch.idx AS INTEGER) AS chunk_idx,
         |  CAST(least(ch.s + 64, len(w)) - ch.s AS INTEGER) AS n_chunk_tokens,
         |  array_to_string(w[ch.s + 1 : least(ch.s + 64, len(w))], ' ') AS chunk_text
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // the stateful stream (with sentinel flush) emits exactly the batch
+    // session set: same gap rule as x2, session grain instead of seq ids
+    "st13_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |f AS (
+        |  SELECT user_id, ts_s,
+        |    lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts_s, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, ts_s, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM g)
+        |SELECT user_id, min(ts_s) AS session_start_s, max(ts_s) AS session_end_s,
+        |  count(*) AS n_events
+        |FROM h GROUP BY user_id, seq""".stripMargin
   )
 }

@@ -501,4 +501,68 @@ object StreamingJobs {
     finally q.stop()
     spark.table(name)
   }
+
+  /** ST13: driver-graded streaming sessionization over the events table —
+    * emits EVERY session (x2's batch output, not just gap-closed ones) with
+    * no driver-side state peeking: the staged input carries one far-future
+    * sentinel event per user (ts = global max + gap + 1), so inside the
+    * stream itself the sentinel's gap force-closes each user's final real
+    * session; the sentinel's own 1-event session is the only state left
+    * unemitted at EOF. Single staged file => single microbatch, so the
+    * per-batch sort in the state function sees sentinels after real events
+    * regardless of file-source ordering.
+    *
+    * Scale posture: state is O(1) per user (one (start,last,n) tuple); the
+    * sentinel frame is one row per user, built by the same engine (a
+    * distinct + a literal — no driver collect beyond the 1-row global max,
+    * which any production job needs for a run horizon anyway). */
+  def streamingSessionize(spark: SparkSession, sfDir: String, gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = graft.core.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"))
+    val maxS = ev.agg(max("ts_s")).head.getLong(0)
+    val staged = s"/tmp/graft_st13_input_${counter.incrementAndGet()}"
+    ev.unionByName(
+        ev.select("user_id").distinct().withColumn("ts_s", lit(maxS + gapSeconds + 1)))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+      .select(col("user_id").as[Long], col("ts_s").as[Long])
+      .as[(Long, Long)]
+
+    // state tuple: (session_start_s, last_seen_s, n_events) — same rule as
+    // sessionize above; duplicated closure because gapSeconds is captured
+    def fn(user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Int)]):
+        Iterator[(Long, Long, Long, Int)] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      var st = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+      sorted.foreach { t =>
+        st match {
+          case Some((start, last, n)) if t - last <= gapSeconds => st = Some((start, t, n + 1))
+          case Some((start, last, n)) =>
+            out += ((user, start, last, n))
+            st = Some((t, t, 1))
+          case None => st = Some((t, t, 1))
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "session_start_s", "session_end_s", "n_events")
+    val name = s"sessions_all_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).withColumn("n_events", col("n_events").cast("long"))
+  }
 }
