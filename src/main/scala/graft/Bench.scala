@@ -42,7 +42,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double, places: Int): String =
+      java.lang.String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // environment fingerprint: a contended machine (stray JVMs, parallel
@@ -51,7 +53,17 @@ object Bench {
     // self-evident in the artifact instead of requiring a manual re-run
     val cores = Runtime.getRuntime.availableProcessors
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cores,"load_avg_1m":$load,"cold":$cold}""")
+    val env = s""""sf":"$sfDir","cores":$cores,"load_avg_1m":$load,"cold":$cold"""
+    // full per-query record first (for the build log / BASELINE.md), then a
+    // compact summary as the LAST line: the driver's artifact keeps a
+    // bounded tail of stdout, and the ~4 KB full line overflows it (round-3
+    // artifacts truncated mid-line and failed to parse). The final line is
+    // sized to always fit the tail window whole, so the official artifact
+    // is self-contained: total + count + the slowest legs, parseable.
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,$env}""")
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.length},"slowest":$slowest,$env}""")
     spark.stop()
   }
 }

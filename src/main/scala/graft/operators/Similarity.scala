@@ -26,6 +26,11 @@ object Similarity {
     case None    => train
   }
 
+  /** Read-only view into the trained-model cache, for oracle builders that
+    * replay a deterministic learned quantizer in SQL by inlining its
+    * codebooks as literals (x6b). */
+  def trainedModel(key: String): Option[AnyRef] = Option(modelCache.get(key))
+
   /** Shuffle a (driver-small) training sample into ONE sorted partition:
     * k-means' floating-point aggregation order follows row order, so
     * cross-machine/cross-partitioning determinism requires fixing that
