@@ -8,8 +8,12 @@ object Bench {
     // recorded in BASELINE.md alongside the steady-state default, so driver
     // single-pass runs are comparable round over round.
     val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    // optional comma-separated allowlist — lets scale/skew experiments time
+    // a query subset on fixture dirs that only carry the tables they need
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").map(_.trim).toSet)
     val spark = graft.core.SparkSessionFactory.local("graft-bench")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     if (!cold) {
       // Warm the JVM: parquet footers + one pass through the shuffle, join,
       // window and codegen machinery so the first timed query doesn't absorb

@@ -31,6 +31,20 @@ object Similarity {
     * codebooks as literals (x6b). */
   def trainedModel(key: String): Option[AnyRef] = Option(modelCache.get(key))
 
+  /** Log-scaled LSH depth: planes per table sized so expected bucket
+    * occupancy stays ~`targetBucket` as the corpus grows (buckets per
+    * table = 2^planes). This is the knob that keeps the bucket self-join
+    * linear in N: with FIXED depth, occupancy grows ~N and within-bucket
+    * candidate pairs grow ~N² — measured ×76 wall-clock for ×10 data on
+    * the sf1 leg before this existed (BASELINE.md round-4). The floor
+    * keeps small corpora at the tuned default; the cap bounds the bucket
+    * id within an int fold. */
+  def lshPlanesFor(n: Long, targetBucket: Int = 8, floor: Int = 8, cap: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(cap, math.max(floor, needed))
+  }
+
   /** Shuffle a (driver-small) training sample into ONE sorted partition:
     * k-means' floating-point aggregation order follows row order, so
     * cross-machine/cross-partitioning determinism requires fixing that

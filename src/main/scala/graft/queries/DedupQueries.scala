@@ -41,8 +41,14 @@ object DedupQueries {
 
   /** DuckDB oracle for d4: seeded-plane LSH candidate pairs, exact-cosine
     * scored and thresholded. */
-  private lazy val d4OracleSql: String = {
-    val (cols, unions) = lshBucketSql(dim = 64, numTables = 8, planesPerTable = 8, seed = 42L)
+  /** LSH depth chosen by the d4 query run (log-scaled with corpus size);
+    * 8 — the small-corpus floor, correct for every graded SF — until a run
+    * captures otherwise. The oracle map is a def, so it reads the captured
+    * value at dump time (after queries, like the x6b model capture). */
+  @volatile private var d4PlanesForOracle: Int = 8
+
+  private def d4OracleSql(planesPerTable: Int): String = {
+    val (cols, unions) = lshBucketSql(dim = 64, numTables = 8, planesPerTable = planesPerTable, seed = 42L)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, $cols FROM e),
        |u AS ($unions),
@@ -144,9 +150,17 @@ object DedupQueries {
       // exercises scoring + threshold logic, not just candidate generation.
       // The DuckDB oracle replicates the seeded hyperplane bucketing
       // exactly (see d4OracleSql), so this is a full hash-checked query.
+      // LSH depth is log-scaled with the corpus (Similarity.lshPlanesFor)
+      // so bucket occupancy — and with it the candidate self-join — stays
+      // linear in N; at the graded SFs (≤2k vectors) the formula sits at
+      // the floor of 8, identical to the fixed depth it replaces. The
+      // chosen depth is captured for the oracle builder.
+      val e = Tables(s, d).embeddings
+      val ppt = Similarity.lshPlanesFor(e.count())
+      d4PlanesForOracle = ppt
       Similarity.embeddingNearDupPairs(
-        Tables(s, d).embeddings, "vec_id", "embedding",
-        threshold = 0.4, dim = 64
+        e, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planesPerTable = ppt
       ).select(col("id_a"), col("id_b"))
     }),
     "d7_decontamination" -> ((s, d) => {
@@ -473,7 +487,7 @@ object DedupQueries {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
     "d3b_simhash_portable" -> d3bOracleSql,
-    "d4_embedding_neardup" -> d4OracleSql,
+    "d4_embedding_neardup" -> d4OracleSql(d4PlanesForOracle),
     "s2_ann_lsh" -> s2OracleSql,
     "d7_decontamination" -> d7OracleSql,
     // the Bloom screen is sized (fpp=1e-9) for zero observed false

