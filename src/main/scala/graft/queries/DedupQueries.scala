@@ -374,7 +374,13 @@ object DedupQueries {
 
   def oracle: Map[String, String] =
     baseOracle ++
-      trainedForOracle.map(m => "x6b_trained_ann_recall" -> x6bOracleSql(m)).toMap
+      trainedForOracle.map { m =>
+        Map(
+          "x6b_trained_ann_recall" -> x6bOracleSql(m),
+          "s3_ann_ivf" -> trainedTopOracle(m, "ivf_top"),
+          "s4_ann_pq" -> trainedTopOracle(m, "pq_top"),
+          "s5_ann_ivfpq" -> trainedTopOracle(m, "ipq_top"))
+      }.getOrElse(Map.empty)
 
   private def baseOracle: Map[String, String] = Map(
     "u4_exact_dedup" ->
@@ -705,8 +711,13 @@ object DedupQueries {
     * assignment metric is L2 on the unit vector (NearestCentroids'
     * strict-less scan == ORDER BY dist, c), `list_distance` being the
     * monotone sqrt of Spark's squared sum. Normalization mirrors
-    * VectorNormalize bit-for-bit: x * (1/sqrt(sumsq)), not x/sqrt. */
-  private def x6bOracleSql(
+    * VectorNormalize bit-for-bit: x * (1/sqrt(sumsq)), not x/sqrt.
+    *
+    * Returns the complete WITH-chain replaying all three trained paths
+    * (ranked top CTEs: ivf_top, pq_top, ipq_top with an `rn` column);
+    * the s3/s4/s5 oracles select a path directly and x6b appends the
+    * brute CTE and the recall report. */
+  private def trainedAnnCtes(
       models: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Seq[Seq[Double]], Seq[Seq[Seq[Double]]])): String = {
     val (ivfCent, pqCb, ipqCent, ipqCb) = models
     def ivfLeg(centCte: String, probeN: Int, pfx: String): String =
@@ -731,20 +742,13 @@ object DedupQueries {
          |    FROM encd$pfx) WHERE rn = 1)""".stripMargin
     def rerankTop(shortCte: String, topName: String): String =
       s"""$topName AS (
-         |  SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, rn FROM (
          |    SELECT p.query_id, p.neighbor_id,
          |      row_number() OVER (PARTITION BY p.query_id
          |        ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, p.neighbor_id) AS rn
          |    FROM $shortCte p
          |    JOIN e eq ON eq.vec_id = p.query_id
          |    JOIN e ec ON ec.vec_id = p.neighbor_id) WHERE rn <= 5)""".stripMargin
-    def reportLeg(topCte: String, method: String): String =
-      s"""SELECT b.query_id, count(*) AS k, count(t.neighbor_id) AS hits,
-         |  CAST(count(t.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k,
-         |  '$method' AS method
-         |FROM brute b
-         |LEFT JOIN $topCte t ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
-         |GROUP BY 1""".stripMargin
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id,
        |  list_transform(v, x -> x * (1.0 / sqrt(list_dot_product(v, v)))) AS nv FROM e),
@@ -752,14 +756,13 @@ object DedupQueries {
        |  SELECT vec_id, t.s AS s, nv[(t.s*8+1):(t.s*8+8)] AS sv
        |  FROM n CROSS JOIN (SELECT unnest(range(8)) AS s) t),
        |qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < 10),
-       |brute AS ($s1OracleSql),
        |${centroidValuesCte("cent", ivfCent)},
        |${centroidValuesCte("cent2", ipqCent)},
        |${codebookValuesCte("cb", pqCb)},
        |${codebookValuesCte("cb2", ipqCb)},
        |${ivfLeg("cent", probeN = 4, pfx = "")},
        |ivf_top AS (
-       |  SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, rn FROM (
        |    SELECT p.query_id, a.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY p.query_id
        |        ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, a.vec_id) AS rn
@@ -798,7 +801,31 @@ object DedupQueries {
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |    FROM adc2) WHERE rn <= 50),
-       |${rerankTop("ipq_short", "ipq_top")}
+       |${rerankTop("ipq_short", "ipq_top")}""".stripMargin
+  }
+
+  /** Direct FULL oracles for the trained top-k paths: the same replayed
+    * CTEs, selecting one path's ranked output — flips s3/s4/s5 from
+    * rows-only to hash-checked (the strictest form: result SETS and rank
+    * order, not just the recall report). */
+  private def trainedTopOracle(
+      models: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Seq[Seq[Double]], Seq[Seq[Seq[Double]]]),
+      topCte: String): String =
+    s"""${trainedAnnCtes(models)}
+       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+       |FROM $topCte""".stripMargin
+
+  private def x6bOracleSql(
+      models: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Seq[Seq[Double]], Seq[Seq[Seq[Double]]])): String = {
+    def reportLeg(topCte: String, method: String): String =
+      s"""SELECT b.query_id, count(*) AS k, count(t.neighbor_id) AS hits,
+         |  CAST(count(t.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k,
+         |  '$method' AS method
+         |FROM brute b
+         |LEFT JOIN $topCte t ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+         |GROUP BY 1""".stripMargin
+    s"""${trainedAnnCtes(models)},
+       |brute AS ($s1OracleSql)
        |${reportLeg("ivf_top", "ivf")}
        |UNION ALL
        |${reportLeg("pq_top", "pq")}
