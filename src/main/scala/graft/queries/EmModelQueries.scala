@@ -141,6 +141,50 @@ object EmModelQueries {
     "em_public_ag" -> ((s, _) => {
       ensureFixtures(s)
       PublicLayer.publicAgriculturalData(stgUsda(s), AsOf)
+    }),
+
+    "em_public_alerts" -> ((s, _) => {
+      ensureFixtures(s)
+      PublicLayer.publicWeatherAlerts(stgNoaa(s), AsOf, RunTs).select(
+        col("alert_api_id"), col("weather_event"), col("severity_level"),
+        col("urgency_level"), col("alert_headline"), col("alert_description"),
+        col("public_instruction"), col("state_code"),
+        fmtT(col("effective_datetime")).as("effective_datetime"),
+        fmtT(col("expires_datetime")).as("expires_datetime"),
+        col("risk_level"), col("severity_rank"), col("alert_status"),
+        fmtT(col("last_updated")).as("last_updated"))
+    }),
+
+    "em_ag_summary" -> ((s, _) => {
+      ensureFixtures(s)
+      // state rollup over the published (privacy-thresholded, banded)
+      // county frame: the banded money totals are multiples of 1000, so
+      // their double sums are exact integers — order-independent
+      PublicLayer.publicAgriculturalSummary(
+        PublicLayer.publicAgriculturalData(stgUsda(s), AsOf))
+    }),
+
+    "em_quality_metrics" -> ((s, _) => {
+      ensureFixtures(s)
+      PublicLayer.dataQualityMetrics(
+        Seq(
+          ("fema", stgFema(s), "disaster_number", "declaration_date"),
+          ("noaa", stgNoaa(s), "alert_id", "effective_date"),
+          ("coagmet", stgCoag(s), "station_id", "observation_date")),
+        RunTs)
+        .withColumn("last_processed_at", fmtD(col("last_processed_at")))
+    }),
+
+    "em_usage_metrics" -> ((s, d) => {
+      // usage_metrics serving view over an audit-log-shaped frame derived
+      // from the events table (org/endpoint synthesized deterministically)
+      val ev = graft.core.Tables(s, d).events
+      PublicLayer.usageMetrics(
+        ev.select(
+          col("ts"),
+          concat(lit("org"), col("user_id") % 5).as("org"),
+          concat(lit("/api/"), col("event_type")).as("endpoint")))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     })
   )
 
@@ -180,6 +224,8 @@ object EmModelQueries {
        |    upper(trim(severity)) AS severity_level,
        |    upper(trim(urgency)) AS urgency_level,
        |    trim(headline) AS alert_headline,
+       |    trim(description) AS alert_description,
+       |    trim(instruction) AS public_instruction,
        |    trim(area_desc) AS affected_area_description,
        |    regexp_extract(area_desc, '\\b([A-Z]{2})\\b', 1) AS state_code,
        |    CAST(effective AS TIMESTAMP) AS effective_datetime,
@@ -532,6 +578,99 @@ object EmModelQueries {
          |  round(CASE WHEN total_premiums_raw = 0 OR total_premiums_raw IS NULL THEN NULL
          |             ELSE CAST(total_indemnities_raw AS DOUBLE) / CAST(total_premiums_raw AS DOUBLE)
          |        END, 3) AS county_loss_ratio
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    "em_public_alerts" ->
+      s"""WITH $sqlStgNoaa
+         |SELECT alert_id AS alert_api_id, weather_event, severity_level,
+         |  urgency_level, alert_headline,
+         |  substring(alert_description, 1, 500) AS alert_description,
+         |  substring(public_instruction, 1, 300) AS public_instruction,
+         |  state_code,
+         |  strftime(effective_datetime, '%Y-%m-%d %H:%M:%S') AS effective_datetime,
+         |  strftime(expires_datetime, '%Y-%m-%d %H:%M:%S') AS expires_datetime,
+         |  risk_level,
+         |  CASE WHEN severity_level = 'EXTREME' THEN 1
+         |       WHEN severity_level = 'SEVERE' THEN 2
+         |       WHEN severity_level = 'MODERATE' THEN 3
+         |       WHEN severity_level = 'MINOR' THEN 4
+         |       ELSE 5 END AS severity_rank,
+         |  'ACTIVE' AS alert_status,
+         |  '$RunTsStr' AS last_updated
+         |FROM stg_noaa
+         |WHERE expires_datetime IS NULL OR expires_datetime >= $AsOfSql""".stripMargin,
+
+    "em_ag_summary" ->
+      s"""WITH $sqlStgUsda,
+         |g AS (
+         |  SELECT state_code, county_code, program_year,
+         |    count(*) AS policy_count,
+         |    sum(CAST(premium_amount_usd AS DECIMAL(18,2))) AS total_premiums_raw,
+         |    sum(CAST(indemnity_amount_usd AS DECIMAL(18,2))) AS total_indemnities_raw,
+         |    count(CASE WHEN loss_category = 'HIGH_LOSS' THEN 1 END) AS high_loss_policies
+         |  FROM stg_usda
+         |  WHERE program_year >= 2019 AND data_classification = 'PUBLIC'
+         |  GROUP BY state_code, county_code, program_year, commodity_name
+         |  HAVING count(*) >= 5),
+         |pub AS (
+         |  SELECT state_code, county_code, program_year,
+         |    policy_count AS number_of_policies,
+         |    CAST(CASE WHEN abs(total_premiums_raw) >= 10000000 THEN round(total_premiums_raw, -5)
+         |              WHEN abs(total_premiums_raw) >= 1000000 THEN round(total_premiums_raw, -4)
+         |              ELSE round(total_premiums_raw, -3) END AS DOUBLE) AS total_premiums,
+         |    CAST(CASE WHEN abs(total_indemnities_raw) >= 10000000 THEN round(total_indemnities_raw, -5)
+         |              WHEN abs(total_indemnities_raw) >= 1000000 THEN round(total_indemnities_raw, -4)
+         |              ELSE round(total_indemnities_raw, -3) END AS DOUBLE) AS total_indemnities,
+         |    high_loss_policies
+         |  FROM g)
+         |SELECT state_code, program_year,
+         |  count(DISTINCT county_code) AS counties_published,
+         |  sum(number_of_policies) AS total_policies,
+         |  sum(total_premiums) AS total_premiums,
+         |  sum(total_indemnities) AS total_indemnities,
+         |  CASE WHEN sum(total_premiums) = 0 OR sum(total_premiums) IS NULL THEN NULL
+         |       ELSE sum(total_indemnities) / sum(total_premiums) END AS state_loss_ratio,
+         |  sum(high_loss_policies) AS high_loss_policies
+         |FROM pub GROUP BY 1, 2""".stripMargin,
+
+    "em_quality_metrics" ->
+      s"""WITH $sqlStgFema,
+         |$sqlStgNoaa,
+         |$sqlStgCoag,
+         |legs AS (
+         |  SELECT 'fema' AS source_name, count(*) AS total_rows,
+         |    CAST(sum(CASE WHEN disaster_number IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+         |    count(DISTINCT disaster_number) AS distinct_keys,
+         |    max(declaration_date) AS last_processed_at,
+         |    count(CASE WHEN declaration_date >= $AsOfSql - 7 THEN 1 END) AS rows_last_7d
+         |  FROM stg_fema
+         |  UNION ALL
+         |  SELECT 'noaa', count(*),
+         |    CAST(sum(CASE WHEN alert_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT alert_id),
+         |    max(effective_date),
+         |    count(CASE WHEN effective_date >= $AsOfSql - 7 THEN 1 END)
+         |  FROM stg_noaa
+         |  UNION ALL
+         |  SELECT 'coagmet', count(*),
+         |    CAST(sum(CASE WHEN station_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT station_id),
+         |    max(observation_date),
+         |    count(CASE WHEN observation_date >= $AsOfSql - 7 THEN 1 END)
+         |  FROM stg_coag)
+         |SELECT source_name, total_rows, null_keys, distinct_keys,
+         |  round(CAST(distinct_keys AS DOUBLE) / total_rows * 100, 2) AS uniqueness_pct,
+         |  round(CAST(total_rows - null_keys AS DOUBLE) / total_rows * 100, 2) AS completeness_pct,
+         |  strftime(last_processed_at, '%Y-%m-%d') AS last_processed_at,
+         |  rows_last_7d
+         |FROM legs""".stripMargin,
+
+    "em_usage_metrics" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*) AS request_cnt,
+        |  count(DISTINCT 'org' || CAST(user_id % 5 AS VARCHAR)) AS distinct_orgs,
+        |  count(DISTINCT '/api/' || event_type) AS distinct_endpoints,
+        |  count(CASE WHEN ('/api/' || event_type) LIKE '/api/%' THEN 1 END) AS api_requests
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin
   )
 }

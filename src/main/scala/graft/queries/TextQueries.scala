@@ -191,6 +191,24 @@ object TextQueries {
         .withColumn("chars_per_piece",
           col("n_chars").cast("double") / col("n_pieces"))
     }),
+    "t5b_rolling_fingerprint_portable" -> ((s, d) => {
+      // t5's rolling-window document fingerprint in PORTABLE arithmetic:
+      // per 8-byte window a polynomial hash folded mod 2^31-1 (no 64-bit
+      // wraparound, so DuckDB replays it exactly), XOR-combined per doc —
+      // the same shared-substring detection shape as the native
+      // RollingFingerprint (which stays rows-only: its Java-long wraparound
+      // multiply has no overflow-safe SQL twin). Same portable-sibling
+      // pattern as d2b/d3b/x1b.
+      Tables(s, d).documents
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, length(text) - 7)")).as("p"))
+        .select(col("doc_id"),
+          expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), " +
+            "(acc, i) -> (acc * 257 + ascii(substring(text, p + i, 1))) % 2147483647)").as("h"))
+        .groupBy("doc_id")
+        .agg(expr("bit_xor(h)").as("fingerprint"), count(lit(1)).as("n_windows"))
+    }),
     "t13b_bpe_encode_sample" -> ((s, d) => {
       // t13's encode path hash-checked end-to-end on a doc sample: the
       // learned merge table is deterministic, so after this query runs the
@@ -259,6 +277,19 @@ object TextQueries {
       bpeMergesForOracle.map(m => "t13b_bpe_encode_sample" -> t13bOracleSql(m)).toMap
 
   private def baseOracle: Map[String, String] = Map(
+    // list_reduce seeds with the first element (= byte0, exactly Spark's
+    // fold from 0: 0*257+byte0); window positions p in [1, len-7]
+    "t5b_rolling_fingerprint_portable" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |w AS (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS p FROM d),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_transform(range(0, 8),
+        |      i -> CAST(ascii(substring(text, CAST(p + i AS INTEGER), 1)) AS BIGINT)),
+        |    (acc, b) -> (acc * 257 + b) % 2147483647) AS h
+        |  FROM w)
+        |SELECT doc_id, bit_xor(h) AS fingerprint, count(*) AS n_windows
+        |FROM h GROUP BY 1""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
