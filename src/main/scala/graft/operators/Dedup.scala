@@ -142,8 +142,20 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sh = shingles(docs, idCol, textCol, n)
-    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
-    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // hash each DISTINCT shingle once (k md5s per distinct shingle, not
+    // per (doc, shingle) occurrence — on corpora with shared vocabulary
+    // that is orders of magnitude less md5 work; this was the board's
+    // most expensive leg before), then join the k-column hash table back
+    // on the shingle key. Both sides exchange on sh; SHUFFLE_HASH for the
+    // same reason as ngramJaccardPairs — the derived distinct frame's
+    // size estimate would otherwise tempt a corpus-sized broadcast at
+    // scale. Results are bit-identical: same per-shingle hashes, same
+    // per-doc minima.
+    val hashTable = sh.select("sh").distinct()
+      .select(col("sh") +: (0 until k).map(i => md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
+    val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
+    val sigs = sh.join(hashTable.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { bIdx =>
       struct(
         lit(bIdx).as("band"),

@@ -39,6 +39,26 @@ class Streaming2Spec extends SparkSpecBase {
     assert(rows.length == 1)
   }
 
+  test("sentinel-flushed streaming sessionize equals the batch session set (st13)") {
+    import org.apache.spark.sql.expressions.Window
+    val got = StreamingJobs.streamingSessionize(spark, Sf0001, gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: same gap rule via lag + running sum over epoch seconds
+    val w = Window.partitionBy("user_id").orderBy("ts_s")
+    val expected = Tables(spark, Sf0001).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("prev", lag(col("ts_s"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts_s") - col("prev") > 1800L, 1L).otherwise(0L))
+      .withColumn("seq", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq")
+      .agg(min("ts_s").as("s"), max("ts_s").as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("watermark drops events later than the horizon (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
