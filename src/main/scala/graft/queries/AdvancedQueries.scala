@@ -135,6 +135,20 @@ object AdvancedQueries {
           min("difficulty").as("min_difficulty"),
           max("difficulty").as("max_difficulty"))
     }),
+    "x10_zorder_curve" -> ((s, d) => {
+      // the Z-order (Morton) curve value Layout.zorderedParquet sorts on:
+      // min/max-normalized 16-bit bins of (user_id, event second), bits
+      // interleaved with the mask-shift cascade — all codegen'd bitwise
+      // projections, corpus bounds from ONE bounded agg row. The layout
+      // property (tight per-file bounding boxes in BOTH dims) is asserted
+      // on real written files in LayoutSpec.
+      graft.operators.Layout.zValue(
+        Tables(s, d).events
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_s")),
+        col("user_id"), col("ts_s"))
+        .select("event_id", "bin_a", "bin_b", "z")
+    }),
     "x8_global_shuffle" -> ((s, d) => {
       // deterministic training-data shuffle: every doc gets a reproducible
       // (shard, pos) address in a fully shuffled global order — md5 order
@@ -380,6 +394,45 @@ object AdvancedQueries {
         |    regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b') AS spans
         |  FROM seeded)
         |SELECT doc_id, pii_type, unnest(spans) AS span FROM x""".stripMargin,
+    // same double association order as Layout.minMaxBin16; the spread
+    // masks are the 32-bit Morton constants, applied as a CTE cascade
+    "x10_zorder_curve" ->
+      """WITH v AS (
+        |  SELECT event_id, CAST(user_id AS DOUBLE) AS a,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS b
+        |  FROM events),
+        |s AS (SELECT min(a) AS amn, max(a) AS amx, min(b) AS bmn, max(b) AS bmx FROM v),
+        |bin AS (
+        |  SELECT event_id,
+        |    CASE WHEN amx > amn
+        |      THEN CAST(least(floor(((a - amn) * 65536.0) / (amx - amn)), 65535.0) AS BIGINT)
+        |      ELSE 0 END AS ba,
+        |    CASE WHEN bmx > bmn
+        |      THEN CAST(least(floor(((b - bmn) * 65536.0) / (bmx - bmn)), 65535.0) AS BIGINT)
+        |      ELSE 0 END AS bb
+        |  FROM v, s),
+        |s1 AS (
+        |  SELECT event_id, ba, bb,
+        |    ((ba | (ba << 8)) & 16711935) AS a1,
+        |    ((bb | (bb << 8)) & 16711935) AS b1
+        |  FROM bin),
+        |s2 AS (
+        |  SELECT event_id, ba, bb,
+        |    ((a1 | (a1 << 4)) & 252645135) AS a2,
+        |    ((b1 | (b1 << 4)) & 252645135) AS b2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT event_id, ba, bb,
+        |    ((a2 | (a2 << 2)) & 858993459) AS a3,
+        |    ((b2 | (b2 << 2)) & 858993459) AS b3
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT event_id, ba, bb,
+        |    ((a3 | (a3 << 1)) & 1431655765) AS a4,
+        |    ((b3 | (b3 << 1)) & 1431655765) AS b4
+        |  FROM s3)
+        |SELECT event_id, ba AS bin_a, bb AS bin_b, (a4 | (b4 << 1)) AS z
+        |FROM s4""".stripMargin,
     "x8_global_shuffle" ->
       """WITH s AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|gs42') AS okey

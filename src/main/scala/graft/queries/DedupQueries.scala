@@ -229,6 +229,15 @@ object DedupQueries {
       val e = Tables(s, d).embeddings
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
+    "s6_scalar_quantization" -> ((s, d) => {
+      // int8 embedding compression (FAISS QT_8bit / Lucene int8 shape):
+      // per-dim min/max learned in ONE dim-keyed agg (64 groups at any
+      // corpus size), encode a pure codegen projection with the bounds
+      // inlined as literals — zero shuffle on the encode path. Fixed
+      // double association order means DuckDB replays the codes exactly.
+      graft.operators.Quantization.scalarQuantize(
+        Tables(s, d).embeddings, "vec_id", "embedding")
+    }),
     "s2_ann_lsh" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
@@ -581,6 +590,24 @@ object DedupQueries {
         |  CAST(COALESCE(m.max_run + 4, 0) AS BIGINT) AS longest_dup_span_tokens
         |FROM documents doc LEFT JOIN m USING (doc_id)""".stripMargin,
     "s1_knn_bruteforce" -> s1OracleSql,
+    // same double association order as Quantization.encode:
+    // floor(((x - mn) * 256) / (mx - mn)) capped into [0, 255]
+    "s6_scalar_quantization" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, t.i AS i, v[t.i] AS val
+        |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM x GROUP BY i),
+        |c AS (
+        |  SELECT vec_id, i,
+        |    CASE WHEN mx > mn
+        |      THEN CAST(greatest(least(floor(((val - mn) * 256) / (mx - mn)), 255), 0) AS INTEGER)
+        |      ELSE 0 END AS code
+        |  FROM x JOIN st USING (i))
+        |SELECT vec_id,
+        |  CAST(count(*) AS INTEGER) AS n_dims,
+        |  string_agg(CAST(code AS VARCHAR), ' ' ORDER BY i) AS codes_str
+        |FROM c GROUP BY 1""".stripMargin,
     "d8_semantic_dedup" -> d8OracleSql,
     "st10_stream_semantic_dedup" -> d8OracleSql,
     "d9_semantic_decontamination" ->

@@ -323,6 +323,19 @@ object RelationalQueries {
         .latestByKey(Tables(s, d).events, Seq("user_id", "event_type"), "event_id", "event_id")
         .select("user_id", "event_type", "event_id", "value")
     }),
+    "u8_scd2_history" -> ((s, d) => {
+      // history-preserving variant of u5's keep-latest: the event stream
+      // as an SCD2 dimension — one validity interval per run of equal
+      // event_type per user, versioned, deterministic via event_id ties.
+      // One exchange on user_id; both window passes share the sort.
+      graft.operators.Scd
+        .history(Tables(s, d).events, "user_id", "ts", "event_type", "event_id")
+        .select(
+          col("user_id"), col("event_type"),
+          unix_timestamp(col("valid_from")).as("valid_from_s"),
+          unix_timestamp(col("valid_to")).as("valid_to_s"),
+          col("version"), col("is_current"))
+    }),
 
     // ---- EM expression library -----------------------------------------
     "em_fiscal_calendar" -> ((s, d) => {
@@ -550,6 +563,21 @@ object RelationalQueries {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY event_id DESC, event_id ASC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    "u8_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, ts, event_type, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+        |  CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "em_fiscal_calendar" ->
       """SELECT
         |CAST(CASE WHEN month(o_orderdate) >= 10 THEN year(o_orderdate) + 1

@@ -136,6 +136,17 @@ object TextQueries {
           round(element_at(col("features"), 3) * 255).cast("int").as("mean_b")
         )
     }),
+    "m3_frame_sample" -> ((s, d) => {
+      // video-ish frame sampling plan: payload rides as an opaque binary
+      // column, frame count derives from container metadata (bytes/1k
+      // here), and every-2nd-frame indices are emitted via sequence +
+      // explode — declarative 1:N, no per-doc loops, scales as a pure
+      // projection. The decode of each sampled frame is the swap-in
+      // codec stage (same seam as m2's ImageIO decode).
+      graft.operators.Multimodal.sampleFrames(
+        Tables(s, d).documents.select(col("doc_id"), col("text")),
+        "doc_id", "text", everyNth = 2)
+    }),
     "t14_compression_ratio" -> ((s, d) => {
       // compression-ratio quality signal (model-free redundancy detector:
       // templated/boilerplate text deflates far below natural prose, noise
@@ -406,6 +417,17 @@ object TextQueries {
         |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "m3_frame_sample" ->
+      // Spark sequence(0, stop, 2) is stop-INCLUSIVE; range() here is
+      // exclusive -> stop+1. int/1000 in Spark is a double divide then
+      // int-cast (truncation), identical to // for non-negative lengths.
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) // 1000 AS frame_cnt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(range(0, greatest(frame_cnt - 1, 0) + 1, 2)) AS INTEGER) AS frame_idx
+        |FROM d""".stripMargin,
     "m2_image_decode" ->
       """SELECT doc_id,
         |'png' AS format_guess,
