@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.plans.VectorExpressions.{lsh_buckets, nearest_centroids, pq_lut, pq_score, vector_dot, vector_normalize}
+import graft.plans.VectorExpressions.{lsh_buckets, nearest_centroids, pq_lut, pq_score, vector_cosine, vector_dot, vector_normalize}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column. Baseline: brute-force cosine top-k with the (small) query set
@@ -67,6 +67,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), vector_dot(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Exact scan over int8-quantized storage (the "flat SQ8" index): the
+    * query set keeps full float precision while every corpus vector is
+    * decoded on the fly from its uint8 codes ([[Quantization]] — 4x less
+    * corpus I/O, which at 100 TB of embeddings is the difference between
+    * a page-cached scan and a disk-bound one). Asymmetric distance
+    * (float query x decoded corpus) loses at most half a quantization
+    * bucket per dimension, so recall@k vs full-precision brute force
+    * stays near 1. Same plan shape as [[bruteForceTopK]]: broadcast
+    * queries, ONE corpus scan, no corpus shuffle; encode∘decode is pure
+    * codegen projection work. Per-dim bounds are caller-supplied (learn
+    * once via `Quantization.dimStats`, reuse many — the stats travel
+    * with the codes in a real deployment). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    val dec = Quantization.decode(
+      Quantization.encode(col(vecCol), mins, maxs), mins, maxs)
+    val c = corpus.select(col(idCol).as("neighbor_id"), dec.as("nv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vector_cosine(col("qv"), col("nv")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

@@ -238,6 +238,36 @@ object DedupQueries {
       graft.operators.Quantization.scalarQuantize(
         Tables(s, d).embeddings, "vec_id", "embedding")
     }),
+    "s7_knn_quantized" -> ((s, d) => {
+      // exact search over the 4x-compressed SQ8 store: full-precision
+      // queries vs corpus decoded from s6's uint8 codes (asymmetric
+      // distance). Broadcast queries, ONE corpus scan; the decode chain
+      // replays exactly in SQL, so the result is a FULL oracle.
+      val e = Tables(s, d).embeddings
+      val (mins, maxs) = quantBounds(s, d)
+      Similarity.quantizedTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, mins, maxs)
+    }),
+    "x6c_quantized_recall" -> ((s, d) => {
+      // recall@k of the SQ8 exact scan vs full-precision ground truth —
+      // the report that justifies shipping the 4x-compressed index; same
+      // composition shape as x6/x6b.
+      val e = Tables(s, d).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      val (mins, maxs) = quantBounds(s, d)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val quant = Similarity.quantizedTopK(e, q, "vec_id", "embedding", k = 5, mins, maxs)
+      brute.as("b")
+        .join(quant.as("a"),
+          col("b.query_id") === col("a.query_id") &&
+            col("b.neighbor_id") === col("a.neighbor_id"),
+          "left")
+        .groupBy(col("b.query_id").as("query_id"))
+        .agg(
+          count(lit(1)).as("k"),
+          count(col("a.neighbor_id")).as("hits"),
+          (count(col("a.neighbor_id")).cast("double") / count(lit(1))).as("recall_at_k"))
+    }),
     "s2_ann_lsh" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
@@ -590,6 +620,17 @@ object DedupQueries {
         |  CAST(COALESCE(m.max_run + 4, 0) AS BIGINT) AS longest_dup_span_tokens
         |FROM documents doc LEFT JOIN m USING (doc_id)""".stripMargin,
     "s1_knn_bruteforce" -> s1OracleSql,
+    "s7_knn_quantized" -> s7OracleSql,
+    "x6c_quantized_recall" ->
+      s"""WITH brute AS ($s1OracleSql),
+         |quant AS ($s7OracleSql)
+         |SELECT b.query_id,
+         |  count(*) AS k,
+         |  count(a.neighbor_id) AS hits,
+         |  CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+         |FROM brute b
+         |LEFT JOIN quant a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY 1""".stripMargin,
     // same double association order as Quantization.encode:
     // floor(((x - mn) * 256) / (mx - mn)) capped into [0, 255]
     "s6_scalar_quantization" ->
@@ -690,6 +731,44 @@ object DedupQueries {
       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
       |         list_cosine_similarity(q.embedding, e.embedding) AS sim
       |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM p)
+      |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
+      |FROM r WHERE rnk <= 5""".stripMargin
+
+  /** Per-dim quantization bounds, learned once per sf dir (bench warmup +
+    * timed pass and the s7/x6c pair then share one stats job — the same
+    * train-once contract as the IVF/PQ model cache). */
+  private val quantBoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+  private def quantBounds(s: SparkSession, d: String): (Array[Double], Array[Double]) =
+    quantBoundsCache.computeIfAbsent(d,
+      _ => graft.operators.Quantization.dimStats(Tables(s, d).embeddings, "embedding"))
+
+  /** s7 replay: the s6 quantization chain (min/max stats, encode, midpoint
+    * decode — same double association order as Quantization.encode/decode)
+    * rebuilt as list columns, then s1's broadcast-scan ranking over the
+    * decoded corpus. */
+  private lazy val s7OracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, t.i AS i, v[t.i] AS val
+      |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+      |st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM x GROUP BY i),
+      |dec AS (
+      |  SELECT vec_id, i,
+      |    mn + (CAST(CASE WHEN mx > mn
+      |      THEN CAST(greatest(least(floor(((val - mn) * 256) / (mx - mn)), 255), 0) AS INTEGER)
+      |      ELSE 0 END AS DOUBLE) + 0.5) * (mx - mn) / 256.0 AS xv
+      |  FROM x JOIN st USING (i)),
+      |nv AS (SELECT vec_id, list(xv ORDER BY i) AS nv FROM dec GROUP BY 1),
+      |q AS (SELECT vec_id, v AS qv FROM e WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         list_cosine_similarity(q.qv, n.nv) AS sim
+      |  FROM q CROSS JOIN nv n WHERE n.vec_id <> q.vec_id),
       |r AS (
       |  SELECT query_id, neighbor_id,
       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk

@@ -42,6 +42,21 @@ class Wave4Spec extends SparkSpecBase {
     assert(a.values.forall(_.split(" ").forall(c => c.toInt >= 0 && c.toInt <= 255)))
   }
 
+  test("quantized exact scan keeps high recall vs full-precision brute force") {
+    import graft.operators.Similarity
+    val e = Tables(spark, Sf0001).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val (mins, maxs) = Quantization.dimStats(e, "embedding")
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(e, q, "vec_id", "embedding", k = 5, mins, maxs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quant.size == brute.size)
+    val recall = brute.intersect(quant).size.toDouble / brute.size
+    // half-a-bucket-per-dim decode error barely perturbs cosine ordering
+    assert(recall >= 0.8, s"SQ8 recall $recall < 0.8")
+  }
+
   // ---- change-log SCD2 history ---------------------------------------
 
   test("scd history collapses runs, chains intervals, one current row per key") {
