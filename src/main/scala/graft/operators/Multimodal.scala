@@ -147,6 +147,111 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Decoded audio features: container header fields recovered by the
+    * codec plus exact integer signal statistics (absolute-amplitude sum,
+    * sign-change count) so downstream checks need no float tolerance. */
+  case class AudioFeatures(
+      doc_id: Long,
+      codec: String,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      sum_abs: Long,
+      zero_crossings: Long,
+      decoded: Boolean)
+
+  /** Real audio decode via the JDK's sampled-sound stack
+    * (`javax.sound.sampled.AudioSystem` reads WAV/AU/AIFF containers —
+    * zero added dependencies): header-recovered rate/channels/frame count
+    * plus integer PCM statistics. Payloads no installed codec accepts get
+    * a deterministic content-hash stub (same totality contract as the
+    * image path). */
+  private[operators] def decodeAudioRow(id: Long, payload: Array[Byte]): AudioFeatures =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val pcm = ais.readAllBytes()
+      ais.close()
+      val n = pcm.length / (bytesPerSample * fmt.getChannels)
+      var sumAbs = 0L
+      var crossings = 0L
+      var prevSign = 0
+      var i = 0
+      while (i < n) {
+        // 16-bit little-endian mono decode (the synthesized fixture
+        // format); other layouts would switch here on fmt fields
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt
+        val s = (hi << 8) | lo
+        sumAbs += math.abs(s)
+        val sign = Integer.signum(s)
+        if (i > 0 && sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      AudioFeatures(id, "wav", fmt.getSampleRate.toInt, fmt.getChannels,
+        n.toLong, n.toLong * 1000L / fmt.getSampleRate.toInt,
+        sumAbs, crossings, decoded = true)
+    } catch {
+      case _: Exception =>
+        var h = 1125899906842597L
+        var i = 0
+        while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+        AudioFeatures(id, "unknown", 0, 0, 0L, 0L, math.abs(h), 0L, decoded = false)
+    }
+
+  /** Decode + featurize audio payloads per partition — the audio leg of
+    * the multimodal seam, same `Dataset.mapPartitions` + product-encoder
+    * shape as [[extractFeatures]] (rows stay in Tungsten format, batches
+    * stay codec-friendly). */
+  def extractAudioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, payload) => decodeAudioRow(id, payload) })
+      .toDF()
+  }
+
+  /** Deterministic synthetic WAV per id: 8 kHz 16-bit mono PCM square
+    * wave with n = 256 + 4·(id % 256) samples, half-period 8 + id % 16
+    * and amplitude 1000 + 100·(id % 100). Ground truth is arithmetic on
+    * the id — |sample| is constant so sum_abs = n·A exactly and the wave
+    * changes sign exactly at half-period boundaries, so
+    * zero_crossings = ⌊(n−1)/hp⌋ — making the REAL `AudioSystem` decode
+    * stage fully oracle-checkable, like [[syntheticPngs]] for images. */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (256 + math.floorMod(id, 256) * 4).toInt
+          val hp = (8 + math.floorMod(id, 16)).toInt
+          val amp = (1000 + math.floorMod(id, 100) * 100).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = if ((i / hp) % 2 == 0) amp else -amp
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Deterministic frame sampling plan for video-ish payloads: emit
     * (doc_id, frame_idx) rows for every nth "frame" — explode-based, no
     * driver loop. Frame count is metadata (a real pipeline reads it from

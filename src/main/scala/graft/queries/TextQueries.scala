@@ -147,6 +147,40 @@ object TextQueries {
         Tables(s, d).documents.select(col("doc_id"), col("text")),
         "doc_id", "text", everyNth = 2)
     }),
+    "m4_audio_decode" -> ((s, d) => {
+      // REAL audio decode (javax.sound.sampled): synthetic 8 kHz square-
+      // wave WAVs whose ground truth is arithmetic on doc_id, decoded back
+      // through the JDK codec to header fields + exact integer PCM stats —
+      // the oracle recomputes the closed forms in SQL, so the decode stage
+      // is hash-checked against ground truth (the audio twin of m2)
+      val wavs = graft.operators.Multimodal.syntheticWavs(
+        Tables(s, d).documents.select("doc_id"), "doc_id")
+      graft.operators.Multimodal.extractAudioFeatures(wavs, "doc_id", "payload")
+    }),
+    "t17_gopher_filter" -> ((s, d) => {
+      // Gopher-rule document filter (Rae et al. 2021 §A1.1): per-doc word
+      // count, mean word length, alphabetic-word fraction and required-
+      // stopword hits compose into a keep/drop verdict. Pure higher-order-
+      // function projection (codegen'd, zero UDFs, zero shuffles) — the
+      // whole filter is a map over the corpus scan, which is exactly what
+      // a 100 TB quality pass has to be.
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      val charSum = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      val meanLen = charSum.cast("double") / nWords
+      val alphaFrac = size(filter(words, w => w.rlike("[a-z]"))).cast("double") / nWords
+      val reqStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(sw => when(array_contains(words, sw), 1).otherwise(0))
+        .reduce(_ + _)
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_word_frac"),
+        reqStops.cast("int").as("req_stopword_hits"),
+        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+          alphaFrac >= 0.8 && reqStops >= 2).as("keep"))
+    }),
     "t14_compression_ratio" -> ((s, d) => {
       // compression-ratio quality signal (model-free redundancy detector:
       // templated/boilerplate text deflates far below natural prose, noise
@@ -437,6 +471,46 @@ object TextQueries {
         |CAST(doc_id % 256 AS INTEGER) AS mean_r,
         |CAST((7 * doc_id) % 256 AS INTEGER) AS mean_g,
         |CAST((13 * doc_id) % 256 AS INTEGER) AS mean_b
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // closed forms of the synthetic square wave: n = 256 + 4(id%256),
+    // half-period hp = 8 + id%16, amplitude A = 1000 + 100(id%100);
+    // |sample| == A everywhere -> sum_abs = nA; the sign flips exactly at
+    // half-period boundaries -> crossings = floor((n-1)/hp)
+    "m4_audio_decode" ->
+      """SELECT doc_id,
+        |'wav' AS codec,
+        |CAST(8000 AS INTEGER) AS sample_rate,
+        |CAST(1 AS INTEGER) AS channels,
+        |CAST(256 + (doc_id % 256) * 4 AS BIGINT) AS n_samples,
+        |CAST((256 + (doc_id % 256) * 4) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |CAST((256 + (doc_id % 256) * 4) * (1000 + (doc_id % 100) * 100) AS BIGINT) AS sum_abs,
+        |CAST((256 + (doc_id % 256) * 4 - 1) // (8 + doc_id % 16) AS BIGINT) AS zero_crossings,
+        |TRUE AS decoded
+        |FROM documents""".stripMargin,
+    "t17_gopher_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w) AS n_words,
+        |  list_sum(list_transform(w, x -> length(x))) AS char_sum,
+        |  len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_n,
+        |  (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS req
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(char_sum AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(alpha_n AS DOUBLE) / n_words AS alpha_word_frac,
+        |  CAST(req AS INTEGER) AS req_stopword_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND CAST(char_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+        |   AND CAST(alpha_n AS DOUBLE) / n_words >= 0.8
+        |   AND req >= 2) AS keep
+        |FROM m""".stripMargin
   )
 }

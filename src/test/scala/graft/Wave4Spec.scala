@@ -57,6 +57,49 @@ class Wave4Spec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ8 recall $recall < 0.8")
   }
 
+  // ---- audio decode ---------------------------------------------------
+
+  test("audio decode recovers the synthetic square wave's closed forms") {
+    import graft.operators.Multimodal
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.syntheticWavs(ids, "doc_id"), "doc_id", "payload").collect()
+    assert(feats.length == 40)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = 256 + (id % 256) * 4
+      val hp = 8 + id % 16
+      val amp = 1000 + (id % 100) * 100
+      assert(r.getAs[Boolean]("decoded"), s"id $id fell back to stub")
+      assert(r.getAs[String]("codec") == "wav")
+      assert(r.getAs[Int]("sample_rate") == 8000 && r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Long]("n_samples") == n, s"id $id n_samples")
+      assert(r.getAs[Long]("sum_abs") == n * amp, s"id $id sum_abs")
+      assert(r.getAs[Long]("zero_crossings") == (n - 1) / hp, s"id $id crossings")
+    }
+  }
+
+  test("undecodable audio payloads fall back to the deterministic stub") {
+    import graft.operators.Multimodal
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "payload")
+    val r = Multimodal.extractAudioFeatures(junk, "doc_id", "payload").head()
+    assert(!r.getAs[Boolean]("decoded") && r.getAs[String]("codec") == "unknown")
+  }
+
+  // ---- gopher filter --------------------------------------------------
+
+  test("gopher filter verdict equals the rule recomputed from its metrics") {
+    val q = graft.queries.TextQueries.queries("t17_gopher_filter")
+    val rows = q(spark, Sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n_words") >= 50 && r.getAs[Long]("n_words") <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3.0 && r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("alpha_word_frac") >= 0.8 && r.getAs[Int]("req_stopword_hits") >= 2
+      assert(r.getAs[Boolean]("keep") == expect, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   // ---- change-log SCD2 history ---------------------------------------
 
   test("scd history collapses runs, chains intervals, one current row per key") {
