@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis expressions for large-scale training-data pipelines:
@@ -94,4 +94,34 @@ object TextFunctions {
     regexp_extract_all(text, lit(BpePieceRegex), lit(0))
 
   def bpePieceCount(text: Column): Column = size(bpePieces(text))
+
+  /** Gopher-rule required stopwords (Rae et al. 2021 §A1.1) — distinct
+    * from [[StopWords]], which feeds the language/quality heuristics. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Composed Gopher keep/drop document filter (Rae et al. 2021 §A1.1):
+    * word-count bounds, mean word length, alphabetic-word fraction and
+    * required-stopword hits fold into one verdict. A pure higher-order-
+    * function projection — zero shuffles, fully codegen'd — so the same
+    * Columns run identically over a batch scan or a readStream (st14).
+    * Input needs (doc_id, text). */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val charSum = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = charSum.cast("double") / nWords
+    val alphaFrac = size(filter(words, w => w.rlike("[a-z]"))).cast("double") / nWords
+    val reqStops = GopherStopWords
+      .map(sw => when(array_contains(words, sw), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      reqStops.cast("int").as("req_stopword_hits"),
+      (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        alphaFrac >= 0.8 && reqStops >= 2).as("keep"))
+  }
 }

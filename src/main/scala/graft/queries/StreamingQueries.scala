@@ -32,7 +32,11 @@ object StreamingQueries {
       // x2's gap sessionization as arbitrary stateful streaming
       // (flatMapGroupsWithState); per-user sentinel events force-close
       // final sessions inside the stream so ALL sessions are emitted
-      StreamingJobs.streamingSessionize(s, d))
+      StreamingJobs.streamingSessionize(s, d)),
+    "st14_stream_quality_gate" -> ((s, d) =>
+      // t17's Gopher keep/drop verdict at ingest time: stateless 1:1
+      // projection, exchange-free plan, shares t17's Columns AND oracle
+      StreamingJobs.streamingQualityGate(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -104,6 +108,9 @@ object StreamingQueries {
         |  FROM g)
         |SELECT user_id, min(ts_s) AS session_start_s, max(ts_s) AS session_end_s,
         |  count(*) AS n_events
-        |FROM h GROUP BY user_id, seq""".stripMargin
+        |FROM h GROUP BY user_id, seq""".stripMargin,
+    // stateless 1:1 stream projection == the batch filter: t17's oracle,
+    // verbatim (one source of truth for the Gopher rule in SQL)
+    "st14_stream_quality_gate" -> TextQueries.oracle("t17_gopher_filter")
   )
 }

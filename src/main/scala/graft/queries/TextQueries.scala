@@ -163,23 +163,8 @@ object TextQueries {
       // stopword hits compose into a keep/drop verdict. Pure higher-order-
       // function projection (codegen'd, zero UDFs, zero shuffles) — the
       // whole filter is a map over the corpus scan, which is exactly what
-      // a 100 TB quality pass has to be.
-      val words = split(col("text"), " ")
-      val nWords = size(words)
-      val charSum = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-      val meanLen = charSum.cast("double") / nWords
-      val alphaFrac = size(filter(words, w => w.rlike("[a-z]"))).cast("double") / nWords
-      val reqStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        .map(sw => when(array_contains(words, sw), 1).otherwise(0))
-        .reduce(_ + _)
-      Tables(s, d).documents.select(
-        col("doc_id"),
-        nWords.cast("long").as("n_words"),
-        meanLen.as("mean_word_len"),
-        alphaFrac.as("alpha_word_frac"),
-        reqStops.cast("int").as("req_stopword_hits"),
-        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-          alphaFrac >= 0.8 && reqStops >= 2).as("keep"))
+      // a 100 TB quality pass has to be. Shared with the st14 ingest gate.
+      graft.functions.TextFunctions.gopherFilter(Tables(s, d).documents)
     }),
     "t14_compression_ratio" -> ((s, d) => {
       // compression-ratio quality signal (model-free redundancy detector:

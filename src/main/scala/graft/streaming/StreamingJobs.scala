@@ -443,6 +443,25 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** ST14: t17's Gopher quality verdict evaluated at ingest time — a
+    * stateless 1:1 projection (no state store, no watermark, no scoped
+    * shuffle partitions needed: the plan has no exchange at all), so the
+    * stream output equals the batch filter row-for-row and reuses its
+    * oracle verbatim. This is where a 100 TB pipeline wants the quality
+    * gate: documents scored (and droppable) before they ever land. */
+  def streamingQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val scored = graft.functions.TextFunctions.gopherFilter(stream)
+    val name = s"quality_gate_${counter.incrementAndGet()}"
+    val q = scored.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** ST7: per-source freshness monitor — each source's newest processed
     * timestamp vs its SLA (sensor semantics, batch-evaluated against an
     * injected clock). One tiny agg per source, unioned. */

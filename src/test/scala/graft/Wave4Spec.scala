@@ -100,6 +100,20 @@ class Wave4Spec extends SparkSpecBase {
     }
   }
 
+  test("streaming quality gate equals the batch gopher filter row-for-row") {
+    val batch = graft.queries.TextQueries.queries("t17_gopher_filter")(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.StreamingJobs.streamingQualityGate(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("gopher filter is a pure map: physical plan has no exchange") {
+    val q = graft.queries.TextQueries.queries("t17_gopher_filter")
+    val plan = q(spark, Sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality pass must not shuffle:\n$plan")
+  }
+
   // ---- change-log SCD2 history ---------------------------------------
 
   test("scd history collapses runs, chains intervals, one current row per key") {
