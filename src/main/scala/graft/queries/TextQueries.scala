@@ -166,6 +166,48 @@ object TextQueries {
       // a 100 TB quality pass has to be. Shared with the st14 ingest gate.
       graft.functions.TextFunctions.gopherFilter(Tables(s, d).documents)
     }),
+    "t18_repetition_filter" -> ((s, d) => {
+      // Gopher REPETITION rules (Rae et al. 2021 §A1.1 Table A1): fraction
+      // of a document's characters contained in occurrences of its single
+      // most frequent word 2-gram / 3-gram; drop when top-2gram > 0.20 or
+      // top-3gram > 0.18 of chars. (Line-level dup rules are degenerate on
+      // this corpus — no newlines — so the n-gram family is the active
+      // half of the table.) Shape: gram explode is map-side; ONE wide
+      // shuffle on (doc_id, n, gram) with partial aggregation, then two
+      // doc-keyed reductions — the same skeleton as d10, linear in corpus
+      // bytes, no self-joins. Tie-break = max count then max gram, encoded
+      // identically on both engines (struct max / ORDER BY cnt DESC, g DESC).
+      def gramsOf(n: Int) =
+        when(size(col("w")) >= n,
+          transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k)): _*)))
+          .otherwise(array().cast("array<string>"))
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+      val counted = base
+        .select(col("doc_id"), col("n_chars"),
+          explode(concat(
+            transform(gramsOf(2), g => struct(lit(2).as("n"), g.as("g"))),
+            transform(gramsOf(3), g => struct(lit(3).as("n"), g.as("g"))))).as("ng"))
+        .groupBy(col("doc_id"), col("n_chars"), col("ng.n").as("n"), col("ng.g").as("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = counted
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(max(struct(col("cnt"), col("g"))).as("t"))
+        .select(col("doc_id"), col("n"), col("t.g").as("g"),
+          (col("t.cnt") * length(col("t.g")).cast("double") / col("n_chars")).as("frac"))
+      val pivoted = top.groupBy("doc_id").agg(
+        max(when(col("n") === 2, col("g"))).as("top_2gram"),
+        max(when(col("n") === 2, col("frac"))).as("top_2gram_char_frac"),
+        max(when(col("n") === 3, col("g"))).as("top_3gram"),
+        max(when(col("n") === 3, col("frac"))).as("top_3gram_char_frac"))
+      Tables(s, d).documents.select(col("doc_id"))
+        .join(pivoted, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("top_2gram"), col("top_2gram_char_frac"),
+          col("top_3gram"), col("top_3gram_char_frac"),
+          (coalesce(col("top_2gram_char_frac") <= 0.20, lit(true)) &&
+            coalesce(col("top_3gram_char_frac") <= 0.18, lit(true))).as("keep"))
+    }),
     "t14_compression_ratio" -> ((s, d) => {
       // compression-ratio quality signal (model-free redundancy detector:
       // templated/boilerplate text deflates far below natural prose, noise
@@ -496,6 +538,30 @@ object TextQueries {
         |   AND CAST(char_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
         |   AND CAST(alpha_n AS DOUBLE) / n_words >= 0.8
         |   AND req >= 2) AS keep
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "t18_repetition_filter" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars, 2 AS n,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM d WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, 3 AS n,
+        |    unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM d WHERE len(w) >= 3),
+        |c AS (SELECT doc_id, n_chars, n, g, count(*) AS cnt FROM g GROUP BY ALL),
+        |t AS (SELECT doc_id, n, g, CAST(cnt * length(g) AS DOUBLE) / n_chars AS frac,
+        |        row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g DESC) AS rn
+        |      FROM c),
+        |p AS (SELECT doc_id,
+        |        max(CASE WHEN n = 2 THEN g END) AS top_2gram,
+        |        max(CASE WHEN n = 2 THEN frac END) AS top_2gram_char_frac,
+        |        max(CASE WHEN n = 3 THEN g END) AS top_3gram,
+        |        max(CASE WHEN n = 3 THEN frac END) AS top_3gram_char_frac
+        |      FROM t WHERE rn = 1 GROUP BY doc_id)
+        |SELECT doc.doc_id, top_2gram, top_2gram_char_frac, top_3gram, top_3gram_char_frac,
+        |  (coalesce(top_2gram_char_frac <= 0.20, true)
+        |   AND coalesce(top_3gram_char_frac <= 0.18, true)) AS keep
+        |FROM documents doc LEFT JOIN p USING (doc_id)""".stripMargin
   )
 }

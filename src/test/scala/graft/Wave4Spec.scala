@@ -108,6 +108,17 @@ class Wave4Spec extends SparkSpecBase {
     assert(stream == batch)
   }
 
+  test("repetition filter discriminates and its tie-break is deterministic") {
+    val q = graft.queries.TextQueries.queries("t18_repetition_filter")
+    val r1 = q(spark, Sf0001).collect().map(_.toSeq)
+    val keeps = r1.map(_.last).toSet
+    assert(keeps == Set(true, false), "thresholds must split the corpus")
+    // max-count/max-gram tie-break must be stable run to run (the oracle
+    // hash compare depends on it)
+    val r2 = q(spark, Sf0001).collect().map(_.toSeq)
+    assert(r1.toSet == r2.toSet)
+  }
+
   test("gopher filter is a pure map: physical plan has no exchange") {
     val q = graft.queries.TextQueries.queries("t17_gopher_filter")
     val plan = q(spark, Sf0001).queryExecution.executedPlan.toString
