@@ -147,6 +147,98 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Gradient synthetic PNGs — the resize fixture: pixel (x,y) of image
+    * id is r=(id+3x+5y)%256, g=(2·id+7x+11y)%256, b=(3·id+13x+17y)%256 on
+    * the same (8+id%32)×(8+id%16) canvas as [[syntheticPngs]]. Because the
+    * color varies per pixel, a resample stage has non-trivial ground
+    * truth: the value at any sampled coordinate is a closed form of
+    * (id, x, y) that an SQL oracle can replay. */
+  def syntheticGradientPngs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (8 + math.floorMod(id, 32)).toInt
+          val h = (8 + math.floorMod(id, 16)).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = math.floorMod(id + 3 * x + 5 * y, 256).toInt
+              val g = math.floorMod(2 * id + 7 * x + 11 * y, 256).toInt
+              val b = math.floorMod(3 * id + 13 * x + 17 * y, 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decoded-thumbnail stats (float-free): integer channel sums over the
+    * resampled grid, plus the recovered source dimensions. */
+  case class ThumbFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      thumb_w: Int,
+      thumb_h: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      decoded: Boolean)
+
+  /** Real image RESIZE stage: decode via ImageIO, then nearest-neighbor
+    * resample to tw×th — target cell (i,j) reads source pixel
+    * (⌊i·w/tw⌋, ⌊j·h/th⌋), the standard O(thumbnail) resample (no full-
+    * image pass, no float kernel). Emits integer per-channel sums over
+    * the thumbnail so the correctness check needs no float tolerance;
+    * undecodable payloads keep the totality contract (decoded=false,
+    * zero sums). Same Tungsten-native Dataset.mapPartitions shape as
+    * [[extractFeatures]]. */
+  def resizeThumbnail(df: DataFrame, idCol: String, payloadCol: String, tw: Int, th: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          decodeImage(payload) match {
+            case Some(img) =>
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var j = 0
+              while (j < th) {
+                val ys = j * h / th
+                var i = 0
+                while (i < tw) {
+                  val xs = i * w / tw
+                  val p = img.getRGB(xs, ys)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  i += 1
+                }
+                j += 1
+              }
+              ThumbFeatures(id, w, h, tw, th, sr, sg, sb, decoded = true)
+            case None => ThumbFeatures(id, 0, 0, tw, th, 0L, 0L, 0L, decoded = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Decoded audio features: container header fields recovered by the
     * codec plus exact integer signal statistics (absolute-amplitude sum,
     * sign-change count) so downstream checks need no float tolerance. */

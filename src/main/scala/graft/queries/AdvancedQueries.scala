@@ -149,6 +149,27 @@ object AdvancedQueries {
         col("user_id"), col("ts_s"))
         .select("event_id", "bin_a", "bin_b", "z")
     }),
+    "x11_stratified_quota" -> ((s, d) => {
+      // EXACT-quota stratified sampling: keep precisely ceil(0.25·n_s)
+      // docs from every source s — Bernoulli keeps (x4, stratifiedByHash)
+      // only hit quotas in expectation, but mixture CONTRACTS ("exactly
+      // 25% of each source") need rank-based selection. Docs rank within
+      // their source by the portable md5 uniform (deterministic,
+      // engine-replayable); the per-source count rides the same window
+      // partition, so the whole op is ONE shuffle on the stratum key and
+      // no second pass over the corpus.
+      val u = md5(concat(col("doc_id").cast("string"), lit("|q42")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(u, col("doc_id"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables(s, d).documents
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("quota", ceil(count(lit(1)).over(n) * 0.25).cast("long"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"),
+          col("rn").cast("long").as("rank_in_source"), col("quota"))
+    }),
     "x8_global_shuffle" -> ((s, d) => {
       // deterministic training-data shuffle: every doc gets a reproducible
       // (shard, pos) address in a fully shuffled global order — md5 order
@@ -433,6 +454,16 @@ object AdvancedQueries {
         |  FROM s3)
         |SELECT event_id, ba AS bin_a, bb AS bin_b, (a4 | (b4 << 1)) AS z
         |FROM s4""".stripMargin,
+    "x11_stratified_quota" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|q42'), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_source,
+        |  CAST(ceil(n * 0.25) AS BIGINT) AS quota
+        |FROM r WHERE rn <= ceil(n * 0.25)""".stripMargin,
     "x8_global_shuffle" ->
       """WITH s AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|gs42') AS okey

@@ -157,6 +157,17 @@ object TextQueries {
         Tables(s, d).documents.select("doc_id"), "doc_id")
       graft.operators.Multimodal.extractAudioFeatures(wavs, "doc_id", "payload")
     }),
+    "m5_image_resize" -> ((s, d) => {
+      // REAL resize stage (completes decode/feature/resize/frame-sample):
+      // gradient PNGs whose per-pixel value is a closed form of
+      // (doc_id,x,y), decoded with ImageIO and nearest-neighbor-resampled
+      // to 8×8; integer channel sums over the thumbnail hash-check the
+      // decode+resample path against the closed form replayed in SQL
+      // over a generated 8×8 grid.
+      val imgs = graft.operators.Multimodal.syntheticGradientPngs(
+        Tables(s, d).documents.select("doc_id"), "doc_id")
+      graft.operators.Multimodal.resizeThumbnail(imgs, "doc_id", "payload", 8, 8)
+    }),
     "t17_gopher_filter" -> ((s, d) => {
       // Gopher-rule document filter (Rae et al. 2021 §A1.1): per-doc word
       // count, mean word length, alphabetic-word fraction and required-
@@ -514,6 +525,25 @@ object TextQueries {
         |CAST((256 + (doc_id % 256) * 4 - 1) // (8 + doc_id % 16) AS BIGINT) AS zero_crossings,
         |TRUE AS decoded
         |FROM documents""".stripMargin,
+    "m5_image_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         8 + d.doc_id % 32 AS w,
+        |         8 + d.doc_id % 16 AS h,
+        |         i.range AS i, j.range AS j
+        |  FROM documents d, range(8) i, range(8) j),
+        |c AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id + 3 * ((i * w) // 8) + 5 * ((j * h) // 8)) % 256 AS r,
+        |    (2 * doc_id + 7 * ((i * w) // 8) + 11 * ((j * h) // 8)) % 256 AS g,
+        |    (3 * doc_id + 13 * ((i * w) // 8) + 17 * ((j * h) // 8)) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS thumb_w, CAST(8 AS INTEGER) AS thumb_h,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b, TRUE AS decoded
+        |FROM c GROUP BY doc_id""".stripMargin,
     "t17_gopher_filter" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |m AS (SELECT doc_id,

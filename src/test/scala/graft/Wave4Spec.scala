@@ -108,6 +108,37 @@ class Wave4Spec extends SparkSpecBase {
     assert(stream == batch)
   }
 
+  test("exact-quota sample keeps precisely ceil(0.25·n) docs per source") {
+    val total = Tables(spark, Sf0001).documents
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.queries.AdvancedQueries.queries("x11_stratified_quota")(spark, Sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == total.keySet, "every stratum must be represented")
+    kept.foreach { case (src, k) =>
+      assert(k == math.ceil(total(src) * 0.25).toLong, s"source $src quota")
+    }
+  }
+
+  test("nearest-neighbor resize is exact: solid images yield 64x the channel value") {
+    // on m2's SOLID fixture every sampled pixel is identical, so the 8x8
+    // thumbnail sums must be exactly 64x the per-channel formula — any
+    // interpolation/averaging in the resample would break this
+    val imgs = graft.operators.Multimodal.syntheticPngs(
+      Tables(spark, Sf0001).documents.select("doc_id").limit(32), "doc_id")
+    val rows = graft.operators.Multimodal
+      .resizeThumbnail(imgs, "doc_id", "payload", 8, 8).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("decoded"))
+      assert(r.getAs[Long]("sum_r") == 64L * math.floorMod(id, 256))
+      assert(r.getAs[Long]("sum_g") == 64L * math.floorMod(7 * id, 256))
+      assert(r.getAs[Long]("sum_b") == 64L * math.floorMod(13 * id, 256))
+    }
+  }
+
   test("repetition filter discriminates and its tie-break is deterministic") {
     val q = graft.queries.TextQueries.queries("t18_repetition_filter")
     val r1 = q(spark, Sf0001).collect().map(_.toSeq)
