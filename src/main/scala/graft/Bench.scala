@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Force EVERY output column of the final plan: Dataset.count() lets
+  // Catalyst prune the measured computation for pure projections (count
+  // needs no columns, so a quality-score pass over 10x data timed flat),
+  // which under-measures exactly the map-heavy queries whose scaling the
+  // bench exists to watch. toRdd executes the plan as optimized for full
+  // output; the RDD count forces all partitions without a driver collect.
+  private def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_BENCH_COLD=1 skips every warmup so the timed pass absorbs
@@ -38,12 +47,12 @@ object Bench {
       // measures steady-state throughput (what a long-running cluster job
       // sees), not one-time driver JVM warmup.
       ordered.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => () }
+        try { force(fn(spark, sfDir)): Unit } catch { case _: Throwable => () }
       }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     def fmt(v: Double, places: Int): String =

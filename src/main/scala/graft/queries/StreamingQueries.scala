@@ -36,7 +36,11 @@ object StreamingQueries {
     "st14_stream_quality_gate" -> ((s, d) =>
       // t17's Gopher keep/drop verdict at ingest time: stateless 1:1
       // projection, exchange-free plan, shares t17's Columns AND oracle
-      StreamingJobs.streamingQualityGate(s, d))
+      StreamingJobs.streamingQualityGate(s, d)),
+    "st15_stream_packing" -> ((s, d) =>
+      // x3's sequence packing at ingest: O(1) state per source (the
+      // cumulative token offset), docs get their seq address on arrival
+      StreamingJobs.streamingPack(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -111,6 +115,8 @@ object StreamingQueries {
         |FROM h GROUP BY user_id, seq""".stripMargin,
     // stateless 1:1 stream projection == the batch filter: t17's oracle,
     // verbatim (one source of truth for the Gopher rule in SQL)
-    "st14_stream_quality_gate" -> TextQueries.oracle("t17_gopher_filter")
+    "st14_stream_quality_gate" -> TextQueries.oracle("t17_gopher_filter"),
+    // stateful ingest packing == the batch packer: x3's oracle, verbatim
+    "st15_stream_packing" -> AdvancedQueries.oracle("x3_pack_sequences")
   )
 }

@@ -282,15 +282,32 @@ object TextQueries {
       // RollingFingerprint (which stays rows-only: its Java-long wraparound
       // multiply has no overflow-safe SQL twin). Same portable-sibling
       // pattern as d2b/d3b/x1b.
+      // Round-4: re-expressed as the O(n) Rabin-Karp RECURRENCE (drop the
+      // leaving char's 257^7 term, shift, add the entering char) instead
+      // of re-hashing all 8 chars per window — bit-identical mod-2^31-1
+      // values, but the explode + 8x substring + groupBy shuffle collapse
+      // into ONE exchange-free projection (10.6 s -> O(n) at sf0.1).
+      val M = 2147483647L
+      val P7 = (1 to 7).foldLeft(1L)((a, _) => a * 257 % M) // 257^7 mod M
       Tables(s, d).documents
         .filter(length(col("text")) >= 8)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, length(text) - 7)")).as("p"))
         .select(col("doc_id"),
-          expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), " +
-            "(acc, i) -> (acc * 257 + ascii(substring(text, p + i, 1))) % 2147483647)").as("h"))
-        .groupBy("doc_id")
-        .agg(expr("bit_xor(h)").as("fingerprint"), count(lit(1)).as("n_windows"))
+          expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))").as("ch"))
+        .select(col("doc_id"),
+          expr(
+            s"""aggregate(
+               |  CASE WHEN size(ch) >= 9 THEN sequence(2, size(ch) - 7)
+               |       ELSE CAST(array() AS ARRAY<INT>) END,
+               |  named_struct(
+               |    'h', aggregate(slice(ch, 1, 8), CAST(0 AS BIGINT), (acc, c) -> (acc * 257 + c) % $M),
+               |    'x', aggregate(slice(ch, 1, 8), CAST(0 AS BIGINT), (acc, c) -> (acc * 257 + c) % $M)),
+               |  (acc, p) -> named_struct(
+               |    'h', (((acc.h - element_at(ch, p - 1) * $P7) % $M + $M) * 257
+               |          + element_at(ch, p + 7)) % $M,
+               |    'x', acc.x ^ ((((acc.h - element_at(ch, p - 1) * $P7) % $M + $M) * 257
+               |          + element_at(ch, p + 7)) % $M)),
+               |  acc -> acc.x)""".stripMargin).as("fingerprint"),
+          (size(col("ch")) - 7).cast("long").as("n_windows"))
     }),
     "t13b_bpe_encode_sample" -> ((s, d) => {
       // t13's encode path hash-checked end-to-end on a doc sample: the

@@ -462,6 +462,57 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** ST15: x3's sequence packing at INGEST time — per-source cumulative
+    * token offset held as flatMapGroupsWithState state (ONE long per
+    * group), so every arriving document is assigned its training-sequence
+    * address (seq_id) the moment it lands and no batch repack is ever
+    * needed. Per-doc assignments stream to the sink in append mode; the
+    * per-sequence summary (x3's exact output — n_docs, seq_tokens,
+    * fill_ratio) is a presentation-side aggregation of the sink table, so
+    * the entry shares x3's oracle SQL verbatim. Within-batch arrival
+    * order is normalized by the same per-batch sort as st13; across
+    * batches the carried offset keeps later arrivals at later offsets
+    * (single input file => single microbatch here, the st11 contract). */
+  def streamingPack(spark: SparkSession, sfDir: String, budget: Long = 512L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+      .as[(String, Long, Long)]
+
+    def fn(source: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]):
+        Iterator[(String, Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(_._2)
+      var off = state.getOption.getOrElse(0L)
+      val out = sorted.map { case (_, id, toks) =>
+        val sid = math.floor(off / budget.toDouble).toLong
+        off += toks
+        (source, id, sid, toks)
+      }
+      state.update(off)
+      out.iterator
+    }
+
+    val assigned = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("source", "doc_id", "seq_id", "toks")
+    val name = s"pack_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = assigned.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("seq_tokens"))
+      .withColumn("fill_ratio", col("seq_tokens").cast("double") / budget.toDouble)
+  }
+
   /** ST7: per-source freshness monitor — each source's newest processed
     * timestamp vs its SLA (sensor semantics, batch-evaluated against an
     * injected clock). One tiny agg per source, unioned. */

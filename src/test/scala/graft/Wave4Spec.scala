@@ -100,6 +100,14 @@ class Wave4Spec extends SparkSpecBase {
     }
   }
 
+  test("streaming packing equals the batch packer row-for-row") {
+    val batch = graft.queries.AdvancedQueries.queries("x3_pack_sequences")(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.StreamingJobs.streamingPack(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
   test("streaming quality gate equals the batch gopher filter row-for-row") {
     val batch = graft.queries.TextQueries.queries("t17_gopher_filter")(spark, Sf0001)
       .collect().map(_.toSeq).toSet
