@@ -96,7 +96,11 @@ object TextFunctions {
   def bpePieceCount(text: Column): Column = size(bpePieces(text))
 
   /** Gopher-rule required stopwords (Rae et al. 2021 §A1.1) — distinct
-    * from [[StopWords]], which feeds the language/quality heuristics. */
+    * from [[StopWords]], which feeds the language/quality heuristics.
+    * Note: the synthetic corpus's vocabulary contains only "the" of the
+    * eight, so the ≥2-hits rule rejects every synthetic doc — kept
+    * faithful to the paper rather than tuned to the fixture (the metric
+    * columns and the t18 repetition rules carry the discrimination). */
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
