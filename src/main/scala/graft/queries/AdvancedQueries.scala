@@ -149,6 +149,32 @@ object AdvancedQueries {
         col("user_id"), col("ts_s"))
         .select("event_id", "bin_a", "bin_b", "z")
     }),
+    "x12_mixture_apply" -> ((s, d) => {
+      // x5b's temperature mixture MATERIALIZED (mT5 §3.1 end to end): the
+      // 5-row rate table broadcasts back over the corpus and membership is
+      // the portable md5 uniform (x4's recipe, fresh salt) vs the source's
+      // rate — the sampled corpus is a pure function of (doc_id, seed) and
+      // the whole pass costs ONE token-count agg + ONE map over the docs.
+      val alpha = 0.3
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val rates = Tables(s, d).documents
+        .groupBy("source")
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
+        .withColumn("total", sum("tokens").over(w))
+        .withColumn("share", col("tokens").cast("double") / col("total"))
+        .withColumn("p_temp",
+          pow(col("share"), alpha) / sum(pow(col("share"), alpha)).over(w))
+        .withColumn("rel_rate", col("p_temp") / col("share"))
+        .withColumn("rate", round(col("rel_rate") / max(col("rel_rate")).over(w), 9))
+        .select("source", "rate")
+      val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit("|mx42"))), 1, 4), 16, 10)
+        .cast("double") / 65536.0)
+      Tables(s, d).documents.select(col("doc_id"), col("source"))
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("u", u)
+        .select(col("doc_id"), col("source"), col("rate"), col("u"),
+          (col("u") < col("rate")).as("keep"))
+    }),
     "x11_stratified_quota" -> ((s, d) => {
       // EXACT-quota stratified sampling: keep precisely ceil(0.25·n_s)
       // docs from every source s — Bernoulli keeps (x4, stratifiedByHash)
@@ -337,6 +363,26 @@ object AdvancedQueries {
     })
   )
 
+  /** x5b's oracle, shared verbatim: the x5b board entry runs it directly
+    * and x12 composes it as the rate table (one source of truth for the
+    * temperature-mixture rates in SQL). */
+  private val X5bOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |s AS (
+      |  SELECT source, tokens,
+      |    CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS BIGINT) AS share
+      |  FROM t),
+      |p AS (
+      |  SELECT source, tokens, share,
+      |    pow(share, 0.3) / sum(pow(share, 0.3)) OVER () AS p_temp
+      |  FROM s),
+      |r AS (SELECT *, p_temp / share AS rel_rate FROM p)
+      |SELECT source, tokens, share, round(p_temp, 9) AS p_temp,
+      |  round(rel_rate / max(rel_rate) OVER (), 9) AS rate
+      |FROM r""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "x1b_hash_split_portable" ->
       // thresholds: round(0.8 * 65536) = 52429 = 0xcccd (P(train) ≈ 0.80000)
@@ -383,22 +429,19 @@ object AdvancedQueries {
         |  min(difficulty) AS min_difficulty,
         |  max(difficulty) AS max_difficulty
         |FROM a GROUP BY 1""".stripMargin,
-    "x5b_temperature_mixture" ->
-      """WITH t AS (
-        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY 1),
-        |s AS (
-        |  SELECT source, tokens,
-        |    CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS BIGINT) AS share
-        |  FROM t),
-        |p AS (
-        |  SELECT source, tokens, share,
-        |    pow(share, 0.3) / sum(pow(share, 0.3)) OVER () AS p_temp
-        |  FROM s),
-        |r AS (SELECT *, p_temp / share AS rel_rate FROM p)
-        |SELECT source, tokens, share, round(p_temp, 9) AS p_temp,
-        |  round(rel_rate / max(rel_rate) OVER (), 9) AS rate
-        |FROM r""".stripMargin,
+    "x5b_temperature_mixture" -> X5bOracleSql,
+    // composes x5b's oracle verbatim as the rate table, then replays the
+    // portable-uniform membership (x4's recipe, fresh salt) per doc
+    "x12_mixture_apply" ->
+      s"""WITH rates AS (
+         |$X5bOracleSql
+         |),
+         |j AS (
+         |  SELECT d.doc_id, d.source, r.rate,
+         |    CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mx42'), 1, 4)) AS INTEGER) AS DOUBLE)
+         |      / 65536.0 AS u
+         |  FROM documents d JOIN rates r USING (source))
+         |SELECT doc_id, source, rate, u, u < rate AS keep FROM j""".stripMargin,
     "t7b_pii_spans" ->
       """WITH seeded AS (
         |  SELECT doc_id,

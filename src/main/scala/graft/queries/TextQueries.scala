@@ -77,6 +77,21 @@ object TextQueries {
       graft.operators.LanguageModel.bigramTypicality(
         Tables(s, d).documents, "doc_id", "text")
     }),
+    "t19_lm_quality_filter" -> ((s, d) => {
+      // CCNet-style LM-quality filtering (Wenzek et al. 2020 §4.3): score
+      // every doc by corpus typicality (t16's bigram avg log-prob), set
+      // the cut at the corpus 10th percentile, drop below-cut docs. The
+      // cut comes from ONE percentile aggregate over the per-doc SCORE
+      // table (n_docs rows, not corpus bytes) broadcast back map-side —
+      // x7's cut-point pattern — so there is NO global sort of the corpus
+      // anywhere in the plan.
+      val scored = graft.operators.LanguageModel.bigramTypicality(
+        Tables(s, d).documents, "doc_id", "text")
+      val cut = scored.agg(expr("percentile(avg_logp, 0.1)").as("cut"))
+      scored.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+          (col("avg_logp") > col("cut")).as("keep"))
+    }),
     "t12_normalize" -> ((s, d) => {
       // Unicode canonicalization (native codegen NormalizeText): NFC config
       // here because DuckDB's nfc_normalize can replay it — the NFKC default
@@ -376,6 +391,26 @@ object TextQueries {
     baseOracle ++
       bpeMergesForOracle.map(m => "t13b_bpe_encode_sample" -> t13bOracleSql(m)).toMap
 
+  /** t16's oracle, shared verbatim: the t16 board entry runs it directly
+    * and t19 composes it as the doc_scores subquery (one source of truth
+    * for the bigram-LM score in SQL). */
+  private val T16OracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(w) - 1, 1) + 1),
+      |    i -> concat_ws(' ', w[i], w[i+1]))) AS g
+      |  FROM d),
+      |bg AS (SELECT g, count(*) AS c12 FROM bi GROUP BY 1),
+      |bg2 AS (
+      |  SELECT g, c12,
+      |    sum(c12) OVER (PARTITION BY string_split(g, ' ')[1]) AS c1
+      |  FROM bg)
+      |SELECT doc_id,
+      |  count(*) AS n_bigrams,
+      |  round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS avg_logp
+      |FROM bi JOIN bg2 USING (g) GROUP BY 1""".stripMargin
+
   private def baseOracle: Map[String, String] = Map(
     // list_reduce seeds with the first element (= byte0, exactly Spark's
     // fold from 0: 0*257+byte0); window positions p in [1, len-7]
@@ -449,22 +484,19 @@ object TextQueries {
         |  CAST(sum(oov) AS BIGINT) AS oov_cnt,
         |  CAST(CAST(sum(oov) AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
         |FROM j GROUP BY 1""".stripMargin,
-    "t16_bigram_lm" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |bi AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(w) - 1, 1) + 1),
-        |    i -> concat_ws(' ', w[i], w[i+1]))) AS g
-        |  FROM d),
-        |bg AS (SELECT g, count(*) AS c12 FROM bi GROUP BY 1),
-        |bg2 AS (
-        |  SELECT g, c12,
-        |    sum(c12) OVER (PARTITION BY string_split(g, ' ')[1]) AS c1
-        |  FROM bg)
-        |SELECT doc_id,
-        |  count(*) AS n_bigrams,
-        |  round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS avg_logp
-        |FROM bi JOIN bg2 USING (g) GROUP BY 1""".stripMargin,
+    "t16_bigram_lm" -> T16OracleSql,
+    // composes t16's oracle as a named subquery; percentile_cont and
+    // Spark's percentile() share the p·(n−1) linear-interpolation
+    // definition over the SAME 6-dp-rounded scores, and the cut is
+    // compared, never emitted
+    "t19_lm_quality_filter" ->
+      s"""WITH doc_scores AS (
+         |$T16OracleSql
+         |),
+         |cut AS (SELECT percentile_cont(0.1) WITHIN GROUP (ORDER BY avg_logp) AS cut
+         |        FROM doc_scores)
+         |SELECT doc_id, n_bigrams, avg_logp, avg_logp > cut AS keep
+         |FROM doc_scores, cut""".stripMargin,
     "t12_normalize" ->
       // Collapse whitespace runs FIRST, then trim: boundary tabs/newlines
       // become a single ASCII space which trim() removes, matching

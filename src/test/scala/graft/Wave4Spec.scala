@@ -116,6 +116,16 @@ class Wave4Spec extends SparkSpecBase {
     assert(stream == batch)
   }
 
+  test("LM-quality filter drops exactly the bottom decile") {
+    // 500 docs with distinct 6-dp scores: the interpolated 10th-percentile
+    // cut lands strictly between s[49] and s[50], so exactly 50 docs fall
+    // below it
+    val rows = graft.queries.TextQueries.queries("t19_lm_quality_filter")(spark, Sf0001)
+      .collect()
+    assert(rows.length == 500)
+    assert(rows.count(!_.getAs[Boolean]("keep")) == 50)
+  }
+
   test("exact-quota sample keeps precisely ceil(0.25·n) docs per source") {
     val total = Tables(spark, Sf0001).documents
       .groupBy("source").count().collect()
