@@ -5,12 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names (builder-side quick
+    // iteration — the driver always runs the full board)
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     // int64-micros parquet timestamps (factory default) matter here: the
     // driver's DuckDB/pyarrow read must see exactly what DuckDB's SQL produces
     val spark = graft.core.SparkSessionFactory.local("graft-verify", defaultCpus = 4)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -76,6 +76,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric n-gram containment: for each candidate pair,
+    * C(A in B) = |S(A)∩S(B)| / |S(A)| and the mirror C(B in A) (Broder
+    * 1997's containment measure). Catches subset documents — a quoted or
+    * embedded doc has containment ≈1 even when the host doc's extra text
+    * dilutes Jaccard below any dedup threshold — the criterion
+    * crawl-pipeline "contained document" filters need and Jaccard can't
+    * express. Same inverted-index single-exchange shape (and `maxDf` skew
+    * cap) as [[ngramJaccardPairs]]: candidates only where a shingle is
+    * shared, exact scoring from one (pair → intersection-count) agg.
+    * Keeps pairs whose LARGER direction clears `threshold`. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Option[Int] = None
+  ): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol, n, Seq(blockCol)).withColumnRenamed(blockCol, "block")
+    val sh = maxDf match {
+      case Some(cap) =>
+        val dfreq = sh0.groupBy("block", "sh").agg(count(lit(1)).as("df"))
+        sh0.join(dfreq.filter(col("df") <= cap).select("block", "sh"), Seq("block", "sh"), "left_semi")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("block"), col("doc_id").as("id_a"), col("sh"))
+    val b = sh.select(col("block"), col("doc_id").as("id_b"), col("sh"))
+    val inter = a
+      .join(b.hint("shuffle_hash"), Seq("block", "sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("inter").cast("double") / col("n_a")).as("cont_a_in_b"),
+        (col("inter").cast("double") / col("n_b")).as("cont_b_in_a")
+      )
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** MinHash signatures: k permutations simulated as seeded xxhash64 of the
     * shingle, min-aggregated per doc. One shuffle (groupBy doc). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {

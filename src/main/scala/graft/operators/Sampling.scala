@@ -86,6 +86,46 @@ object Sampling {
       .filter(col("u") < col("keep_p"))
   }
 
+  /** Epoch-repeat to a token budget — the "how many epochs of each source"
+    * step of corpus curation (the fractional-epoch repeat schedule of
+    * GLaM/PaLM-style data mixtures): given a per-source token budget,
+    * repeat factor r = budget / source_tokens, and every doc is emitted
+    * floor(r) times plus one extra epoch with probability frac(r),
+    * decided by a deterministic per-doc hash — so a 1.3-epoch source
+    * repeats every doc once and a stable, reproducible 30% of docs twice,
+    * and r < 1 downsamples (possibly to zero epochs). All arithmetic is
+    * quantized (r to 4 dp, the hash draw to 1/65536) and the hash is the
+    * portable md5 bucket, so the whole schedule replays as plain SQL and
+    * is a pure function of (doc key, seed): stable under repartitioning,
+    * retries, and incremental re-materialization. Plan shape: ONE agg for
+    * source token totals (n_sources rows, broadcast back) + a map-side
+    * explode — no shuffle of the corpus itself. */
+  def tokenBudgetRepeat(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: String,
+      budgets: DataFrame, // (sourceCol, budget_tokens)
+      seed: Long = 42L
+  ): DataFrame = {
+    val srcTok = docs.groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("src_tokens"))
+    val rate = srcTok
+      .join(budgets, Seq(sourceCol))
+      .select(col(sourceCol),
+        round(col("budget_tokens").cast("double") / col("src_tokens"), 4).as("r"))
+    val base = floor(col("r")).cast("int")
+    val thr = round((col("r") - floor(col("r"))) * 65536, 0).cast("int")
+    val u16 = conv(substring(md5(concat(col(idCol).cast("string"), lit(s"|ep$seed"))), 1, 4), 16, 10)
+      .cast("int")
+    val epochs = (base + when(u16 < thr, 1).otherwise(0)).as("n_epochs")
+    docs
+      .join(broadcast(rate), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), epochs)
+      .select(col(idCol), col(sourceCol),
+        explode(when(col("n_epochs") >= 1, sequence(lit(1), col("n_epochs")))
+          .otherwise(array().cast("array<int>"))).as("epoch"))
+  }
+
   /** Deterministic global shuffle — training-example randomization as a
     * pure function of (key, seed): order key = md5 of the salted key,
     * shard = the order key's first `hexChars` hex chars, position = rank

@@ -20,6 +20,30 @@ object Upsert {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Apply a CDC changelog (the Debezium / Delta-change-feed apply step):
+    * keep the newest change per key, then drop keys whose newest change is
+    * a delete tombstone — the materialized table a CDC feed converges to.
+    * Upserts-with-deletes is the one merge shape [[latestByKey]] (u5) and
+    * SCD2 history (u8) don't express. Same ONE-window plan as
+    * latestByKey plus a post-window filter; deterministic under
+    * re-partitioning via the tiebreak. Streaming twin:
+    * `StreamingJobs.cdcApply` (flatMapGroupsWithState keep-latest with
+    * tombstone state). */
+  def cdcApply(
+      changes: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      tiebreak: String,
+      isDelete: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc, col(tiebreak).asc)
+    changes
+      .withColumn("__del", isDelete)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__del"))
+      .drop("__rn", "__del")
+  }
+
   /** Upsert `batch` into the parquet table at `path`. Reads existing rows
     * (if any), window-dedups by key, rewrites. At scale this should target
     * only affected date partitions (partition-overwrite); for the bronze

@@ -151,6 +151,45 @@ object Validation {
         (col("n_cats") > 1 && col("cnt").cast("double") / col("total") > maxShare).as("is_anomaly"))
   }
 
+  /** Population Stability Index per group — the standard distribution-
+    * drift score monitoring systems compute between a baseline and a
+    * current cohort (PSI = Σ_bins (pA−pB)·ln(pA/pB); ≥0.2 is the
+    * conventional "significant shift" alarm). Values land in fixed-width
+    * clamped bins so the binning is a pure projection; counts for BOTH
+    * cohorts come from ONE scan and ONE (group, bin)-grain exchange;
+    * cohort totals ride a group window over the tiny binned frame; +0.5
+    * per-bin smoothing keeps ln() finite when a bin is empty on one side.
+    * Scale shape: the corpus never shuffles twice — everything after the
+    * first agg is O(groups × bins). */
+  def psiDrift(
+      df: DataFrame, groupCol: String, valueCol: String, cohortA: Column,
+      binWidth: Double, nBins: Int, alarmAt: Double = 0.2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bin = least(greatest(floor(col(valueCol) / binWidth), lit(0)), lit(nBins - 1)).cast("int")
+    val cnt = df
+      .select(col(groupCol), bin.as("bin"), cohortA.as("is_a"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.partitionBy(groupCol)
+    val eps = nBins * 0.5
+    val pa = (col("ca") + 0.5) / (col("ta") + eps)
+    val pb = (col("cb") + 0.5) / (col("tb") + eps)
+    cnt
+      .withColumn("ta", sum(col("ca")).over(w))
+      .withColumn("tb", sum(col("cb")).over(w))
+      .withColumn("term", (pa - pb) * log(pa / pb))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("ca")).as("n_a"),
+        sum(col("cb")).as("n_b"),
+        round(sum(col("term")), 6).as("psi"))
+      .withColumn("is_drift", col("psi") > alarmAt)
+  }
+
   /** Z-score outlier counting from exact decimal sums — single pass for
     * moments + one filtered pass, both distributed (A11). */
   def zscoreOutlierCount(df: DataFrame, c: String, z: Double): DataFrame = {

@@ -175,6 +175,24 @@ object AdvancedQueries {
         .select(col("doc_id"), col("source"), col("rate"), col("u"),
           (col("u") < col("rate")).as("keep"))
     }),
+    "x13_token_budget_repeat" -> ((s, d) => {
+      // fractional-epoch repeat schedule (the GLaM/PaLM mixture repeat
+      // step): rebalance every source to a UNIFORM token budget
+      // (total/n_sources) — light sources repeat up (floor(r) epochs for
+      // all docs + one extra for a deterministic frac(r) of them), heavy
+      // sources downsample below one epoch — via
+      // Sampling.tokenBudgetRepeat's quantized portable-hash schedule.
+      // ONE token agg (n_sources rows, broadcast back) + a map-side
+      // explode; the corpus itself never shuffles.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      val budgets = docs.groupBy("source").agg(sum("n_tok").as("tokens"))
+        .withColumn("budget_tokens",
+          sum(col("tokens")).over(w).cast("double") / count(lit(1)).over(w))
+        .select("source", "budget_tokens")
+      Sampling.tokenBudgetRepeat(docs, "doc_id", "source", "n_tok", budgets)
+    }),
     "x11_stratified_quota" -> ((s, d) => {
       // EXACT-quota stratified sampling: keep precisely ceil(0.25·n_s)
       // docs from every source s — Bernoulli keeps (x4, stratifiedByHash)
@@ -429,6 +447,25 @@ object AdvancedQueries {
         |  min(difficulty) AS min_difficulty,
         |  max(difficulty) AS max_difficulty
         |FROM a GROUP BY 1""".stripMargin,
+    "x13_token_budget_repeat" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |st AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens FROM d GROUP BY 1),
+        |rate AS (
+        |  SELECT source,
+        |    round((CAST((SELECT sum(tokens) FROM st) AS DOUBLE)
+        |           / (SELECT count(*) FROM st)) / tokens, 4) AS r
+        |  FROM st),
+        |e AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(floor(r) AS INTEGER) AS base,
+        |    CAST(round((r - floor(r)) * 65536, 0) AS INTEGER) AS thr,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|ep42'), 1, 4)) AS INTEGER) AS u16
+        |  FROM d JOIN rate USING (source))
+        |SELECT doc_id, source,
+        |  CAST(unnest(range(1, base + (CASE WHEN u16 < thr THEN 1 ELSE 0 END) + 1)) AS INTEGER) AS epoch
+        |FROM e""".stripMargin,
     "x5b_temperature_mixture" -> X5bOracleSql,
     // composes x5b's oracle verbatim as the rate table, then replays the
     // portable-uniform membership (x4's recipe, fresh salt) per doc

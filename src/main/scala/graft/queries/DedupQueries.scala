@@ -117,6 +117,16 @@ object DedupQueries {
         "doc_id", "text", "source", n = 3, threshold = 0.5
       )
     }),
+    "d12_containment" -> ((s, d) => {
+      // asymmetric containment (Broder): surfaces subset/quotation docs —
+      // containment of the smaller doc stays ≈1 where Jaccard is diluted
+      // by the host's size; threshold 0.6 > d1's 0.5 because the measure
+      // is one-sided
+      Dedup.containmentPairs(
+        Tables(s, d).documents,
+        "doc_id", "text", "source", n = 3, threshold = 0.6
+      )
+    }),
     "d2_minhash_lsh" -> ((s, d) => {
       // full corpus (no sampling): the testdata's genuine near-dup pair
       // (exact Jaccard ≈0.97) must surface through the LSH bands
@@ -445,6 +455,28 @@ object DedupQueries {
         |JOIN sizes sa ON p.id_a = sa.doc_id
         |JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "d12_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |CAST(p.inter AS DOUBLE) / sa.n_sh AS cont_a_in_b,
+        |CAST(p.inter AS DOUBLE) / sb.n_sh AS cont_b_in_a
+        |FROM pairs p
+        |JOIN sizes sa ON p.id_a = sa.doc_id
+        |JOIN sizes sb ON p.id_b = sb.doc_id
+        |WHERE greatest(CAST(p.inter AS DOUBLE) / sa.n_sh,
+        |               CAST(p.inter AS DOUBLE) / sb.n_sh) >= CAST(0.6 AS DOUBLE)""".stripMargin,
     "d5_neardup_clusters" ->
       """WITH RECURSIVE
         |docs AS (

@@ -149,6 +149,15 @@ object ExtraQueries {
           maxSpanHours = 1.0, minRecords = 10)
         .withColumn("first_ts", col("first_ts").cast("timestamp_ntz"))
         .withColumn("last_ts", col("last_ts").cast("timestamp_ntz"))
+    }),
+    "a21_drift_psi" -> ((s, d) => {
+      // Population-Stability-Index drift check per event type between two
+      // deterministic cohorts (even vs odd event_id — the cohort predicate
+      // is pluggable; a deployment passes baseline-window vs current-
+      // window). Fixed-width value bins, ONE scan + ONE (type,bin)
+      // exchange, PSI rolled up from the tiny binned frame.
+      Validation.psiDrift(Tables(s, d).events, "event_type", "value",
+        cohortA = col("event_id") % 2 === 0, binWidth = 5.0, nBins = 5)
     })
   )
 
@@ -232,6 +241,31 @@ object ExtraQueries {
       """SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts,
         |(epoch_us(max(ts)) - epoch_us(min(ts))) / 3.6e9 AS span_hours,
         |((epoch_us(max(ts)) - epoch_us(min(ts))) / 3.6e9 < 1.0 AND count(*) > 10) AS is_clustered
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "a21_drift_psi" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(least(greatest(floor(value / 5.0), 0), 4) AS INTEGER) AS bin,
+        |    (event_id % 2 = 0) AS is_a
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, ca, cb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS ta,
+        |    sum(cb) OVER (PARTITION BY event_type) AS tb
+        |  FROM c)
+        |SELECT event_type,
+        |  count(*) AS n_bins,
+        |  CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b,
+        |  round(sum((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5) - CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5))
+        |        * ln((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5)) / (CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5)))), 6) AS psi,
+        |  round(sum((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5) - CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5))
+        |        * ln((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5)) / (CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5)))), 6) > 0.2 AS is_drift
+        |FROM p GROUP BY 1""".stripMargin
   )
 }

@@ -323,6 +323,17 @@ object RelationalQueries {
         .latestByKey(Tables(s, d).events, Seq("user_id", "event_type"), "event_id", "event_id")
         .select("user_id", "event_type", "event_id", "value")
     }),
+    "u9_cdc_apply" -> ((s, d) => {
+      // CDC changelog apply: events as a change feed keyed by user —
+      // newest change wins, and a key whose newest change is a tombstone
+      // (event_type 'error' stands in for the delete op) leaves the
+      // materialized table. ONE window + filter; streaming twin st16
+      // converges to this same table.
+      graft.operators.Upsert
+        .cdcApply(Tables(s, d).events, Seq("user_id"), "event_id", "event_id",
+          isDelete = col("event_type") === "error")
+        .select("user_id", "event_id", "event_type", "value")
+    }),
     "u8_scd2_history" -> ((s, d) => {
       // history-preserving variant of u5's keep-latest: the event stream
       // as an SCD2 dimension — one validity interval per run of equal
@@ -563,6 +574,12 @@ object RelationalQueries {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY event_id DESC, event_id ASC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    "u9_cdc_apply" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id DESC, event_id ASC) AS rn
+        |  FROM events) t WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "u8_scd2_history" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_type, event_id,

@@ -92,6 +92,30 @@ object TextQueries {
         .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
           (col("avg_logp") > col("cut")).as("keep"))
     }),
+    "t20_token_entropy" -> ((s, d) => {
+      // token-diversity quality signal: Shannon entropy of the per-doc
+      // token histogram (H = ln n − Σ c·ln c / n), type count, and
+      // top-token mass. Complements t11, which measures n-gram REPETITION
+      // — entropy catches low-diversity spam whose top gram is still
+      // unremarkable. Same plan shape as t11 (ONE (doc,token) exchange,
+      // then a per-doc rollup), linear in tokens; 6-dp rounding absorbs
+      // summation-order drift in the Σ c·ln c term (t16 precedent).
+      val tok = Tables(s, d).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          max(col("c")).as("top_cnt"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          col("n_types"),
+          round(col("top_cnt").cast("double") / col("n_tok"), 6).as("top_frac"),
+          round(log(col("n_tok").cast("double")) - col("clc") / col("n_tok"), 6).as("entropy"))
+    }),
     "t12_normalize" -> ((s, d) => {
       // Unicode canonicalization (native codegen NormalizeText): NFC config
       // here because DuckDB's nfc_normalize can replay it — the NFKC default
@@ -508,6 +532,17 @@ object TextQueries {
         |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
         |  FROM documents)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS norm_len FROM n""".stripMargin,
+    "t20_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hist AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tok,
+        |  count(*) AS n_types,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS top_frac,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) -
+        |        sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS BIGINT), 6) AS entropy
+        |FROM hist GROUP BY 1""".stripMargin,
     "t11_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (
