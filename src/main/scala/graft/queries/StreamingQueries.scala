@@ -40,7 +40,12 @@ object StreamingQueries {
     "st15_stream_packing" -> ((s, d) =>
       // x3's sequence packing at ingest: O(1) state per source (the
       // cumulative token offset), docs get their seq address on arrival
-      StreamingJobs.streamingPack(s, d))
+      StreamingJobs.streamingPack(s, d)),
+    "st16_stream_cdc_apply" -> ((s, d) =>
+      // u9's CDC apply at ingest: O(1) newest-change state per key,
+      // version-resolved (not arrival-order) => batch-equal under any
+      // microbatching; tombstoned keys leave the materialized table
+      StreamingJobs.streamingCdcApply(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -117,6 +122,9 @@ object StreamingQueries {
     // verbatim (one source of truth for the Gopher rule in SQL)
     "st14_stream_quality_gate" -> TextQueries.oracle("t17_gopher_filter"),
     // stateful ingest packing == the batch packer: x3's oracle, verbatim
-    "st15_stream_packing" -> AdvancedQueries.oracle("x3_pack_sequences")
+    "st15_stream_packing" -> AdvancedQueries.oracle("x3_pack_sequences"),
+    // version-resolved CDC state converges to the batch table under any
+    // microbatching: u9's oracle, verbatim
+    "st16_stream_cdc_apply" -> RelationalQueries.oracle("u9_cdc_apply")
   )
 }

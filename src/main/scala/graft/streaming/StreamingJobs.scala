@@ -406,6 +406,69 @@ object StreamingJobs {
       .agg(min("keep_id").as("keep_id"), max("dup_cnt").as("dup_cnt"))
   }
 
+  /** ST16: u9's CDC changelog apply at INGEST time — keep-latest-with-
+    * tombstones (the Debezium/change-feed apply step) as arbitrary
+    * stateful streaming. State per key is ONE (version, op, payload)
+    * tuple — the newest change seen so far — O(1) no matter how many
+    * changes a key receives. Newest-wins is resolved by the VERSION
+    * (event_id), not arrival order, so unlike first-seen dedup (st11's
+    * documented caveat) the streamed table equals the batch oracle under
+    * ANY microbatching: a stale late arrival can never overwrite a newer
+    * state. Each batch-with-arrivals emits the key's current materialized
+    * row; after drain the sink collapses to the max-version row per key
+    * and keys whose newest change is a tombstone drop out — exactly u9's
+    * table, so the entry shares u9's oracle SQL verbatim. */
+  def streamingCdcApply(
+      spark: SparkSession,
+      sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(sfDir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(sfDir)
+      .select(
+        col("user_id").as[Long],
+        col("event_id").as[Long],
+        col("event_type").as[String],
+        col("value").as[Double])
+      .as[(Long, Long, String, Double)]
+
+    def fn(user: Long, rows: Iterator[(Long, Long, String, Double)],
+           state: GroupState[(Long, String, Double)]): Iterator[(Long, Long, String, Double)] = {
+      val newest = rows.maxBy(_._2)
+      val cur = state.getOption match {
+        case Some(st @ (v, _, _)) if v > newest._2 => st
+        case _                                     => (newest._2, newest._3, newest._4)
+      }
+      state.update(cur)
+      Iterator.single((user, cur._1, cur._2, cur._3))
+    }
+
+    val applied = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "event_id", "event_type", "value")
+    val name = s"cdcapply_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = applied.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // the max-version row per key IS the final state; tombstoned keys leave
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_id").desc)
+    spark.table(name)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("event_type") =!= "error")
+      .select("user_id", "event_id", "event_type", "value")
+  }
+
   /** ST12: ingest-time document chunking — t15's RAG splitter as a
     * STATELESS streaming transform (1:N row explosion is watermark-free:
     * no state store, no output-mode subtleties, each microbatch chunks

@@ -153,4 +153,47 @@ class Streaming2Spec extends SparkSpecBase {
       .select(VectorExpressions.rolling_fingerprint(col("text"), 16)).head().getLong(0)
     assert(short != 0L)
   }
+
+  test("streaming CDC apply converges to the batch table under out-of-order delivery (st16)") {
+    val tmp = Files.createTempDirectory("cdc").toString
+    // the file carrying NEWER versions streams in the first microbatch;
+    // the stale batch arrives after and must not overwrite newer state
+    val newer = Seq(
+      (1L, 11L, "upsert", 2.0), // key 1 final value
+      (2L, 21L, "error", 0.0),  // key 2 tombstoned by its newest change
+      (3L, 31L, "upsert", 9.0)  // key 3 re-inserted after older tombstone
+    ).toDF("user_id", "event_id", "event_type", "value")
+    val older = Seq(
+      (1L, 10L, "upsert", 1.0),
+      (2L, 20L, "upsert", 3.0),
+      (3L, 30L, "error", 0.0),
+      (4L, 40L, "upsert", 7.0)  // key 4 exists only in the stale batch
+    ).toDF("user_id", "event_id", "event_type", "value")
+    // single flat files (the file source does not recurse into subdirs)
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val stage = Files.createTempDirectory("cdcstage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(dest)): Unit
+    }
+    writeOne(newer, s"$tmp/a.parquet")
+    Thread.sleep(1100) // separate file mod-times so the source orders batches
+    writeOne(older, s"$tmp/b.parquet")
+
+    val got = StreamingJobs
+      .streamingCdcApply(spark, tmp, glob = "*.parquet", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val batch = graft.operators.Upsert
+      .cdcApply(newer.unionByName(older), Seq("user_id"), "event_id", "event_id",
+        isDelete = col("event_type") === "error")
+      .select("user_id", "event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == batch.toSeq)
+    assert(got.toSeq == Seq(
+      (1L, 11L, "upsert", 2.0),
+      (3L, 31L, "upsert", 9.0),
+      (4L, 40L, "upsert", 7.0)))
+  }
 }
