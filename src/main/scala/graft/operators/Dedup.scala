@@ -122,6 +122,42 @@ object Dedup {
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
   }
 
+  /** Corpus-pair overlap report — the dataset-level "how much do these
+    * sources share" card a curator reads BEFORE any doc-grain dedup run:
+    * one MinHash signature per SOURCE (union of its distinct shingles),
+    * every source pair scored by signature agreement (Broder's estimator,
+    * E[agree/k] = Jaccard of the shingle sets). Cost is the d2b portable
+    * recipe's cheap half: k md5s per distinct shingle, a k-column min-agg
+    * down to n_sources rows, and an O(n_sources²) scoring frame — there
+    * is no doc-pair join at all, so the report stays this cheap at any
+    * corpus size. Portable md5 hashes ⇒ replays as plain SQL. */
+  def corpusOverlap(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 32
+  ): DataFrame = {
+    val sh = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val hashTable = sh.select("sh").distinct()
+      .select(col("sh") +: (0 until k).map(i => md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
+    val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
+    val sigs = sh.join(hashTable.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val agree = (0 until k)
+      .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast("int")).reduce(_ + _)
+    sigs.as("a")
+      .join(broadcast(sigs.as("b")), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"),
+        col("b.source").as("src_b"),
+        agree.cast("int").as("n_agree"),
+        (agree.cast("double") / k).as("est_jaccard"))
+  }
+
   /** MinHash signatures: k permutations simulated as seeded xxhash64 of the
     * shingle, min-aggregated per doc. One shuffle (groupBy doc). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {

@@ -44,6 +44,33 @@ object Upsert {
       .drop("__rn", "__del")
   }
 
+  /** Diff two snapshots of a keyed table — the added / removed / changed /
+    * unchanged report a data-versioning layer (Delta time travel, Iceberg
+    * snapshots) answers, and the audit artifact an incremental pipeline
+    * publishes with each run. ONE full-outer hash join on the key (each
+    * side shuffles once); "changed" compares `compareCols` null-safely;
+    * `carryCols` ride along un-compared (version stamps, row ids). */
+  def snapshotDiff(
+      v1: DataFrame,
+      v2: DataFrame,
+      key: String,
+      compareCols: Seq[String],
+      carryCols: Seq[String] = Nil
+  ): DataFrame = {
+    val outCols = compareCols ++ carryCols
+    val a = v1.select(col(key).as("__k1") +: outCols.map(c => col(c).as(s"v1_$c")): _*)
+    val b = v2.select(col(key).as("__k2") +: outCols.map(c => col(c).as(s"v2_$c")): _*)
+    val changed = compareCols.map(c => !(col(s"v1_$c") <=> col(s"v2_$c"))).reduce(_ || _)
+    a.join(b, col("__k1") === col("__k2"), "full_outer")
+      .select(
+        coalesce(col("__k1"), col("__k2")).as(key) +:
+          when(col("__k2").isNull, "removed")
+            .when(col("__k1").isNull, "added")
+            .when(changed, "changed")
+            .otherwise("unchanged").as("status") +:
+          outCols.flatMap(c => Seq(col(s"v1_$c"), col(s"v2_$c"))): _*)
+  }
+
   /** Upsert `batch` into the parquet table at `path`. Reads existing rows
     * (if any), window-dedups by key, rewrites. At scale this should target
     * only affected date partitions (partition-overwrite); for the bronze

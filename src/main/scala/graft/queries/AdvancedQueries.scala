@@ -193,6 +193,21 @@ object AdvancedQueries {
         .select("source", "budget_tokens")
       Sampling.tokenBudgetRepeat(docs, "doc_id", "source", "n_tok", budgets)
     }),
+    "x14_dataset_card" -> ((s, d) => {
+      // per-source dataset card — the summary table a corpus release
+      // ships: volume, token mass, mean length, language spread, exact-
+      // dup rate (u4's fingerprint recipe). ONE scan, one source-grain
+      // agg; every column is a map-side-combinable aggregate.
+      val nTok = TextFunctions.tokenCount(col("text"))
+      Tables(s, d).documents.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("n_tokens"),
+        round(avg(nTok.cast("double")), 6).as("avg_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(lower(trim(col("text")))))).as("n_exact_dups"))
+        .withColumn("dup_rate",
+          round(col("n_exact_dups").cast("double") / col("n_docs"), 6))
+    }),
     "x11_stratified_quota" -> ((s, d) => {
       // EXACT-quota stratified sampling: keep precisely ceil(0.25·n_s)
       // docs from every source s — Bernoulli keeps (x4, stratifiedByHash)
@@ -466,6 +481,15 @@ object AdvancedQueries {
         |SELECT doc_id, source,
         |  CAST(unnest(range(1, base + (CASE WHEN u16 < thr THEN 1 ELSE 0 END) + 1)) AS INTEGER) AS epoch
         |FROM e""".stripMargin,
+    "x14_dataset_card" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_exact_dups,
+        |  round(CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin,
     "x5b_temperature_mixture" -> X5bOracleSql,
     // composes x5b's oracle verbatim as the rate table, then replays the
     // portable-uniform membership (x4's recipe, fresh salt) per doc

@@ -117,6 +117,12 @@ object DedupQueries {
         "doc_id", "text", "source", n = 3, threshold = 0.5
       )
     }),
+    "d13_corpus_overlap" -> ((s, d) => {
+      // dataset-level overlap card: one MinHash signature per SOURCE,
+      // pairwise signature agreement = estimated shingle-set Jaccard —
+      // the before-you-dedup report; no doc-pair join anywhere
+      Dedup.corpusOverlap(Tables(s, d).documents, "source", "text", n = 3, k = 32)
+    }),
     "d12_containment" -> ((s, d) => {
       // asymmetric containment (Broder): surfaces subset/quotation docs —
       // containment of the smaller doc stays ≈1 where Jaccard is diluted
@@ -455,6 +461,23 @@ object DedupQueries {
         |JOIN sizes sa ON p.id_a = sa.doc_id
         |JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "d13_corpus_overlap" ->
+      """WITH docs AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |sh AS (SELECT DISTINCT source, sh FROM sh0),
+        |hx AS (
+        |  SELECT source, s.i AS seed, min(md5(concat(s.i, '|', sh.sh))) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) s GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INTEGER) AS n_agree,
+        |  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+        |FROM hx a JOIN hx b ON a.seed = b.seed AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "d12_containment" ->
       """WITH docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w

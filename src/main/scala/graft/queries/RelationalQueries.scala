@@ -323,6 +323,21 @@ object RelationalQueries {
         .latestByKey(Tables(s, d).events, Seq("user_id", "event_type"), "event_id", "event_id")
         .select("user_id", "event_type", "event_id", "value")
     }),
+    "u10_snapshot_diff" -> ((s, d) => {
+      // snapshot diff: the event log's first and second halves (split at
+      // the median event_id) materialized as two keep-latest-per-user
+      // snapshots, then diffed into the added/removed/changed/unchanged
+      // audit report a versioned table layer publishes per run. ONE
+      // full-outer join; the median split rides an O(1) broadcast row.
+      val ev = Tables(s, d).events.select("user_id", "event_id", "value")
+      val mx = ev.agg(max("event_id").as("mx"))
+      val tagged = ev.crossJoin(broadcast(mx))
+      val v1 = graft.operators.Upsert.latestByKey(
+        tagged.filter(col("event_id") <= col("mx") / 2), Seq("user_id"), "event_id", "event_id")
+      val v2 = graft.operators.Upsert.latestByKey(
+        tagged.filter(col("event_id") > col("mx") / 2), Seq("user_id"), "event_id", "event_id")
+      graft.operators.Upsert.snapshotDiff(v1, v2, "user_id", Seq("value"), Seq("event_id"))
+    }),
     "u9_cdc_apply" -> ((s, d) => {
       // CDC changelog apply: events as a change feed keyed by user —
       // newest change wins, and a key whose newest change is a tombstone
@@ -574,6 +589,25 @@ object RelationalQueries {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY event_id DESC, event_id ASC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    "u10_snapshot_diff" ->
+      """WITH mx AS (SELECT max(event_id) AS mx FROM events),
+        |t AS (SELECT user_id, event_id, value, event_id <= mx / 2 AS is_v1 FROM events, mx),
+        |v1 AS (SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM t WHERE is_v1) WHERE rn = 1),
+        |v2 AS (SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM t WHERE NOT is_v1) WHERE rn = 1)
+        |SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+        |  CASE WHEN v2.user_id IS NULL THEN 'removed'
+        |       WHEN v1.user_id IS NULL THEN 'added'
+        |       WHEN v1.value IS DISTINCT FROM v2.value THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  v1.value AS v1_value, v2.value AS v2_value,
+        |  v1.event_id AS v1_event_id, v2.event_id AS v2_event_id
+        |FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id""".stripMargin,
     "u9_cdc_apply" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -131,6 +131,34 @@ class Wave5Spec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 11L, 2.0), (3L, 31L, 9.0)))
   }
 
+  // ---- d13 corpus overlap ---------------------------------------------
+
+  test("corpus overlap estimates 1 for identical sources and ~0 for disjoint ones") {
+    val text1 = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val text2 = (1 to 40).map(i => s"omega$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a", text1), (2L, "b", text1), // b is a verbatim copy of a
+      (3L, "c", text2)                    // c shares no shingle with either
+    ).toDF("doc_id", "source", "text")
+    val est = Dedup.corpusOverlap(docs, "source", "text", n = 3, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(est(("a", "b")) == 1.0)
+    assert(est(("a", "c")) == 0.0)
+    assert(est(("b", "c")) == 0.0)
+  }
+
+  // ---- u10 snapshot diff ----------------------------------------------
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, 1.0, 10L), (2L, 2.0, 11L), (3L, 3.0, 12L))
+      .toDF("k", "value", "ver")
+    val v2 = Seq((2L, 2.0, 21L), (3L, 9.0, 22L), (4L, 4.0, 23L))
+      .toDF("k", "value", "ver")
+    val out = Upsert.snapshotDiff(v1, v2, "k", Seq("value"), Seq("ver"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   // ---- t20 token entropy ----------------------------------------------
 
   test("token entropy separates uniform from degenerate docs") {
