@@ -21,24 +21,33 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read as
-    * a timestamp; read it as raw nanos (legacy conf) and truncate to micros
-    * with exact integer division (a double division would lose precision at
-    * ~1.7e18 ns epochs). Matches DuckDB's ns->us truncation semantics. */
+  /** events.ts has shipped in two physical forms across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark 4 refuses to read
+    * as a timestamp, so it's read as raw nanos under the legacy conf — and
+    * plain TIMESTAMP(MICROS), which reads natively. Normalize both to
+    * TimestampType here so every query sees one logical schema. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
-
-  /** Raw events with ts as epoch nanos (LongType) — streaming reads need
-    * the on-disk schema. */
-  def eventsRawNanos: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
+    Tables.normalizeTs(table("events"))
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.functions.{expr, timestamp_micros}
+  import org.apache.spark.sql.types.LongType
+
+  /** Normalize an events-shaped frame's `ts` to TimestampType regardless of
+    * the on-disk representation: epoch-nanos LongType (TIMESTAMP(NANOS)
+    * testdata read under `spark.sql.legacy.parquet.nanosAsLong`) is
+    * truncated to micros with exact integer division (a double division
+    * would lose precision at ~1.7e18 ns epochs — matches DuckDB's ns->us
+    * truncation); a native TimestampType passes through untouched. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema.find(_.name == tsCol) match {
+      case Some(f) if f.dataType == LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case _ => df
+    }
 }

@@ -83,7 +83,7 @@ object StreamingJobs {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.core.Tables.normalizeTs(_))
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), window_), col("event_type"))
@@ -127,7 +127,7 @@ object StreamingJobs {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.core.Tables.normalizeTs(_))
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), size, slide), col("event_type"))
@@ -196,7 +196,7 @@ object StreamingJobs {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.core.Tables.normalizeTs(_))
     val purchases = eventsStream()
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
@@ -234,7 +234,7 @@ object StreamingJobs {
       f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val stream =
-      if (nanoTs) raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+      if (nanoTs) raw.transform(graft.core.Tables.normalizeTs(_)) else raw
     val deduped = stream
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keys)
@@ -600,8 +600,8 @@ object StreamingJobs {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts_s", expr("ts div 1000000000"))
+    val stream = graft.core.Tables.normalizeTs(spark.readStream.schema(schema).parquet(srcDir))
+      .withColumn("ts_s", expr("unix_seconds(ts)"))
       .select(col("user_id").as[Long], col("ts_s").as[Long])
       .as[(Long, Long)]
 
