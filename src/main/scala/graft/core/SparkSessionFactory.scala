@@ -39,6 +39,14 @@ object SparkSessionFactory {
     .config("spark.sql.files.maxPartitionBytes", "256m")
     .config("spark.sql.parquet.compression.codec", "zstd")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Parquet writers disagree on isAdjustedToUTC for timestamp[us]
+    // (pyarrow/pandas default false); with NTZ inference on, the same
+    // logical column reads back TIMESTAMP_NTZ on some testdata
+    // generations and TIMESTAMP on others — and NTZ is rejected by
+    // withWatermark, breaking every event-time streaming job. Treat all
+    // parquet timestamps as instants in the (UTC) session zone for one
+    // stable logical schema regardless of writer.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver contract default 32,

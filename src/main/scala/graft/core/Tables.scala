@@ -35,19 +35,26 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  import org.apache.spark.sql.functions.{expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** Normalize an events-shaped frame's `ts` to TimestampType regardless of
-    * the on-disk representation: epoch-nanos LongType (TIMESTAMP(NANOS)
-    * testdata read under `spark.sql.legacy.parquet.nanosAsLong`) is
-    * truncated to micros with exact integer division (a double division
-    * would lose precision at ~1.7e18 ns epochs — matches DuckDB's ns->us
-    * truncation); a native TimestampType passes through untouched. */
+    * the on-disk representation:
+    *   - epoch-nanos LongType (TIMESTAMP(NANOS) testdata read under
+    *     `spark.sql.legacy.parquet.nanosAsLong`) is truncated to micros with
+    *     exact integer division (a double division would lose precision at
+    *     ~1.7e18 ns epochs — matches DuckDB's ns->us truncation);
+    *   - TIMESTAMP_NTZ (timestamp[us] written with isAdjustedToUTC=false,
+    *     read by a session with NTZ inference on) is reinterpreted as a UTC
+    *     instant — same wall-clock micros, watermark-compatible type;
+    *   - a native TimestampType passes through untouched. */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema.find(_.name == tsCol) match {
       case Some(f) if f.dataType == LongType =>
-        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+        // backtick-quoted so non-identifier column names parse correctly
+        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df
     }
 }

@@ -136,8 +136,11 @@ object PublicLayer {
         sum(col("number_of_policies")).as("total_policies"),
         sum(col("total_premiums")).as("total_premiums"),
         sum(col("total_indemnities")).as("total_indemnities"),
-        EmFunctions.safeRatio(
-          sum(col("total_indemnities")), sum(col("total_premiums"))).as("state_loss_ratio"),
+        // rounded to a fixed scale like county_loss_ratio above: the raw
+        // double division differs in the last bit across engines (sum order),
+        // which fails exact cross-engine compares
+        round(EmFunctions.safeRatio(
+          sum(col("total_indemnities")), sum(col("total_premiums"))), 3).as("state_loss_ratio"),
         sum(col("high_loss_policies")).as("high_loss_policies")
       )
 

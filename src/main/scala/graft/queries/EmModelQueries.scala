@@ -629,7 +629,7 @@ object EmModelQueries {
          |  sum(total_premiums) AS total_premiums,
          |  sum(total_indemnities) AS total_indemnities,
          |  CASE WHEN sum(total_premiums) = 0 OR sum(total_premiums) IS NULL THEN NULL
-         |       ELSE sum(total_indemnities) / sum(total_premiums) END AS state_loss_ratio,
+         |       ELSE round(sum(total_indemnities) / sum(total_premiums), 3) END AS state_loss_ratio,
          |  sum(high_loss_policies) AS high_loss_policies
          |FROM pub GROUP BY 1, 2""".stripMargin,
 

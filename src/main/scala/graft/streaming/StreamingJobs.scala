@@ -228,13 +228,10 @@ object StreamingJobs {
   def streamingDedup(spark: SparkSession, srcDir: String, keys: Seq[String]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
-    // ts may be raw nanos (LongType, from the driver testdata) or already a
-    // proper timestamp (from our own bronze tables)
-    val nanoTs = schema.fields.exists(f =>
-      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-    val raw = spark.readStream.schema(schema).parquet(srcDir)
-    val stream =
-      if (nanoTs) raw.transform(graft.core.Tables.normalizeTs(_)) else raw
+    // ts may be raw nanos, NTZ, or a proper timestamp depending on the
+    // writer; normalizeTs maps all three to TimestampType (no-op otherwise)
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .transform(graft.core.Tables.normalizeTs(_))
     val deduped = stream
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keys)

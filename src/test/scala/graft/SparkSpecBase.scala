@@ -5,14 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs (one backend JVM-wide via getOrCreate). */
 trait SparkSpecBase extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8]")
-    .appName("graft-test")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Same engine defaults as production sessions (UTC, AQE, parquet conf,
+  // NTZ inference off) so specs see the exact logical schemas the driver's
+  // Verify/Bench runs see — only master/shuffle sizing is test-sized.
+  lazy val spark: SparkSession = graft.core.SparkSessionFactory.applyEngineDefaults(
+    SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+  ).getOrCreate()
 
   val Sf0001 = "/root/testdata/sf0.001"
 }
