@@ -30,7 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Long-running sessions compile thousands of whole-stage-codegen classes;
   // the 240m default code cache silently flushes hot compiled methods under
   // that pressure (UseCodeCacheFlushing), nondeterministically degrading
-  // interpretation-heavy paths 50-100×. Room enough that nothing hot is
-  // ever evicted.
-  "-XX:ReservedCodeCacheSize=512m",
+  // interpretation-heavy paths 50-100×. 512m sufficed at 73 board queries;
+  // at 147 queries × 2 passes the round-4 official run showed the same 3-5×
+  // inflation again (22.2 s vs 4.0 s isolated for the same query), so keep
+  // headroom well ahead of board growth.
+  "-XX:ReservedCodeCacheSize=1g",
 )

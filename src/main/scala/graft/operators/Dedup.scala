@@ -32,10 +32,11 @@ object Dedup {
   /** All pairs within the same blocking key whose shingle-set Jaccard ≥
     * threshold. Inverted-index join on the shingle (standard MapReduce
     * similarity-join shape): pair candidates are generated only where they
-    * share ≥1 shingle, then scored exactly. At very large corpora, cap
-    * document frequency per shingle (`maxDf`) to bound the quadratic
-    * blow-up from stop-shingles (skew guard; off by default so the DuckDB
-    * oracle matches bit-for-bit). */
+    * share ≥1 shingle, then scored exactly. Cap document frequency per
+    * shingle (`maxDf`) to bound the quadratic blow-up from stop-shingles
+    * (skew guard — SkewBench measured ×305 candidate blowup uncapped; the
+    * board entries run capped at 100, with the identical cap replayed in
+    * the DuckDB oracle so the compare stays bit-for-bit). */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -126,11 +127,13 @@ object Dedup {
     * sources share" card a curator reads BEFORE any doc-grain dedup run:
     * one MinHash signature per SOURCE (union of its distinct shingles),
     * every source pair scored by signature agreement (Broder's estimator,
-    * E[agree/k] = Jaccard of the shingle sets). Cost is the d2b portable
-    * recipe's cheap half: k md5s per distinct shingle, a k-column min-agg
-    * down to n_sources rows, and an O(n_sources²) scoring frame — there
-    * is no doc-pair join at all, so the report stays this cheap at any
-    * corpus size. Portable md5 hashes ⇒ replays as plain SQL. */
+    * E[agree/k] = Jaccard of the shingle sets). No doc-pair join anywhere —
+    * the shape is k hashes per distinct shingle, a k-column min-agg down to
+    * n_sources rows, and an O(n_sources²) scoring frame. This md5 form is
+    * the ORACLE twin (portable hashes ⇒ replays as plain SQL) but the k
+    * 128-bit digests per shingle dominate its runtime at scale; production
+    * runs [[corpusOverlapFast]], the seeded-xxhash64 twin of the same
+    * estimator. */
   def corpusOverlap(
       docs: DataFrame,
       sourceCol: String,
@@ -147,6 +150,40 @@ object Dedup {
     val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
     val sigs = sh.join(hashTable.hint("shuffle_hash"), Seq("sh"))
       .groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val agree = (0 until k)
+      .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast("int")).reduce(_ + _)
+    sigs.as("a")
+      .join(broadcast(sigs.as("b")), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"),
+        col("b.source").as("src_b"),
+        agree.cast("int").as("n_agree"),
+        (agree.cast("double") / k).as("est_jaccard"))
+  }
+
+  /** Production twin of [[corpusOverlap]]: identical signature→agreement
+    * pipeline, but the k permutation hashes are seeded xxhash64 (native
+    * codegen'd long hashing) instead of md5 hex strings. That removes BOTH
+    * costs of the portable form — no 128-bit digest per (seed, shingle)
+    * and no distinct-shingle hash-table join (xxhash64 is cheap enough to
+    * compute inline per row) — leaving one exchange: the k-column min-agg
+    * down to n_sources rows. The md5 twin stays as the DuckDB-replayable
+    * oracle; both are k-permutation Broder estimators of the same shingle
+    * sets, so their est_jaccard agree within minhash sampling error
+    * (checked in Dedup2Spec). */
+  def corpusOverlapFast(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 32
+  ): DataFrame = {
+    val sh = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sigs = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
     val agree = (0 until k)
       .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast("int")).reduce(_ + _)
     sigs.as("a")

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact interpolated percentiles at 100 TB scale.
+  *
+  * Spark's builtin `percentile` (and the (value, freq) pre-aggregated form)
+  * buffers every value of a group into that group's single final-merge
+  * task: 3 groups → 3 tasks no matter how large the cluster, with per-group
+  * state proportional to the group's DISTINCT values. For a near-unique
+  * measure (prices, latencies) that is O(group rows) memory in one task —
+  * the classic scale-killer the reference's percentile rollups hit on wide
+  * groups.
+  *
+  * This operator is the distributed-selection re-expression, fully
+  * declarative (no typed row round-trips, every stage codegen'd):
+  *
+  *   1. compact to (group, value) → freq            [one shuffle, partial agg]
+  *   2. ~equi-depth value buckets from approxQuantile boundaries over the
+  *      compacted frame (bucket id = #boundaries ≤ v, an O(P) codegen'd
+  *      array filter per row — no RangePartitioner sampling job)
+  *   3. (bucket, group) → count, collected          [B × G scalars — bounded
+  *      by buckets × groups, NOT by data]; driver prefix-sums them into the
+  *      absolute rank offset of every bucket slice
+  *   4. running rank inside each (bucket, group) window slice — parallelism
+  *      B × G, per-task state one bucket slice (≈ distinct-values / B),
+  *      sort-based and spill-safe; a broadcast join against the ≤ 2·|ps|·G
+  *      target ranks keeps only the straddling values
+  *   5. tiny conditional agg interpolates            [G rows]
+  *
+  * Nothing anywhere is proportional to a whole group. The driver-side step
+  * is B × G counters, config-bounded like the engine's other allowed
+  * collects (vocab/dimension/config), which is why this operator targets
+  * LOW-cardinality group columns over HUGE groups; for high-cardinality
+  * grouping the builtin is already well-distributed (groups spread across
+  * final-merge tasks) and should be used instead.
+  *
+  * Interpolation matches Spark's `percentile` and DuckDB's `quantile_cont`:
+  * pos = p·(n−1) (0-based), result = v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋)
+  * (v_lo alone when pos is integral).
+  */
+object Percentiles {
+
+  /** @param ps (outputColumnName, percentile) pairs, each p in [0, 1].
+    * @return one row per group: (groupCol, ps₁, ps₂, …) with double values,
+    *         nulls filtered like the builtin. */
+  def exactByRange(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      ps: Seq[(String, Double)]
+  ): DataFrame = {
+    val spark = df.sparkSession
+
+    // Persisted at the compacted stage: boundary estimation, the count
+    // pass, and the rank pass all read this frame; anything upstream runs
+    // exactly once.
+    val freq = df
+      .filter(col(valCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"), col(valCol).cast("double").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // ~equi-depth buckets over the compacted frame (what the window pass
+      // processes): boundaries only steer balance, never correctness
+      val numBuckets = spark.sessionState.conf.numShufflePartitions
+      val bounds = freq.stat
+        .approxQuantile("v", (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+        .distinct.sorted
+      val bucketOf =
+        if (bounds.isEmpty) lit(0)
+        else size(filter(array(bounds.map(lit(_)): _*), b => b <= col("v")))
+      val freqB = freq.withColumn("bucket", bucketOf)
+
+      // B × G counters -> absolute rank offset of every (bucket, group)
+      // slice and per-group totals
+      val counts: Array[(Int, String, Long)] = freqB
+        .groupBy("bucket", "g").agg(sum("c").as("n"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val totals: Map[String, Long] =
+        counts.groupBy(_._2).map { case (g, a) => g -> a.map(_._3).sum }
+      val offsetRows: Seq[(Int, String, Long)] = counts
+        .groupBy(_._2).toSeq
+        .flatMap { case (g, a) =>
+          val byBucket = a.sortBy(_._1)
+          byBucket.map(_._1).zip(byBucket.scanLeft(0L)(_ + _._3))
+            .map { case (b, off) => (b, g, off) }.toSeq
+        }
+
+      // 1-based target ranks per group and percentile: lo = ⌊pos⌋+1,
+      // hi = ⌈pos⌉+1 (equal when pos is integral — emitted once, as lo)
+      val targetRows: Seq[(String, String, Long, Boolean, Double)] = for {
+        (g, n) <- totals.toSeq
+        (name, p) <- ps
+        pos = p * (n - 1).toDouble
+        (rank, isHi) <- Seq((math.floor(pos).toLong + 1, false)) ++
+          (if (math.ceil(pos) != math.floor(pos)) Seq((math.ceil(pos).toLong + 1, true)) else Nil)
+      } yield (g, name, rank, isHi, pos)
+
+      import spark.implicits._
+      val offsets = offsetRows.toDF("bucket", "g", "off")
+      val targets = targetRows.toDF("tg", "pname", "rank", "is_hi", "pos")
+
+      // running rank inside each (bucket, group) slice; each row covers
+      // ranks [cum_lo, cum_hi] and keeps any target rank it straddles
+      val w = Window.partitionBy("bucket", "g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val picked = freqB
+        .join(broadcast(offsets), Seq("bucket", "g"))
+        .withColumn("cum_hi", col("off") + sum("c").over(w))
+        .withColumn("cum_lo", col("cum_hi") - col("c") + 1)
+        .join(broadcast(targets),
+          col("g") <=> col("tg") &&
+            col("rank") >= col("cum_lo") && col("rank") <= col("cum_hi"))
+        .select(col("g"), col("pname"), col("is_hi"), col("pos"), col("v"))
+
+      val outCols = ps.map { case (name, _) =>
+        val loV = max(when(col("pname") === name && !col("is_hi"), col("v")))
+        val hiV = max(when(col("pname") === name && col("is_hi"), col("v")))
+        val pos = max(when(col("pname") === name, col("pos")))
+        when(ceil(pos) === floor(pos), loV)
+          .otherwise(loV * (ceil(pos) - pos) + hiV * (pos - floor(pos)))
+          .as(name)
+      }
+      val out = picked
+        .groupBy(col("g").as(groupCol))
+        .agg(outCols.head, outCols.tail: _*)
+      out.cache().count(): Unit // materialize before unpersisting the input
+      out
+    } finally {
+      freq.unpersist(): Unit
+    }
+  }
+}

@@ -112,9 +112,14 @@ object DedupQueries {
       // full corpus: the testdata's genuine near-dup pairs (Jaccard ≈0.97)
       // only exist corpus-wide — a doc_id sample misses them at some scale
       // factors and the query degenerates to a zero-row (signal-free) green
+      // skew guard ON by default (production posture): SkewBench measured
+      // ×305 candidate-pair blowup from one hot shingle uncapped; df<=100
+      // drops only stopword-grade shingles that carry no dedup signal.
+      // The clean testdata's df sits far below the cap, and the oracle
+      // applies the identical cap, so parity holds by construction.
       Dedup.ngramJaccardPairs(
         Tables(s, d).documents,
-        "doc_id", "text", "source", n = 3, threshold = 0.5
+        "doc_id", "text", "source", n = 3, threshold = 0.5, maxDf = Some(100)
       )
     }),
     "d13_corpus_overlap" -> ((s, d) => {
@@ -123,14 +128,21 @@ object DedupQueries {
       // the before-you-dedup report; no doc-pair join anywhere
       Dedup.corpusOverlap(Tables(s, d).documents, "source", "text", n = 3, k = 32)
     }),
+    "d13b_corpus_overlap_fast" -> ((s, d) => {
+      // production path: same card via seeded xxhash64 minhash — no md5
+      // digests, no hash-table join; rows-only (xxhash64 has no DuckDB
+      // twin), cross-validated against d13's estimator in Wave5Spec
+      Dedup.corpusOverlapFast(Tables(s, d).documents, "source", "text", n = 3, k = 32)
+    }),
     "d12_containment" -> ((s, d) => {
       // asymmetric containment (Broder): surfaces subset/quotation docs —
       // containment of the smaller doc stays ≈1 where Jaccard is diluted
       // by the host's size; threshold 0.6 > d1's 0.5 because the measure
       // is one-sided
+      // skew guard ON by default, mirrored in the oracle (see d1 note)
       Dedup.containmentPairs(
         Tables(s, d).documents,
-        "doc_id", "text", "source", n = 3, threshold = 0.6
+        "doc_id", "text", "source", n = 3, threshold = 0.6, maxDf = Some(100)
       )
     }),
     "d2_minhash_lsh" -> ((s, d) => {
@@ -445,11 +457,15 @@ object DedupQueries {
       """WITH docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 2, 1) + 1),
         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
         |  FROM docs),
+        |sh AS (
+        |  SELECT s.* FROM sh0 s JOIN (
+        |    SELECT source, sh FROM sh0 GROUP BY 1, 2 HAVING count(*) <= 100) ok
+        |  ON s.source = ok.source AND s.sh = ok.sh),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -482,11 +498,15 @@ object DedupQueries {
       """WITH docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 2, 1) + 1),
         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
         |  FROM docs),
+        |sh AS (
+        |  SELECT s.* FROM sh0 s JOIN (
+        |    SELECT source, sh FROM sh0 GROUP BY 1, 2 HAVING count(*) <= 100) ok
+        |  ON s.source = ok.source AND s.sh = ok.sh),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

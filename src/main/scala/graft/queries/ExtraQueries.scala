@@ -62,15 +62,17 @@ object ExtraQueries {
             .select(lit("customer_nationkey").as("relationship"), col("violations")))
     }),
     "a15_percentiles" -> ((s, d) => {
-      // exact interpolated percentiles (both engines: linear interpolation
-      // over the sorted column — deterministic on identical inputs)
-      Tables(s, d).lineitem
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75")
-        )
+      // exact interpolated percentiles, distributed-selection plan: the
+      // builtin `percentile` funnels each group's values into one
+      // final-merge task (3 groups -> 3 tasks, O(group) state — a
+      // scale-killer on near-unique measures like price). The operator
+      // range-partitions the compacted (group, value, freq) frame and picks
+      // only the rank-straddling values per partition — per-task state is
+      // one sorted partition, never a whole group. Same interpolation
+      // formula as Spark percentile / DuckDB quantile_cont.
+      graft.operators.Percentiles.exactByRange(
+        Tables(s, d).lineitem, "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
     }),
     "a5b_approx_distinct" -> ((s, d) => {
       // 100 TB scale path for A5: HLL sketch instead of exact expansion.

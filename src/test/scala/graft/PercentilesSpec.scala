@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Percentiles
+
+/** Differential spec: the distributed-selection exact percentile must agree
+  * bit-for-bit with Spark's builtin `percentile` (same interpolation
+  * formula), across ties, skewed groups, singleton groups, and nulls. */
+class PercentilesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def builtin(df: org.apache.spark.sql.DataFrame) = df
+    .filter(col("v").isNotNull)
+    .groupBy("g")
+    .agg(
+      expr("percentile(v, 0.25)").as("p25"),
+      expr("percentile(v, 0.5)").as("p50"),
+      expr("percentile(v, 0.75)").as("p75"))
+
+  private def check(df: org.apache.spark.sql.DataFrame): Unit = {
+    val exp = builtin(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = Percentiles
+      .exactByRange(df, "g", "v", Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == exp.keySet)
+    // bit-exact: identical interpolation formula, deterministic inputs
+    got.foreach { case (g, t) => assert(t == exp(g), s"group $g") }
+  }
+
+  test("matches builtin percentile on random data with ties and skewed groups") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      val g = if (i % 10 < 7) "big" else if (i % 10 < 9) "mid" else "small"
+      // coarse rounding forces many ties; mix in exact-rank sizes
+      (g, math.rint(rnd.nextDouble() * 50) / 2.0)
+    }
+    check(rows.toDF("g", "v").repartition(7))
+  }
+
+  test("singleton group, two-value group, and all-equal group") {
+    val rows = Seq(
+      ("one", 3.5),
+      ("two", 1.0), ("two", 2.0),
+      ("flat", 9.0), ("flat", 9.0), ("flat", 9.0), ("flat", 9.0)
+    )
+    check(rows.toDF("g", "v").repartition(5))
+  }
+
+  test("null values are excluded like the builtin") {
+    val rows = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", Some(5.0)), ("b", None))
+    check(rows.map { case (g, v) => (g, v.map(Double.box).orNull) }
+      .toDF("g", "v").selectExpr("g", "cast(v as double) as v"))
+  }
+
+  test("integral-rank positions hit exact values (no interpolation drift)") {
+    // 5 values -> p25 rank = 1 + .25*4 = 2.0 exactly
+    val rows = Seq.tabulate(5)(i => ("g", (i + 1).toDouble))
+    val out = Percentiles.exactByRange(rows.toDF("g", "v"), "g", "v",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)).collect().head
+    assert((out.getDouble(1), out.getDouble(2), out.getDouble(3)) == ((2.0, 3.0, 4.0)))
+  }
+}

@@ -147,6 +147,27 @@ class Wave5Spec extends SparkSpecBase {
     assert(est(("b", "c")) == 0.0)
   }
 
+  test("fast (xxhash64) corpus overlap twin agrees with the portable md5 estimator") {
+    val text1 = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val text2 = (1 to 40).map(i => s"omega$i").mkString(" ")
+    val half = ((1 to 20).map(i => s"alpha$i") ++ (1 to 20).map(i => s"omega$i")).mkString(" ")
+    val docs = Seq(
+      (1L, "a", text1), (2L, "b", text1), // identical corpora -> J = 1
+      (3L, "c", text2),                   // disjoint from a/b -> J = 0
+      (4L, "d", half)                     // partial overlap with both
+    ).toDF("doc_id", "source", "text")
+    val fast = Dedup.corpusOverlapFast(docs, "source", "text", n = 3, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // exact endpoints are hash-family independent
+    assert(fast(("a", "b")) == 1.0)
+    assert(fast(("a", "c")) == 0.0)
+    // mid-range estimates from two independent k=16 permutation families
+    // agree within minhash sampling error (std ≈ sqrt(J(1-J)/k) ≈ 0.12)
+    val md5e = Dedup.corpusOverlap(docs, "source", "text", n = 3, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    md5e.foreach { case (pair, e) => assert(math.abs(fast(pair) - e) <= 0.4) }
+  }
+
   // ---- u10 snapshot diff ----------------------------------------------
 
   test("snapshot diff classifies added/removed/changed/unchanged") {
