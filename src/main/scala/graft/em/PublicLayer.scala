@@ -2,7 +2,7 @@ package graft.em
 
 import java.sql.{Date, Timestamp}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,6 +156,86 @@ object PublicLayer {
         countDistinct(col(endpointCol)).as("distinct_endpoints"),
         count(when(col(endpointCol).startsWith("/api/"), 1)).as("api_requests")
       )
+
+  /** api_performance (models/metrics/api_performance.sql:7-97): the
+    * dataset-health card over the three gold views — one row per dataset
+    * with volume, recency %, high-risk %, coverage bucket, freshness
+    * bucket, and compliance status. All clocks injected (the reference
+    * uses CURRENT_DATE/CURRENT_TIMESTAMP). Each leg is a single-row full
+    * aggregate (partial-agg map-side, no wide state); the union is 3 rows.
+    * Column adaptations from the reference, by design of this engine's
+    * gold schemas: the weather leg's DISTINCT agricultural_impact_assessment
+    * is carried here by impact_category (this engine's assessment column),
+    * and averages use the decimal-backed davg so the cross-engine compare
+    * is exact. */
+  def apiPerformance(
+      events: DataFrame,
+      impacts: DataFrame,
+      analytics: DataFrame,
+      asOf: Date,
+      runTs: Timestamp
+  ): DataFrame = {
+    def leg(df: DataFrame, name: String, recent: Column, highRisk: Column,
+        categories: Column, metric: Column, updated: Column): DataFrame =
+      df.agg(
+        count(lit(1)).as("total_events"),
+        count(when(recent, 1)).as("recent_events"),
+        count(when(highRisk, 1)).as("high_risk_events"),
+        countDistinct(col("state_code")).as("states_with_events"),
+        countDistinct(categories).as("event_categories"),
+        round(metric, 2).as("avg_metric_value"),
+        max(updated).as("last_dataset_update")
+      ).select(lit(name).as("dataset_name"), col("*"))
+
+    val ev = leg(
+      events.filter(col("event_date") >= date_sub(lit(asOf), 365)),
+      "EMERGENCY_EVENTS",
+      col("event_date") >= date_sub(lit(asOf), 30),
+      col("risk_level").isin("HIGH", "CRITICAL"),
+      col("event_category"),
+      EmFunctions.davg(col("event_duration_days"), 6),
+      col("last_updated"))
+    val wi = leg(
+      impacts, // the gold view is already 90-day bounded, like the model's WHERE
+      "WEATHER_IMPACTS",
+      col("impact_date") >= date_sub(lit(asOf), 7),
+      col("impact_category").isin("MODERATE", "SEVERE"),
+      col("impact_category"),
+      EmFunctions.davg(col("total_impact_score"), 6),
+      col("analysis_timestamp"))
+    val an = leg(
+      analytics.filter(col("disaster_year") >= year(lit(asOf)) - 5),
+      "DISASTER_ANALYTICS",
+      col("disaster_year") === year(lit(asOf)),
+      col("annual_disaster_risk_rating").isin("HIGH", "VERY_HIGH"),
+      col("event_category"),
+      EmFunctions.davg(col("event_count"), 6),
+      col("analytics_generated_at"))
+
+    val recentPct = round(col("recent_events").cast("double") / col("total_events") * 100, 2)
+    val highPct = round(col("high_risk_events").cast("double") / col("total_events") * 100, 2)
+    ev.unionByName(wi).unionByName(an).select(
+      col("dataset_name"), col("total_events"), col("recent_events"),
+      col("high_risk_events"), col("states_with_events"), col("event_categories"),
+      col("avg_metric_value"), col("last_dataset_update"),
+      recentPct.as("recent_activity_percent"),
+      highPct.as("high_risk_percent"),
+      when(col("states_with_events") >= 45, "NATIONAL_COVERAGE")
+        .when(col("states_with_events") >= 30, "REGIONAL_COVERAGE")
+        .when(col("states_with_events") >= 10, "MULTI_STATE_COVERAGE")
+        .otherwise("LIMITED_COVERAGE").as("geographic_coverage"),
+      when(col("last_dataset_update") >= lit(runTs) - expr("INTERVAL 6 HOUR"), "CURRENT")
+        .when(col("last_dataset_update") >= lit(runTs) - expr("INTERVAL 24 HOUR"), "RECENT")
+        .when(col("last_dataset_update") >= lit(runTs) - expr("INTERVAL 48 HOUR"), "STALE")
+        .otherwise("OUTDATED").as("dataset_freshness"),
+      when(col("dataset_name") === "EMERGENCY_EVENTS" && col("total_events") === 0,
+        "DATA_MISSING")
+        .when(recentPct === 0 &&
+          col("dataset_name").isin("EMERGENCY_EVENTS", "WEATHER_IMPACTS"),
+          "NO_RECENT_ACTIVITY")
+        .otherwise("OPERATIONAL").as("compliance_status"),
+      lit(runTs).as("performance_check_timestamp"))
+  }
 
   /** data_quality_metrics: per-source profile rows unioned (A4) — totals,
     * null counts on required fields, recency, derived percentages. */

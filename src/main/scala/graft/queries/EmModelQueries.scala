@@ -121,6 +121,25 @@ object EmModelQueries {
         fmtT(col("analytics_generated_at")).as("analytics_generated_at"))
     }),
 
+    "em_api_performance" -> ((s, _) => {
+      ensureFixtures(s)
+      val ev = events(s)
+      PublicLayer.apiPerformance(
+        ev,
+        Marts.weatherImpacts(stgCoag(s), stgNoaa(s), AsOf, RunTs),
+        Marts.disasterAnalytics(ev, stgUsda(s), AsOf, RunTs),
+        AsOf, RunTs
+      ).select(
+        col("dataset_name"), col("total_events"), col("recent_events"),
+        col("high_risk_events"), col("states_with_events"), col("event_categories"),
+        col("avg_metric_value"),
+        fmtT(col("last_dataset_update")).as("last_dataset_update"),
+        col("recent_activity_percent"), col("high_risk_percent"),
+        col("geographic_coverage"), col("dataset_freshness"),
+        col("compliance_status"),
+        fmtT(col("performance_check_timestamp")).as("performance_check_timestamp"))
+    }),
+
     "em_public_disasters" -> ((s, _) => {
       ensureFixtures(s)
       PublicLayer.publicDisasters(events(s), AsOf, RunTs).select(
@@ -343,6 +362,149 @@ object EmModelQueries {
        |  FROM ${rp("coagmet")}
        |  WHERE station_id IS NOT NULL AND "timestamp" IS NOT NULL)""".stripMargin
 
+  /** weather_impacts DAG as a reusable CTE chain ending in `impacts` with
+    * RAW types (DATE/TIMESTAMP) — em_weather_impacts string-formats it for
+    * the compare; em_api_performance aggregates it directly. */
+  private lazy val sqlImpacts: String =
+    s"""daily AS (
+       |  SELECT station_id, observation_date,
+       |    CAST(sum(CAST(temperature_celsius AS DECIMAL(18,2))) AS DOUBLE) / count(temperature_celsius) AS avg_temperature,
+       |    min(temperature_celsius) AS min_temperature,
+       |    max(temperature_celsius) AS max_temperature,
+       |    CAST(sum(CAST(relative_humidity_percent AS DECIMAL(18,2))) AS DOUBLE) / count(relative_humidity_percent) AS avg_humidity,
+       |    CAST(sum(CAST(wind_speed_kmh AS DECIMAL(18,2))) AS DOUBLE) / count(wind_speed_kmh) AS avg_wind_speed,
+       |    max(wind_speed_kmh) AS max_wind_speed,
+       |    CAST(sum(CAST(precipitation_mm AS DECIMAL(18,2))) AS DOUBLE) AS total_precipitation,
+       |    max(precipitation_mm) AS max_hourly_precipitation,
+       |    count(CASE WHEN agricultural_risk_indicator <> 'NORMAL' THEN 1 END) AS risk_hours,
+       |    max(CASE WHEN agricultural_risk_indicator = 'FREEZE_WARNING' THEN 1 ELSE 0 END) AS had_freeze_warning,
+       |    max(CASE WHEN agricultural_risk_indicator = 'HEAT_WARNING' THEN 1 ELSE 0 END) AS had_heat_warning,
+       |    max(CASE WHEN agricultural_risk_indicator = 'WIND_WARNING' THEN 1 ELSE 0 END) AS had_wind_warning,
+       |    max(CASE WHEN agricultural_risk_indicator = 'HEAVY_RAIN' THEN 1 ELSE 0 END) AS had_heavy_rain,
+       |    min(station_name) AS station_name,
+       |    min(latitude) AS latitude, min(longitude) AS longitude,
+       |    max(processed_at) AS last_processed_at
+       |  FROM stg_coag WHERE observation_date >= $AsOfSql - 90
+       |  GROUP BY 1, 2),
+       |alerts AS (
+       |  SELECT alert_id, weather_event, risk_level AS alert_risk_level,
+       |    effective_date, coalesce(expires_date, effective_date) AS end_date
+       |  FROM stg_noaa
+       |  WHERE effective_date >= $AsOfSql - 90 AND state_code = 'CO'),
+       |alert_days AS (
+       |  SELECT alert_id, weather_event, alert_risk_level,
+       |    CAST(unnest(generate_series(CAST(effective_date AS TIMESTAMP), CAST(end_date AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS alert_day
+       |  FROM alerts),
+       |joined AS (
+       |  SELECT d.*, a.alert_id, a.weather_event, a.alert_risk_level
+       |  FROM daily d LEFT JOIN alert_days a
+       |    ON d.observation_date = a.alert_day
+       |   AND d.latitude BETWEEN 37.0 AND 41.0 AND d.longitude BETWEEN -109.0 AND -102.0),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY station_id, observation_date ORDER BY
+       |      CASE WHEN alert_risk_level = 'CRITICAL' THEN 1
+       |           WHEN alert_risk_level = 'HIGH' THEN 2
+       |           WHEN alert_risk_level = 'MEDIUM' THEN 3
+       |           ELSE 4 END,
+       |      coalesce(weather_event, '~')) AS rn
+       |  FROM joined),
+       |base AS (
+       |  SELECT *,
+       |    CASE WHEN min_temperature < -10 OR max_temperature > 40 THEN 3
+       |         WHEN min_temperature < -5 OR max_temperature > 35 THEN 2
+       |         WHEN min_temperature < 0 OR max_temperature > 30 THEN 1
+       |         ELSE 0 END AS temperature_impact_score,
+       |    CASE WHEN total_precipitation > 50 THEN 3
+       |         WHEN total_precipitation > 25 THEN 2
+       |         WHEN total_precipitation > 10 THEN 1
+       |         ELSE 0 END AS precipitation_impact_score,
+       |    CASE WHEN max_wind_speed > 80 THEN 3
+       |         WHEN max_wind_speed > 50 THEN 2
+       |         WHEN max_wind_speed > 30 THEN 1
+       |         ELSE 0 END AS wind_impact_score
+       |  FROM ranked WHERE rn = 1),
+       |impacts AS (
+       |  SELECT
+       |    md5(concat_ws('|', station_id, observation_date)) AS impact_id,
+       |    station_id, station_name,
+       |    observation_date AS impact_date,
+       |    latitude, longitude,
+       |    CASE WHEN latitude BETWEEN 37.0 AND 41.0 AND longitude BETWEEN -109.0 AND -102.0
+       |         THEN 'CO' ELSE 'UNKNOWN' END AS state_code,
+       |    avg_temperature, min_temperature, max_temperature, avg_humidity,
+       |    avg_wind_speed, max_wind_speed, total_precipitation, max_hourly_precipitation,
+       |    risk_hours, had_freeze_warning, had_heat_warning, had_wind_warning, had_heavy_rain,
+       |    temperature_impact_score, precipitation_impact_score, wind_impact_score,
+       |    temperature_impact_score + precipitation_impact_score + wind_impact_score AS total_impact_score,
+       |    CASE WHEN temperature_impact_score + precipitation_impact_score + wind_impact_score >= 6 THEN 'SEVERE'
+       |         WHEN temperature_impact_score + precipitation_impact_score + wind_impact_score >= 4 THEN 'MODERATE'
+       |         WHEN temperature_impact_score + precipitation_impact_score + wind_impact_score >= 2 THEN 'MINOR'
+       |         ELSE 'MINIMAL' END AS impact_category,
+       |    alert_id IS NOT NULL AS has_concurrent_alert,
+       |    weather_event AS concurrent_alert_type,
+       |    alert_risk_level AS concurrent_alert_risk,
+       |    'PUBLIC' AS data_classification,
+       |    $RunTsSql AS analysis_timestamp,
+       |    last_processed_at
+       |  FROM base)""".stripMargin
+
+  /** disaster_analytics DAG as a reusable CTE chain ending in `analytics`
+    * with RAW types — same split as [[sqlImpacts]]. */
+  private lazy val sqlAnalytics: String =
+    s"""history AS (SELECT * FROM ev WHERE event_date >= $AsOfSql - 3650),
+       |trends AS (
+       |  SELECT state_code, state_name, CAST(year(event_date) AS INTEGER) AS disaster_year,
+       |    event_category,
+       |    count(*) AS event_count,
+       |    count(CASE WHEN risk_level IN ('HIGH', 'CRITICAL') THEN 1 END) AS high_risk_events,
+       |    count(CASE WHEN is_long_duration_event THEN 1 END) AS long_duration_events,
+       |    CAST(sum(CAST(event_duration_days AS DECIMAL(18,6))) AS DOUBLE) / count(event_duration_days) AS avg_event_duration,
+       |    max(event_duration_days) AS max_event_duration,
+       |    count(CASE WHEN event_season = 'WINTER' THEN 1 END) AS winter_events,
+       |    count(CASE WHEN event_season = 'SPRING' THEN 1 END) AS spring_events,
+       |    count(CASE WHEN event_season = 'SUMMER' THEN 1 END) AS summer_events,
+       |    count(CASE WHEN event_season = 'FALL' THEN 1 END) AS fall_events
+       |  FROM history GROUP BY 1, 2, 3, 4),
+       |ag AS (
+       |  SELECT state_code, program_year,
+       |    CAST(sum(CAST(indemnity_amount_usd AS DECIMAL(18,2))) AS DOUBLE) AS total_indemnity,
+       |    CAST(sum(CAST(liability_amount_usd AS DECIMAL(18,2))) AS DOUBLE) AS total_liability,
+       |    CAST(sum(CAST(loss_ratio AS DECIMAL(18,4))) AS DOUBLE) / count(loss_ratio) AS avg_loss_ratio,
+       |    count(CASE WHEN loss_category = 'HIGH_LOSS' THEN 1 END) AS high_loss_policies
+       |  FROM stg_usda WHERE program_year >= 2014 GROUP BY 1, 2),
+       |an_joined AS (
+       |  SELECT t.*, a.total_indemnity, a.total_liability, a.avg_loss_ratio, a.high_loss_policies
+       |  FROM trends t LEFT JOIN ag a
+       |    ON t.state_code = a.state_code AND t.disaster_year = a.program_year),
+       |win AS (
+       |  SELECT *, lag(event_count, 1) OVER (
+       |      PARTITION BY state_code, event_category ORDER BY disaster_year) AS prev_year_event_count
+       |  FROM an_joined),
+       |analytics AS (
+       |  SELECT
+       |    md5(concat_ws('|', state_code, disaster_year, event_category)) AS analytics_id,
+       |    state_code, state_name, disaster_year, event_category, event_count,
+       |    high_risk_events, long_duration_events, avg_event_duration, max_event_duration,
+       |    winter_events, spring_events, summer_events, fall_events,
+       |    total_indemnity, total_liability, avg_loss_ratio, high_loss_policies,
+       |    $AsOfSql AS analysis_date,
+       |    round(CAST(high_risk_events AS DOUBLE) / CAST(event_count AS DOUBLE) * 100, 2) AS high_risk_event_percentage,
+       |    round(CAST(long_duration_events AS DOUBLE) / CAST(event_count AS DOUBLE) * 100, 2) AS long_duration_percentage,
+       |    prev_year_event_count,
+       |    CASE WHEN event_count > 10 AND high_risk_events > 5 THEN 'VERY_HIGH'
+       |         WHEN event_count > 5 AND high_risk_events > 2 THEN 'HIGH'
+       |         WHEN event_count > 2 THEN 'MODERATE'
+       |         ELSE 'LOW' END AS annual_disaster_risk_rating,
+       |    CASE WHEN prev_year_event_count IS NOT NULL AND prev_year_event_count > 0
+       |         THEN round(CAST(event_count - prev_year_event_count AS DOUBLE) / CAST(prev_year_event_count AS DOUBLE) * 100, 2)
+       |    END AS yoy_event_count_change_percent,
+       |    CASE WHEN prev_year_event_count IS NULL THEN 'INSUFFICIENT_DATA'
+       |         WHEN event_count > prev_year_event_count * 1.2 THEN 'INCREASING'
+       |         WHEN event_count < prev_year_event_count * 0.8 THEN 'DECREASING'
+       |         ELSE 'STABLE' END AS disaster_trend_direction,
+       |    $RunTsSql AS analytics_generated_at
+       |  FROM win)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "em_events" ->
       s"""WITH $sqlSeed,
@@ -366,86 +528,20 @@ object EmModelQueries {
     "em_weather_impacts" ->
       s"""WITH $sqlStgNoaa,
          |$sqlStgCoag,
-         |daily AS (
-         |  SELECT station_id, observation_date,
-         |    CAST(sum(CAST(temperature_celsius AS DECIMAL(18,2))) AS DOUBLE) / count(temperature_celsius) AS avg_temperature,
-         |    min(temperature_celsius) AS min_temperature,
-         |    max(temperature_celsius) AS max_temperature,
-         |    CAST(sum(CAST(relative_humidity_percent AS DECIMAL(18,2))) AS DOUBLE) / count(relative_humidity_percent) AS avg_humidity,
-         |    CAST(sum(CAST(wind_speed_kmh AS DECIMAL(18,2))) AS DOUBLE) / count(wind_speed_kmh) AS avg_wind_speed,
-         |    max(wind_speed_kmh) AS max_wind_speed,
-         |    CAST(sum(CAST(precipitation_mm AS DECIMAL(18,2))) AS DOUBLE) AS total_precipitation,
-         |    max(precipitation_mm) AS max_hourly_precipitation,
-         |    count(CASE WHEN agricultural_risk_indicator <> 'NORMAL' THEN 1 END) AS risk_hours,
-         |    max(CASE WHEN agricultural_risk_indicator = 'FREEZE_WARNING' THEN 1 ELSE 0 END) AS had_freeze_warning,
-         |    max(CASE WHEN agricultural_risk_indicator = 'HEAT_WARNING' THEN 1 ELSE 0 END) AS had_heat_warning,
-         |    max(CASE WHEN agricultural_risk_indicator = 'WIND_WARNING' THEN 1 ELSE 0 END) AS had_wind_warning,
-         |    max(CASE WHEN agricultural_risk_indicator = 'HEAVY_RAIN' THEN 1 ELSE 0 END) AS had_heavy_rain,
-         |    min(station_name) AS station_name,
-         |    min(latitude) AS latitude, min(longitude) AS longitude,
-         |    max(processed_at) AS last_processed_at
-         |  FROM stg_coag WHERE observation_date >= $AsOfSql - 90
-         |  GROUP BY 1, 2),
-         |alerts AS (
-         |  SELECT alert_id, weather_event, risk_level AS alert_risk_level,
-         |    effective_date, coalesce(expires_date, effective_date) AS end_date
-         |  FROM stg_noaa
-         |  WHERE effective_date >= $AsOfSql - 90 AND state_code = 'CO'),
-         |alert_days AS (
-         |  SELECT alert_id, weather_event, alert_risk_level,
-         |    CAST(unnest(generate_series(CAST(effective_date AS TIMESTAMP), CAST(end_date AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS alert_day
-         |  FROM alerts),
-         |joined AS (
-         |  SELECT d.*, a.alert_id, a.weather_event, a.alert_risk_level
-         |  FROM daily d LEFT JOIN alert_days a
-         |    ON d.observation_date = a.alert_day
-         |   AND d.latitude BETWEEN 37.0 AND 41.0 AND d.longitude BETWEEN -109.0 AND -102.0),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY station_id, observation_date ORDER BY
-         |      CASE WHEN alert_risk_level = 'CRITICAL' THEN 1
-         |           WHEN alert_risk_level = 'HIGH' THEN 2
-         |           WHEN alert_risk_level = 'MEDIUM' THEN 3
-         |           ELSE 4 END,
-         |      coalesce(weather_event, '~')) AS rn
-         |  FROM joined),
-         |base AS (
-         |  SELECT *,
-         |    CASE WHEN min_temperature < -10 OR max_temperature > 40 THEN 3
-         |         WHEN min_temperature < -5 OR max_temperature > 35 THEN 2
-         |         WHEN min_temperature < 0 OR max_temperature > 30 THEN 1
-         |         ELSE 0 END AS temperature_impact_score,
-         |    CASE WHEN total_precipitation > 50 THEN 3
-         |         WHEN total_precipitation > 25 THEN 2
-         |         WHEN total_precipitation > 10 THEN 1
-         |         ELSE 0 END AS precipitation_impact_score,
-         |    CASE WHEN max_wind_speed > 80 THEN 3
-         |         WHEN max_wind_speed > 50 THEN 2
-         |         WHEN max_wind_speed > 30 THEN 1
-         |         ELSE 0 END AS wind_impact_score
-         |  FROM ranked WHERE rn = 1)
-         |SELECT
-         |  md5(concat_ws('|', station_id, observation_date)) AS impact_id,
-         |  station_id, station_name,
-         |  strftime(observation_date, '%Y-%m-%d') AS impact_date,
-         |  latitude, longitude,
-         |  CASE WHEN latitude BETWEEN 37.0 AND 41.0 AND longitude BETWEEN -109.0 AND -102.0
-         |       THEN 'CO' ELSE 'UNKNOWN' END AS state_code,
+         |$sqlImpacts
+         |SELECT impact_id, station_id, station_name,
+         |  strftime(impact_date, '%Y-%m-%d') AS impact_date,
+         |  latitude, longitude, state_code,
          |  avg_temperature, min_temperature, max_temperature, avg_humidity,
          |  avg_wind_speed, max_wind_speed, total_precipitation, max_hourly_precipitation,
          |  risk_hours, had_freeze_warning, had_heat_warning, had_wind_warning, had_heavy_rain,
          |  temperature_impact_score, precipitation_impact_score, wind_impact_score,
-         |  temperature_impact_score + precipitation_impact_score + wind_impact_score AS total_impact_score,
-         |  CASE WHEN temperature_impact_score + precipitation_impact_score + wind_impact_score >= 6 THEN 'SEVERE'
-         |       WHEN temperature_impact_score + precipitation_impact_score + wind_impact_score >= 4 THEN 'MODERATE'
-         |       WHEN temperature_impact_score + precipitation_impact_score + wind_impact_score >= 2 THEN 'MINOR'
-         |       ELSE 'MINIMAL' END AS impact_category,
-         |  alert_id IS NOT NULL AS has_concurrent_alert,
-         |  weather_event AS concurrent_alert_type,
-         |  alert_risk_level AS concurrent_alert_risk,
-         |  'PUBLIC' AS data_classification,
-         |  '$RunTsStr' AS analysis_timestamp,
+         |  total_impact_score, impact_category,
+         |  has_concurrent_alert, concurrent_alert_type, concurrent_alert_risk,
+         |  data_classification,
+         |  strftime(analysis_timestamp, '%Y-%m-%d %H:%M:%S') AS analysis_timestamp,
          |  strftime(last_processed_at, '%Y-%m-%d %H:%M:%S') AS last_processed_at
-         |FROM base""".stripMargin,
+         |FROM impacts""".stripMargin,
 
     "em_analytics" ->
       s"""WITH $sqlSeed,
@@ -453,58 +549,80 @@ object EmModelQueries {
          |$sqlStgNoaa,
          |$sqlEvents,
          |$sqlStgUsda,
-         |history AS (SELECT * FROM ev WHERE event_date >= $AsOfSql - 3650),
-         |trends AS (
-         |  SELECT state_code, state_name, CAST(year(event_date) AS INTEGER) AS disaster_year,
-         |    event_category,
-         |    count(*) AS event_count,
-         |    count(CASE WHEN risk_level IN ('HIGH', 'CRITICAL') THEN 1 END) AS high_risk_events,
-         |    count(CASE WHEN is_long_duration_event THEN 1 END) AS long_duration_events,
-         |    CAST(sum(CAST(event_duration_days AS DECIMAL(18,6))) AS DOUBLE) / count(event_duration_days) AS avg_event_duration,
-         |    max(event_duration_days) AS max_event_duration,
-         |    count(CASE WHEN event_season = 'WINTER' THEN 1 END) AS winter_events,
-         |    count(CASE WHEN event_season = 'SPRING' THEN 1 END) AS spring_events,
-         |    count(CASE WHEN event_season = 'SUMMER' THEN 1 END) AS summer_events,
-         |    count(CASE WHEN event_season = 'FALL' THEN 1 END) AS fall_events
-         |  FROM history GROUP BY 1, 2, 3, 4),
-         |ag AS (
-         |  SELECT state_code, program_year,
-         |    CAST(sum(CAST(indemnity_amount_usd AS DECIMAL(18,2))) AS DOUBLE) AS total_indemnity,
-         |    CAST(sum(CAST(liability_amount_usd AS DECIMAL(18,2))) AS DOUBLE) AS total_liability,
-         |    CAST(sum(CAST(loss_ratio AS DECIMAL(18,4))) AS DOUBLE) / count(loss_ratio) AS avg_loss_ratio,
-         |    count(CASE WHEN loss_category = 'HIGH_LOSS' THEN 1 END) AS high_loss_policies
-         |  FROM stg_usda WHERE program_year >= 2014 GROUP BY 1, 2),
-         |joined AS (
-         |  SELECT t.*, a.total_indemnity, a.total_liability, a.avg_loss_ratio, a.high_loss_policies
-         |  FROM trends t LEFT JOIN ag a
-         |    ON t.state_code = a.state_code AND t.disaster_year = a.program_year),
-         |win AS (
-         |  SELECT *, lag(event_count, 1) OVER (
-         |      PARTITION BY state_code, event_category ORDER BY disaster_year) AS prev_year_event_count
-         |  FROM joined)
-         |SELECT
-         |  md5(concat_ws('|', state_code, disaster_year, event_category)) AS analytics_id,
-         |  state_code, state_name, disaster_year, event_category, event_count,
-         |  high_risk_events, long_duration_events, avg_event_duration, max_event_duration,
-         |  winter_events, spring_events, summer_events, fall_events,
+         |$sqlAnalytics
+         |SELECT analytics_id, state_code, state_name, disaster_year, event_category,
+         |  event_count, high_risk_events, long_duration_events, avg_event_duration,
+         |  max_event_duration, winter_events, spring_events, summer_events, fall_events,
          |  total_indemnity, total_liability, avg_loss_ratio, high_loss_policies,
-         |  '2024-09-24' AS analysis_date,
-         |  round(CAST(high_risk_events AS DOUBLE) / CAST(event_count AS DOUBLE) * 100, 2) AS high_risk_event_percentage,
-         |  round(CAST(long_duration_events AS DOUBLE) / CAST(event_count AS DOUBLE) * 100, 2) AS long_duration_percentage,
-         |  prev_year_event_count,
-         |  CASE WHEN event_count > 10 AND high_risk_events > 5 THEN 'VERY_HIGH'
-         |       WHEN event_count > 5 AND high_risk_events > 2 THEN 'HIGH'
-         |       WHEN event_count > 2 THEN 'MODERATE'
-         |       ELSE 'LOW' END AS annual_disaster_risk_rating,
-         |  CASE WHEN prev_year_event_count IS NOT NULL AND prev_year_event_count > 0
-         |       THEN round(CAST(event_count - prev_year_event_count AS DOUBLE) / CAST(prev_year_event_count AS DOUBLE) * 100, 2)
-         |  END AS yoy_event_count_change_percent,
-         |  CASE WHEN prev_year_event_count IS NULL THEN 'INSUFFICIENT_DATA'
-         |       WHEN event_count > prev_year_event_count * 1.2 THEN 'INCREASING'
-         |       WHEN event_count < prev_year_event_count * 0.8 THEN 'DECREASING'
-         |       ELSE 'STABLE' END AS disaster_trend_direction,
-         |  '$RunTsStr' AS analytics_generated_at
-         |FROM win""".stripMargin,
+         |  strftime(analysis_date, '%Y-%m-%d') AS analysis_date,
+         |  high_risk_event_percentage, long_duration_percentage, prev_year_event_count,
+         |  annual_disaster_risk_rating, yoy_event_count_change_percent,
+         |  disaster_trend_direction,
+         |  strftime(analytics_generated_at, '%Y-%m-%d %H:%M:%S') AS analytics_generated_at
+         |FROM analytics""".stripMargin,
+
+    "em_api_performance" ->
+      s"""WITH $sqlSeed,
+         |$sqlStgFema,
+         |$sqlStgNoaa,
+         |$sqlEvents,
+         |$sqlStgUsda,
+         |$sqlStgCoag,
+         |$sqlImpacts,
+         |$sqlAnalytics,
+         |ev_leg AS (
+         |  SELECT 'EMERGENCY_EVENTS' AS dataset_name,
+         |    count(*) AS total_events,
+         |    count(CASE WHEN event_date >= $AsOfSql - 30 THEN 1 END) AS recent_events,
+         |    count(CASE WHEN risk_level IN ('HIGH', 'CRITICAL') THEN 1 END) AS high_risk_events,
+         |    count(DISTINCT state_code) AS states_with_events,
+         |    count(DISTINCT event_category) AS event_categories,
+         |    round(CAST(sum(CAST(event_duration_days AS DECIMAL(18,6))) AS DOUBLE) / count(event_duration_days), 2) AS avg_metric_value,
+         |    max(last_updated) AS last_dataset_update
+         |  FROM ev WHERE event_date >= $AsOfSql - 365),
+         |wi_leg AS (
+         |  SELECT 'WEATHER_IMPACTS' AS dataset_name,
+         |    count(*) AS total_events,
+         |    count(CASE WHEN impact_date >= $AsOfSql - 7 THEN 1 END) AS recent_events,
+         |    count(CASE WHEN impact_category IN ('MODERATE', 'SEVERE') THEN 1 END) AS high_risk_events,
+         |    count(DISTINCT state_code) AS states_with_events,
+         |    count(DISTINCT impact_category) AS event_categories,
+         |    round(CAST(sum(CAST(total_impact_score AS DECIMAL(18,6))) AS DOUBLE) / count(total_impact_score), 2) AS avg_metric_value,
+         |    max(analysis_timestamp) AS last_dataset_update
+         |  FROM impacts),
+         |an_leg AS (
+         |  SELECT 'DISASTER_ANALYTICS' AS dataset_name,
+         |    count(*) AS total_events,
+         |    count(CASE WHEN disaster_year = year($AsOfSql) THEN 1 END) AS recent_events,
+         |    count(CASE WHEN annual_disaster_risk_rating IN ('HIGH', 'VERY_HIGH') THEN 1 END) AS high_risk_events,
+         |    count(DISTINCT state_code) AS states_with_events,
+         |    count(DISTINCT event_category) AS event_categories,
+         |    round(CAST(sum(CAST(event_count AS DECIMAL(18,6))) AS DOUBLE) / count(event_count), 2) AS avg_metric_value,
+         |    max(analytics_generated_at) AS last_dataset_update
+         |  FROM analytics WHERE disaster_year >= year($AsOfSql) - 5),
+         |combined AS (
+         |  SELECT * FROM ev_leg
+         |  UNION ALL SELECT * FROM wi_leg
+         |  UNION ALL SELECT * FROM an_leg)
+         |SELECT dataset_name, total_events, recent_events, high_risk_events,
+         |  states_with_events, event_categories, avg_metric_value,
+         |  strftime(last_dataset_update, '%Y-%m-%d %H:%M:%S') AS last_dataset_update,
+         |  round(CAST(recent_events AS DOUBLE) / total_events * 100, 2) AS recent_activity_percent,
+         |  round(CAST(high_risk_events AS DOUBLE) / total_events * 100, 2) AS high_risk_percent,
+         |  CASE WHEN states_with_events >= 45 THEN 'NATIONAL_COVERAGE'
+         |       WHEN states_with_events >= 30 THEN 'REGIONAL_COVERAGE'
+         |       WHEN states_with_events >= 10 THEN 'MULTI_STATE_COVERAGE'
+         |       ELSE 'LIMITED_COVERAGE' END AS geographic_coverage,
+         |  CASE WHEN last_dataset_update >= $RunTsSql - INTERVAL 6 HOUR THEN 'CURRENT'
+         |       WHEN last_dataset_update >= $RunTsSql - INTERVAL 24 HOUR THEN 'RECENT'
+         |       WHEN last_dataset_update >= $RunTsSql - INTERVAL 48 HOUR THEN 'STALE'
+         |       ELSE 'OUTDATED' END AS dataset_freshness,
+         |  CASE WHEN dataset_name = 'EMERGENCY_EVENTS' AND total_events = 0 THEN 'DATA_MISSING'
+         |       WHEN round(CAST(recent_events AS DOUBLE) / total_events * 100, 2) = 0
+         |            AND dataset_name IN ('EMERGENCY_EVENTS', 'WEATHER_IMPACTS') THEN 'NO_RECENT_ACTIVITY'
+         |       ELSE 'OPERATIONAL' END AS compliance_status,
+         |  '$RunTsStr' AS performance_check_timestamp
+         |FROM combined""".stripMargin,
 
     "em_public_disasters" ->
       s"""WITH $sqlSeed,

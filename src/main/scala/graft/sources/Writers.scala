@@ -24,6 +24,56 @@ object Writers {
     df.withColumn("log_day", lit(day))
       .write.mode(SaveMode.Append).json(s"$path/day=$day")
 
+  /** data_lineage_audit insert shape
+    * (macros/create_data_lineage_record.sql:1-21): one record per
+    * transformation run, clock and identity injected (the macro uses
+    * CURRENT_TIMESTAMP/CURRENT_USER — nondeterministic server state this
+    * engine passes in explicitly). Append with [[auditRecordAppend]]. */
+  def dataLineageRecord(
+      spark: org.apache.spark.sql.SparkSession,
+      sourceTable: String,
+      targetTable: String,
+      transformationType: String,
+      runId: String,
+      runTs: java.sql.Timestamp,
+      engineVersion: String,
+      userName: String,
+      complianceFrameworks: Seq[String]
+  ): DataFrame = {
+    import spark.implicits._
+    Seq((sourceTable, targetTable, transformationType, runId, runTs,
+      engineVersion, userName, complianceFrameworks.mkString(",")))
+      .toDF("source_table", "target_table", "transformation_type", "run_id",
+        "transformation_timestamp", "engine_version", "user_name",
+        "compliance_frameworks")
+  }
+
+  /** federal_compliance_log insert shape
+    * (macros/log_federal_compliance_event.sql:2-22): audit event with
+    * optional details, frameworks list, environment tag. */
+  def federalComplianceEvent(
+      spark: org.apache.spark.sql.SparkSession,
+      eventType: String,
+      tableName: String,
+      details: Option[String],
+      complianceFrameworks: Seq[String],
+      eventTs: java.sql.Timestamp,
+      runId: String,
+      userName: String,
+      environment: String
+  ): DataFrame = {
+    import spark.implicits._
+    Seq((eventType, tableName, details.orNull, complianceFrameworks.mkString(","),
+      eventTs, runId, userName, environment))
+      .toDF("event_type", "table_name", "event_details", "compliance_frameworks",
+        "event_timestamp", "run_id", "user_name", "environment")
+  }
+
+  /** Append an audit record frame to its parquet log table (the INSERT of
+    * both macros above). Append-only — audit tables are never rewritten. */
+  def auditRecordAppend(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
   /** Small-file compaction (macros/optimize_starrocks_table.sql parity):
     * rewrite a table directory at a target partition count. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetFiles: Int): Unit = {

@@ -597,6 +597,9 @@ object StreamingJobs {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
+    // unix_seconds FLOORS; the former `ts div 1e9` nanos path truncated
+    // toward zero — second buckets would differ by 1 s for pre-1970
+    // timestamps (none exist in any feed; noted in case that changes)
     val stream = graft.core.Tables.normalizeTs(spark.readStream.schema(schema).parquet(srcDir))
       .withColumn("ts_s", expr("unix_seconds(ts)"))
       .select(col("user_id").as[Long], col("ts_s").as[Long])
