@@ -109,26 +109,29 @@ object AdvancedQueries {
         .select(col("doc_id"), col("x.pii_type"), explode(col("x.spans")).as("span"))
     }),
     "x7_quantile_shards" -> ((s, d) => {
-      // curriculum sharding done scale-right: quartile cut points of the
-      // difficulty score come from ONE aggregate row broadcast back, and
-      // shard assignment is a map-side comparison — never the global-sort
+      // curriculum sharding done scale-right: EXACT quartile cut points of
+      // the difficulty score from the distributed-selection operator
+      // (Percentiles.exactByRange — bit-equal to the builtin `percentile`,
+      // but per-task state is one bucket slice instead of the whole corpus
+      // buffered in a single final-merge task), broadcast back over the
+      // corpus for a map-side shard comparison — never the global-sort
       // single-partition ntile window (w7 has ntile for the SQL surface;
-      // this is the shape that survives 100 TB, where `percentile` swaps
-      // for approx_percentile with no other change). Cut points are only
-      // used for comparisons, not emitted: an interpolated cut lies
-      // strictly between adjacent data values, so last-bit interpolation
+      // x7b remains the approx variant). Cut points are only used for
+      // comparisons, not emitted: an interpolated cut lies strictly
+      // between adjacent data values, so last-bit interpolation
       // differences between engines cannot move any doc across a shard.
       val docs = Tables(s, d).documents.select(
         col("doc_id"),
         (col("n_chars").cast("double") /
           TextFunctions.tokenCount(col("text"))).as("difficulty"))
-      val cuts = docs.agg(
-        expr("percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("q"))
+      val cuts = graft.operators.Percentiles.exactByRange(
+        docs.withColumn("corpus", lit("all")), "corpus", "difficulty",
+        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)).drop("corpus")
       docs.crossJoin(broadcast(cuts))
         .withColumn("shard",
-          when(col("difficulty") <= element_at(col("q"), 1), 0)
-            .when(col("difficulty") <= element_at(col("q"), 2), 1)
-            .when(col("difficulty") <= element_at(col("q"), 3), 2)
+          when(col("difficulty") <= col("q1"), 0)
+            .when(col("difficulty") <= col("q2"), 1)
+            .when(col("difficulty") <= col("q3"), 2)
             .otherwise(3))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
