@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts every executor thread's shuffle/broadcast buffers in
+  // this one JVM; 8g was enough for the sf0.1 board but the sf1 (10x) legs
+  // showed 2.5-5x GC inflation on the shuffle-heavy dedup family in
+  // full-board runs (isolated runs were clean) — the 128 GiB machine has
+  // ample headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Long-running sessions compile thousands of whole-stage-codegen classes;
   // the 240m default code cache silently flushes hot compiled methods under
   // that pressure (UseCodeCacheFlushing), nondeterministically degrading
