@@ -309,6 +309,32 @@ object DedupQueries {
       Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
     }),
+    "d14_dedup_savings" -> ((s, d) => {
+      // the before/after dedup card a curator reads to size a run: cluster
+      // size histogram + token savings (cluster tokens minus the longest
+      // keeper's). Composes d5's connected components + t1's token count —
+      // every stage already bucketed/banded; the final frame is
+      // O(distinct cluster sizes) rows.
+      val docs = Tables(s, d).documents
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      val clusters = Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val withToks = clusters.join(
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("toks")),
+        Seq("doc_id"))
+      withToks
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          sum("toks").as("cluster_tokens"),
+          max("toks").as("keeper_tokens"))
+        .groupBy("cluster_size")
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("cluster_size")).as("n_docs"),
+          sum("cluster_tokens").as("total_tokens"),
+          sum(col("cluster_tokens") - col("keeper_tokens")).as("removable_tokens"))
+    }),
     "d6_dedup_keepers" -> ((s, d) => {
       // canonical-doc selection: keep the longest doc per near-dup cluster
       val docs = Tables(s, d).documents
@@ -547,6 +573,46 @@ object DedupQueries {
         |  UNION
         |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "d14_dedup_savings" ->
+      """WITH RECURSIVE
+        |docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.doc_id
+        |  JOIN sizes sb ON i.id_b = sb.doc_id
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= CAST(0.5 AS DOUBLE)),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |per AS (
+        |  SELECT l.cluster_id, count(*) AS cluster_size,
+        |    CAST(sum(t.toks) AS BIGINT) AS cluster_tokens,
+        |    max(t.toks) AS keeper_tokens
+        |  FROM labels l JOIN toks t ON l.doc_id = t.doc_id GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  count(*) * cluster_size AS n_docs,
+        |  CAST(sum(cluster_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(cluster_tokens - keeper_tokens) AS BIGINT) AS removable_tokens
+        |FROM per GROUP BY 1""".stripMargin,
     "d6_dedup_keepers" ->
       """WITH RECURSIVE
         |docs AS (

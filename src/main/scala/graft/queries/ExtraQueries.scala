@@ -74,6 +74,24 @@ object ExtraQueries {
         Tables(s, d).lineitem, "l_returnflag", "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
     }),
+    "a22_latency_quantiles" -> ((s, d) => {
+      // the reference's API latency dashboard (simulated p50/p95/p99,
+      // ops/public_ops.py:543-549) computed for real, EXACT, per hour
+      // bucket. Plan choice: hour-bucket grouping is HIGH cardinality and
+      // each group is time-bounded (3600 s × peak rate), so the builtin's
+      // per-group final merge distributes across tasks — the right shape
+      // here, vs a15's 3-wide-group case where exactByRange is. The
+      // streaming twin (st17) is the mergeable-sketch approximation.
+      Tables(s, d).events
+        .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr_start"),
+          col("value"))
+        .groupBy("hr_start")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"),
+          count(lit(1)).as("n_req"))
+    }),
     "a5b_approx_distinct" -> ((s, d) => {
       // 100 TB scale path for A5: HLL sketch instead of exact expansion.
       // No DuckDB oracle (different sketch impls) -> rows-only; exact-vs-
@@ -201,6 +219,13 @@ object ExtraQueries {
         |quantile_cont(l_extendedprice, 0.5) AS p50,
         |quantile_cont(l_extendedprice, 0.75) AS p75
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "a22_latency_quantiles" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr_start,
+        |quantile_cont(value, 0.5) AS p50,
+        |quantile_cont(value, 0.95) AS p95,
+        |quantile_cont(value, 0.99) AS p99,
+        |count(*) AS n_req
+        |FROM events GROUP BY 1""".stripMargin,
     "em_scalar_suite" ->
       """SELECT o_orderkey,
         |lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,

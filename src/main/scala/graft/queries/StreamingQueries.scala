@@ -45,7 +45,13 @@ object StreamingQueries {
       // u9's CDC apply at ingest: O(1) newest-change state per key,
       // version-resolved (not arrival-order) => batch-equal under any
       // microbatching; tombstoned keys leave the materialized table
-      StreamingJobs.streamingCdcApply(s, d))
+      StreamingJobs.streamingCdcApply(s, d)),
+    "st17_stream_latency_quantiles" -> ((s, d) =>
+      // the reference's API latency dashboard (simulated p50/p95/p99
+      // constants, ops/public_ops.py:543-549) as a real windowed sketch
+      // aggregation; rows-only (sketch ≠ exact), cross-checked against the
+      // exact batch twin a22 in Streaming2Spec
+      StreamingJobs.streamingLatencyQuantiles(s, d))
   )
 
   def oracle: Map[String, String] = Map(

@@ -111,6 +111,47 @@ object StreamingJobs {
       )
   }
 
+  /** ST17: windowed latency-quantile monitor — the reference's API
+    * latency dashboard (ops/public_ops.py:543-549 publishes p50/p95/p99 as
+    * SIMULATED constants) as a real streaming computation: per tumbling
+    * window, approx_percentile over the value column (t-digest-style
+    * sketch state, mergeable ⇒ bounded per-window state at any stream
+    * rate — the exact per-window percentile is the batch twin
+    * a22_latency_quantiles, oracled). Complete-mode memory sink harness
+    * like ST5. */
+  def streamingLatencyQuantiles(spark: SparkSession, sfDir: String, window_ : String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .transform(graft.core.Tables.normalizeTs(_))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), window_))
+      .agg(
+        expr("approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)").as("q"),
+        count(lit(1)).as("n_req"))
+    val name = s"latency_q_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("hr_start"),
+      element_at(col("q"), 1).as("p50"),
+      element_at(col("q"), 2).as("p95"),
+      element_at(col("q"), 3).as("p99"),
+      col("n_req"))
+  }
+
   /** Sliding-window variant of ST5: overlapping windows (`size` every
     * `slide`) — each event contributes to size/slide windows. Same
     * watermark/complete-mode harness as tumblingEventCounts. */

@@ -196,4 +196,34 @@ class Streaming2Spec extends SparkSpecBase {
       (3L, 31L, "upsert", 9.0),
       (4L, 40L, "upsert", 7.0)))
   }
+
+  test("streaming latency quantiles are rank-correct vs the exact batch twin (st17 vs a22)") {
+    val stream = StreamingJobs.streamingLatencyQuantiles(spark, Sf0001)
+      .collect().map(r => r.getAs[java.time.LocalDateTime]("hr_start") ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val exactKeys = graft.queries.ExtraQueries.queries("a22_latency_quantiles")(spark, Sf0001)
+      .collect().map(r => r.getAs[java.time.LocalDateTime]("hr_start") -> r.getLong(4)).toMap
+    assert(stream.keySet == exactKeys.keySet)
+    assert(stream.nonEmpty)
+    // approx_percentile is NEAREST-RANK (returns a real data value; the
+    // exact twin interpolates), and at accuracy=10000 with these window
+    // sizes the sketch holds every value — so each reported quantile must
+    // BE a window value whose rank is within 1 of the target rank
+    val windows = graft.core.Tables(spark, Sf0001).events
+      .select(date_trunc("hour", col("ts")).as("hr"), col("value"))
+      .collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("hr").toLocalDateTime)
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    stream.foreach { case (hr, (s50, s95, s99, sn)) =>
+      val vals = windows(hr)
+      assert(sn == vals.length && sn == exactKeys(hr), s"window $hr row count")
+      Seq(0.5 -> s50, 0.95 -> s95, 0.99 -> s99).foreach { case (p, got) =>
+        val target = p * (vals.length - 1)
+        val candidates = vals.zipWithIndex
+          .collect { case (v, i) if math.abs(i - target) <= 1.0 => v }
+        assert(candidates.contains(got),
+          s"$hr p$p: $got not within rank ±1 of target (candidates ${candidates.mkString(",")})")
+      }
+    }
+  }
 }
