@@ -51,7 +51,13 @@ object StreamingQueries {
       // constants, ops/public_ops.py:543-549) as a real windowed sketch
       // aggregation; rows-only (sketch ≠ exact), cross-checked against the
       // exact batch twin a22 in Streaming2Spec
-      StreamingJobs.streamingLatencyQuantiles(s, d))
+      StreamingJobs.streamingLatencyQuantiles(s, d)),
+    "st18_stream_drift_psi" -> ((s, d) =>
+      // a21's PSI drift at ingest time: static broadcast baseline
+      // histogram, per-window binned counts (nBins counters per
+      // (window, type) — bounded state at any rate), finalized windows
+      // scored with the identical ε-smoothed PSI; FULL oracle
+      StreamingJobs.streamingDriftPsi(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -131,6 +137,42 @@ object StreamingQueries {
     "st15_stream_packing" -> AdvancedQueries.oracle("x3_pack_sequences"),
     // version-resolved CDC state converges to the batch table under any
     // microbatching: u9's oracle, verbatim
-    "st16_stream_cdc_apply" -> RelationalQueries.oracle("u9_cdc_apply")
+    "st16_stream_cdc_apply" -> RelationalQueries.oracle("u9_cdc_apply"),
+    // windowed streaming counts == batch hour-bucket counts, so the whole
+    // PSI replay is deterministic SQL (dense bin grid on both sides; same
+    // ε-smoothing and ln() as a21's oracle)
+    "st18_stream_drift_psi" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(least(greatest(floor(value / 5.0), 0), 4) AS INTEGER) AS bin,
+        |    count(*) AS cb
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr_start, event_type,
+        |    CAST(least(greatest(floor(value / 5.0), 0), 4) AS INTEGER) AS bin,
+        |    count(*) AS ca
+        |  FROM events WHERE event_id % 2 <> 0 GROUP BY 1, 2, 3),
+        |dense AS (
+        |  SELECT k.hr_start, k.event_type, CAST(r.range AS INTEGER) AS bin
+        |  FROM (SELECT DISTINCT hr_start, event_type FROM cur) k CROSS JOIN range(5) r),
+        |j AS (
+        |  SELECT d.hr_start, d.event_type, d.bin,
+        |    coalesce(c.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+        |  FROM dense d
+        |  LEFT JOIN cur c ON d.hr_start = c.hr_start AND d.event_type = c.event_type AND d.bin = c.bin
+        |  LEFT JOIN base b ON d.event_type = b.event_type AND d.bin = b.bin),
+        |p AS (
+        |  SELECT *,
+        |    sum(ca) OVER (PARTITION BY hr_start, event_type) AS ta,
+        |    sum(cb) OVER (PARTITION BY hr_start, event_type) AS tb
+        |  FROM j)
+        |SELECT hr_start, event_type,
+        |  count(*) AS n_bins,
+        |  CAST(sum(ca) AS BIGINT) AS n_cur,
+        |  round(sum((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5) - CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5))
+        |        * ln((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5)) / (CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5)))), 6) AS psi,
+        |  round(sum((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5) - CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5))
+        |        * ln((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5)) / (CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5)))), 6) > 0.2 AS is_drift
+        |FROM p GROUP BY 1, 2""".stripMargin
   )
 }

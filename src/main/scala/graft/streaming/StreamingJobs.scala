@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -150,6 +150,85 @@ object StreamingJobs {
       element_at(col("q"), 2).as("p95"),
       element_at(col("q"), 3).as("p99"),
       col("n_req"))
+  }
+
+  /** ST18: ingest-time drift monitor — a21's PSI as a streaming job. The
+    * BASELINE distribution is static (a batch frame: in deployment
+    * yesterday's gold table; here the even-event_id cohort) and broadcast;
+    * the stream bins arriving values per tumbling window — per-window
+    * state is nBins counters per (window, type), bounded at any rate —
+    * and each finalized window's histogram scores PSI against the
+    * baseline. Same ε-smoothing (+0.5 per bin) as the batch a21, dense
+    * bin frame on both sides so absent bins contribute their smoothed
+    * term identically in Spark and the SQL replay. */
+  def streamingDriftPsi(
+      spark: SparkSession,
+      sfDir: String,
+      binWidth: Double = 5.0,
+      nBins: Int = 5,
+      window_ : String = "1 hour",
+      alarmAt: Double = 0.2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def binOf(c: Column) =
+      least(greatest(floor(c / binWidth), lit(0)), lit(nBins - 1)).cast("int")
+
+    val baseline = graft.core.Tables.normalizeTs(spark.read.parquet(path))
+      .filter(col("event_id") % 2 === 0)
+      .groupBy(col("event_type"), binOf(col("value")).as("bin"))
+      .agg(count(lit(1)).as("cb"))
+
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .transform(graft.core.Tables.normalizeTs(_))
+      .filter(col("event_id") % 2 =!= 0)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), window_), col("event_type"), binOf(col("value")).as("bin"))
+      .agg(count(lit(1)).as("ca"))
+    val name = s"drift_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    // localCheckpoint: dense below joins back against cur (self-join on
+    // the memory-sink lineage would hit conflicting-reference resolution);
+    // the finalized histogram is tiny (windows × types × bins)
+    val cur = spark.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("hr_start"),
+      col("event_type"), col("bin"), col("ca"))
+      .localCheckpoint()
+    // dense (window, type) × bin grid: absent bins must contribute their
+    // smoothed PSI term on both engines
+    val dense = cur.select("hr_start", "event_type").distinct()
+      .crossJoin(spark.range(nBins).select(col("id").cast("int").as("bin")))
+    val eps = nBins * 0.5
+    val w = Window.partitionBy("hr_start", "event_type")
+    val pa = (col("ca") + 0.5) / (col("ta") + eps)
+    val pb = (col("cb") + 0.5) / (col("tb") + eps)
+    dense
+      .join(cur, Seq("hr_start", "event_type", "bin"), "left")
+      .join(broadcast(baseline), Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+      .withColumn("ta", sum(col("ca")).over(w))
+      .withColumn("tb", sum(col("cb")).over(w))
+      .withColumn("term", (pa - pb) * log(pa / pb))
+      .groupBy(col("hr_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("ca")).as("n_cur"),
+        round(sum(col("term")), 6).as("psi"))
+      .withColumn("is_drift", col("psi") > alarmAt)
   }
 
   /** Sliding-window variant of ST5: overlapping windows (`size` every
