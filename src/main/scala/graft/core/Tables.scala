@@ -35,7 +35,7 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.functions.{col, expr, from_utc_timestamp, timestamp_micros}
   import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** Normalize an events-shaped frame's `ts` to TimestampType regardless of
@@ -46,7 +46,12 @@ object Tables {
     *     ~1.7e18 ns epochs — matches DuckDB's ns->us truncation);
     *   - TIMESTAMP_NTZ (timestamp[us] written with isAdjustedToUTC=false,
     *     read by a session with NTZ inference on) is reinterpreted as a UTC
-    *     instant — same wall-clock micros, watermark-compatible type;
+    *     instant — same wall-clock micros, watermark-compatible type. The
+    *     NTZ→TIMESTAMP cast itself interprets the wall-clock in the SESSION
+    *     zone, so for non-UTC sessions (user notebooks — engine sessions
+    *     pin UTC) the cast is re-shifted with from_utc_timestamp; the two
+    *     cancel to the UTC-instant reading in any zone (up to DST-ambiguous
+    *     local times, which a UTC-pinned engine never produces);
     *   - a native TimestampType passes through untouched. */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema.find(_.name == tsCol) match {
@@ -54,7 +59,9 @@ object Tables {
         // backtick-quoted so non-identifier column names parse correctly
         df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
       case Some(f) if f.dataType == TimestampNTZType =>
-        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+        val zone = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        df.withColumn(tsCol,
+          from_utc_timestamp(col(tsCol).cast(TimestampType), zone))
       case _ => df
     }
 }

@@ -150,6 +150,13 @@ object Dedup {
     val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
     val sigs = sh.join(hashTable.hint("shuffle_hash"), Seq("sh"))
       .groupBy("source").agg(aggs.head, aggs.tail: _*)
+    scoreSignatures(sigs, k)
+  }
+
+  /** Shared scoring half of both corpus-overlap twins: per source-pair
+    * signature agreement = Broder's Jaccard estimate. One place, so the
+    * md5 oracle twin and the xxhash64 production twin cannot drift. */
+  private def scoreSignatures(sigs: DataFrame, k: Int): DataFrame = {
     val agree = (0 until k)
       .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast("int")).reduce(_ + _)
     sigs.as("a")
@@ -184,15 +191,7 @@ object Dedup {
       .distinct()
     val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     val sigs = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
-    val agree = (0 until k)
-      .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast("int")).reduce(_ + _)
-    sigs.as("a")
-      .join(broadcast(sigs.as("b")), col("a.source") < col("b.source"))
-      .select(
-        col("a.source").as("src_a"),
-        col("b.source").as("src_b"),
-        agree.cast("int").as("n_agree"),
-        (agree.cast("double") / k).as("est_jaccard"))
+    scoreSignatures(sigs, k)
   }
 
   /** MinHash signatures: k permutations simulated as seeded xxhash64 of the

@@ -45,8 +45,12 @@ import org.apache.spark.storage.StorageLevel
 object Percentiles {
 
   /** @param ps (outputColumnName, percentile) pairs, each p in [0, 1].
-    * @return one row per group: (groupCol, ps₁, ps₂, …) with double values,
-    *         nulls filtered like the builtin. */
+    * @return one row per group: (groupCol, ps₁, ps₂, …) with double values
+    *         and the group column cast back to its input type; null VALUES
+    *         are filtered like the builtin, null GROUPS are kept, NaN sorts
+    *         greatest (builtin order). The result is a small local frame
+    *         (G rows — the operator contract is low-cardinality groups),
+    *         so no lingering cache/lineage is left on the session. */
   def exactByRange(
       df: DataFrame,
       groupCol: String,
@@ -54,6 +58,7 @@ object Percentiles {
       ps: Seq[(String, Double)]
   ): DataFrame = {
     val spark = df.sparkSession
+    val groupType = df.schema(groupCol).dataType
 
     // Persisted at the compacted stage: boundary estimation, the count
     // pass, and the rank pass all read this frame; anything upstream runs
@@ -71,9 +76,14 @@ object Percentiles {
       val bounds = freq.stat
         .approxQuantile("v", (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
         .distinct.sorted
+      // NaN sorts greatest in Spark (and in the builtin percentile's sort),
+      // so NaN pins to the top bucket — `b <= NaN` is false for every
+      // boundary and would otherwise drop it into bucket 0, shifting every
+      // rank in the group
       val bucketOf =
         if (bounds.isEmpty) lit(0)
-        else size(filter(array(bounds.map(lit(_)): _*), b => b <= col("v")))
+        else when(isnan(col("v")), lit(bounds.length))
+          .otherwise(size(filter(array(bounds.map(lit(_)): _*), b => b <= col("v"))))
       val freqB = freq.withColumn("bucket", bucketOf)
 
       // B × G counters -> absolute rank offset of every (bucket, group)
@@ -102,15 +112,18 @@ object Percentiles {
       } yield (g, name, rank, isHi, pos)
 
       import spark.implicits._
-      val offsets = offsetRows.toDF("bucket", "g", "off")
+      val offsets = offsetRows.toDF("obucket", "og", "off")
       val targets = targetRows.toDF("tg", "pname", "rank", "is_hi", "pos")
 
       // running rank inside each (bucket, group) slice; each row covers
-      // ranks [cum_lo, cum_hi] and keeps any target rank it straddles
+      // ranks [cum_lo, cum_hi] and keeps any target rank it straddles.
+      // Both small-side joins are NULL-SAFE on the group key — a using-join
+      // would silently drop a null group the builtin keeps.
       val w = Window.partitionBy("bucket", "g").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val picked = freqB
-        .join(broadcast(offsets), Seq("bucket", "g"))
+        .join(broadcast(offsets),
+          col("bucket") === col("obucket") && col("g") <=> col("og"))
         .withColumn("cum_hi", col("off") + sum("c").over(w))
         .withColumn("cum_lo", col("cum_hi") - col("c") + 1)
         .join(broadcast(targets),
@@ -129,8 +142,13 @@ object Percentiles {
       val out = picked
         .groupBy(col("g").as(groupCol))
         .agg(outCols.head, outCols.tail: _*)
-      out.cache().count(): Unit // materialize before unpersisting the input
-      out
+        .withColumn(groupCol, col(groupCol).cast(groupType))
+      // Materialize the G-row result on the driver and return it as a
+      // local frame: the input persist can be dropped eagerly, and no
+      // cache entry outlives the call (a session-cached result would also
+      // let a later identical invocation silently skip the rank pass).
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       freq.unpersist(): Unit
     }

@@ -26,7 +26,13 @@ class PercentilesSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(got.keySet == exp.keySet)
     // bit-exact: identical interpolation formula, deterministic inputs
-    got.foreach { case (g, t) => assert(t == exp(g), s"group $g") }
+    // (NaN-aware — tuple == would fail NaN==NaN)
+    def beq(a: Double, b: Double) =
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    got.foreach { case (g, t) =>
+      val e = exp(g)
+      assert(beq(t._1, e._1) && beq(t._2, e._2) && beq(t._3, e._3), s"group $g: $t vs $e")
+    }
   }
 
   test("matches builtin percentile on random data with ties and skewed groups") {
@@ -54,6 +60,21 @@ class PercentilesSpec extends SparkSpecBase {
       ("b", Some(5.0)), ("b", None))
     check(rows.map { case (g, v) => (g, v.map(Double.box).orNull) }
       .toDF("g", "v").selectExpr("g", "cast(v as double) as v"))
+  }
+
+  test("null groups are kept and NaN sorts greatest, matching the builtin") {
+    val rows: Seq[(String, Double)] = Seq(
+      (null, 1.0), (null, 2.0), (null, 3.0), ("a", 5.0),
+      ("n", 1.0), ("n", 2.0), ("n", Double.NaN), ("n", Double.NaN))
+    check(rows.toDF("g", "v").repartition(3))
+  }
+
+  test("non-string group columns keep their type in the output") {
+    val rows = Seq((7, 1.0), (7, 3.0), (8, 10.0))
+    val out = Percentiles.exactByRange(rows.toDF("g", "v"), "g", "v", Seq("p50" -> 0.5))
+    assert(out.schema("g").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      == Map(7 -> 2.0, 8 -> 10.0))
   }
 
   test("integral-rank positions hit exact values (no interpolation drift)") {

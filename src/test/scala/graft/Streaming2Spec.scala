@@ -198,11 +198,18 @@ class Streaming2Spec extends SparkSpecBase {
   }
 
   test("streaming latency quantiles are rank-correct vs the exact batch twin (st17 vs a22)") {
+    // window keys compared as engine-rendered UTC strings, never via
+    // java.sql.Timestamp.toLocalDateTime (JVM-default-zone dependent —
+    // the NTZ keys carry UTC wall-clock regardless of host TZ)
+    def fmtKey(c: org.apache.spark.sql.Column) =
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
     val stream = StreamingJobs.streamingLatencyQuantiles(spark, Sf0001)
-      .collect().map(r => r.getAs[java.time.LocalDateTime]("hr_start") ->
+      .select(fmtKey(col("hr_start")).as("k"), col("p50"), col("p95"), col("p99"), col("n_req"))
+      .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
     val exactKeys = graft.queries.ExtraQueries.queries("a22_latency_quantiles")(spark, Sf0001)
-      .collect().map(r => r.getAs[java.time.LocalDateTime]("hr_start") -> r.getLong(4)).toMap
+      .select(fmtKey(col("hr_start")).as("k"), col("n_req"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stream.keySet == exactKeys.keySet)
     assert(stream.nonEmpty)
     // approx_percentile is NEAREST-RANK (returns a real data value; the
@@ -210,9 +217,9 @@ class Streaming2Spec extends SparkSpecBase {
     // sizes the sketch holds every value — so each reported quantile must
     // BE a window value whose rank is within 1 of the target rank
     val windows = graft.core.Tables(spark, Sf0001).events
-      .select(date_trunc("hour", col("ts")).as("hr"), col("value"))
+      .select(fmtKey(date_trunc("hour", col("ts"))).as("hr"), col("value"))
       .collect()
-      .groupBy(_.getAs[java.sql.Timestamp]("hr").toLocalDateTime)
+      .groupBy(_.getString(0))
       .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
     stream.foreach { case (hr, (s50, s95, s99, sn)) =>
       val vals = windows(hr)
