@@ -743,12 +743,12 @@ object EmModelQueries {
          |  FROM g)
          |SELECT state_code, program_year,
          |  count(DISTINCT county_code) AS counties_published,
-         |  sum(number_of_policies) AS total_policies,
+         |  CAST(sum(number_of_policies) AS BIGINT) AS total_policies,
          |  sum(total_premiums) AS total_premiums,
          |  sum(total_indemnities) AS total_indemnities,
          |  CASE WHEN sum(total_premiums) = 0 OR sum(total_premiums) IS NULL THEN NULL
          |       ELSE round(sum(total_indemnities) / sum(total_premiums), 3) END AS state_loss_ratio,
-         |  sum(high_loss_policies) AS high_loss_policies
+         |  CAST(sum(high_loss_policies) AS BIGINT) AS high_loss_policies
          |FROM pub GROUP BY 1, 2""".stripMargin,
 
     "em_quality_metrics" ->

@@ -58,6 +58,20 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
     if list(g.columns) != list(e.columns):
         print(f"{q:28s} COLS-MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
         fails += 1; continue
+    # Driver's hash compare is value-representation-sensitive: an int64 7500
+    # and a float64 7500.0 hash differently. Emulate that by failing on
+    # int-vs-float dtype kind divergence (the DuckDB sum(BIGINT)->HUGEINT->
+    # float64 class). 'i' vs 'u' and width differences are fine (same repr).
+    kind_bad = None
+    for c in g.columns:
+        gk, ek = g[c].dtype.kind, e[c].dtype.kind
+        norm = lambda k: "i" if k in "iu" else k
+        if norm(gk) != norm(ek) and {norm(gk), norm(ek)} <= {"i", "f"}:
+            kind_bad = (c, g[c].dtype, e[c].dtype); break
+    if kind_bad:
+        c, gd, ed = kind_bad
+        print(f"{q:28s} DTYPE-MISMATCH col={c} spark={gd} duck={ed} (driver hash would differ)")
+        fails += 1; continue
     if len(g) != len(e):
         print(f"{q:28s} ROWCOUNT spark={len(g)} duck={len(e)}")
         fails += 1; continue
