@@ -52,9 +52,16 @@ object Tables {
     *     pin UTC) the cast is re-shifted with from_utc_timestamp; the two
     *     cancel to the UTC-instant reading in any zone (up to DST-ambiguous
     *     local times, which a UTC-pinned engine never produces);
-    *   - a native TimestampType passes through untouched. */
+    *   - a native TimestampType passes through untouched.
+    * A frame WITHOUT the column is a caller bug (an upstream rename or a
+    * wrong table) — fail fast rather than silently skipping normalization
+    * and letting a LongType ts reach a watermark later. */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema.find(_.name == tsCol) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"normalizeTs: column `$tsCol` not found in schema " +
+            df.schema.fieldNames.mkString("[", ", ", "]"))
       case Some(f) if f.dataType == LongType =>
         // backtick-quoted so non-identifier column names parse correctly
         df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))

@@ -48,9 +48,19 @@ object Percentiles {
     * @return one row per group: (groupCol, ps₁, ps₂, …) with double values
     *         and the group column cast back to its input type; null VALUES
     *         are filtered like the builtin, null GROUPS are kept, NaN sorts
-    *         greatest (builtin order). The result is a small local frame
-    *         (G rows — the operator contract is low-cardinality groups),
-    *         so no lingering cache/lineage is left on the session. */
+    *         greatest (builtin order). A group whose values are ALL null
+    *         still emits a row with null quantiles, exactly like the
+    *         builtin. The result is a small local frame (G rows — the
+    *         operator contract is low-cardinality groups), so no lingering
+    *         cache/lineage is left on the session.
+    *
+    * Group-key contract: groups are keyed by `CAST(groupCol AS STRING)`
+    * internally (the driver-side offset/target maps need one hashable key
+    * type) and cast back at the end. Distinct native values that share a
+    * string rendering would merge, and a type whose string round-trip is
+    * lossy would corrupt the key — string/int/date/decimal keys (the
+    * intended call sites, and everything on the board) round-trip exactly;
+    * do NOT group by binary, struct, map, or non-canonical float keys. */
   def exactByRange(
       df: DataFrame,
       groupCol: String,
@@ -139,10 +149,17 @@ object Percentiles {
           .otherwise(loV * (ceil(pos) - pos) + hiV * (pos - floor(pos)))
           .as(name)
       }
-      val out = picked
-        .groupBy(col("g").as(groupCol))
+      val agged = picked
+        .groupBy(col("g"))
         .agg(outCols.head, outCols.tail: _*)
-        .withColumn(groupCol, col(groupCol).cast(groupType))
+      // Re-attach groups the isNotNull pre-filter removed entirely (groups
+      // whose values are ALL null): the builtin keeps such groups with null
+      // percentile values, so the distinct group set — not the filtered
+      // frame — is the output spine. Null-safe join: a null GROUP is legal.
+      val spine = df.select(col(groupCol).cast("string").as("sg")).distinct()
+      val out = spine
+        .join(agged, col("sg") <=> col("g"), "left")
+        .select(col("sg").cast(groupType).as(groupCol) +: ps.map(p => col(p._1)): _*)
       // Materialize the G-row result on the driver and return it as a
       // local frame: the input persist can be dropped eagerly, and no
       // cache entry outlives the call (a session-cached result would also

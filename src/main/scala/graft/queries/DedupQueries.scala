@@ -241,7 +241,7 @@ object DedupQueries {
       // of (cluster_id, seed): no distinct/join, just the portable md5
       // threshold applied to the cluster column.
       val docs = Tables(s, d).documents
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5, maxDf = Some(100))
       val cc = Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       Sampling.hashSplitPortable(cc, "cluster_id", Seq("train" -> 0.8, "test" -> 0.2))
@@ -305,7 +305,7 @@ object DedupQueries {
       // on Jaccard pairs (min-label propagation; oracle = DuckDB recursive
       // CTE). The corpus' genuine near-dup pair merges into one cluster.
       val docs = Tables(s, d).documents
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5, maxDf = Some(100))
       Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
     }),
@@ -314,9 +314,11 @@ object DedupQueries {
       // size histogram + token savings (cluster tokens minus the longest
       // keeper's). Composes d5's connected components + t1's token count —
       // every stage already bucketed/banded; the final frame is
-      // O(distinct cluster sizes) rows.
+      // O(distinct cluster sizes) rows. Skew guard ON like d1/d12 (and
+      // mirrored in the oracle): the CC composition inherits the same
+      // hot-shingle candidate blowup as the raw pair query.
       val docs = Tables(s, d).documents
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5, maxDf = Some(100))
       val clusters = Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       val withToks = clusters.join(
@@ -338,7 +340,7 @@ object DedupQueries {
     "d6_dedup_keepers" -> ((s, d) => {
       // canonical-doc selection: keep the longest doc per near-dup cluster
       val docs = Tables(s, d).documents
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5, maxDf = Some(100))
       val cc = Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
       Graph.keepersByWeight(cc, docs, "doc_id", "n_chars")
     }),
@@ -551,11 +553,15 @@ object DedupQueries {
         |docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 2, 1) + 1),
         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
         |  FROM docs),
+        |sh AS (
+        |  SELECT s.* FROM sh0 s JOIN (
+        |    SELECT source, sh FROM sh0 GROUP BY 1, 2 HAVING count(*) <= 100) ok
+        |  ON s.source = ok.source AND s.sh = ok.sh),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -578,11 +584,15 @@ object DedupQueries {
         |docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 2, 1) + 1),
         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
         |  FROM docs),
+        |sh AS (
+        |  SELECT s.* FROM sh0 s JOIN (
+        |    SELECT source, sh FROM sh0 GROUP BY 1, 2 HAVING count(*) <= 100) ok
+        |  ON s.source = ok.source AND s.sh = ok.sh),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -618,11 +628,15 @@ object DedupQueries {
         |docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 2, 1) + 1),
         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
         |  FROM docs),
+        |sh AS (
+        |  SELECT s.* FROM sh0 s JOIN (
+        |    SELECT source, sh FROM sh0 GROUP BY 1, 2 HAVING count(*) <= 100) ok
+        |  ON s.source = ok.source AND s.sh = ok.sh),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -712,11 +726,15 @@ object DedupQueries {
         |docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 2, 1) + 1),
         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
         |  FROM docs),
+        |sh AS (
+        |  SELECT s.* FROM sh0 s JOIN (
+        |    SELECT source, sh FROM sh0 GROUP BY 1, 2 HAVING count(*) <= 100) ok
+        |  ON s.source = ok.source AND s.sh = ok.sh),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -9,8 +9,10 @@ import graft.operators.Percentiles
 class PercentilesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  // NO pre-filter: the builtin ignores null values natively but KEEPS a
+  // group whose values are all null (null percentiles) — the baseline must
+  // exercise that path too, or the parity claim is untested.
   private def builtin(df: org.apache.spark.sql.DataFrame) = df
-    .filter(col("v").isNotNull)
     .groupBy("g")
     .agg(
       expr("percentile(v, 0.25)").as("p25"),
@@ -18,20 +20,25 @@ class PercentilesSpec extends SparkSpecBase {
       expr("percentile(v, 0.75)").as("p75"))
 
   private def check(df: org.apache.spark.sql.DataFrame): Unit = {
-    val exp = builtin(df).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val got = Percentiles
-      .exactByRange(df, "g", "v", Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-      .collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def grab(df2: org.apache.spark.sql.DataFrame) = df2.collect()
+      .map(r => r.getString(0) ->
+        (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+      .toMap
+    val exp = grab(builtin(df))
+    val got = grab(Percentiles
+      .exactByRange(df, "g", "v", Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)))
     assert(got.keySet == exp.keySet)
     // bit-exact: identical interpolation formula, deterministic inputs
-    // (NaN-aware — tuple == would fail NaN==NaN)
-    def beq(a: Double, b: Double) =
-      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    // (NaN-aware — plain == would fail NaN==NaN)
+    def beq(a: Option[Double], b: Option[Double]) = (a, b) match {
+      case (Some(x), Some(y)) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+      case (None, None) => true
+      case _            => false
+    }
     got.foreach { case (g, t) =>
       val e = exp(g)
-      assert(beq(t._1, e._1) && beq(t._2, e._2) && beq(t._3, e._3), s"group $g: $t vs $e")
+      assert(t.lazyZip(e).forall(beq), s"group $g: $t vs $e")
     }
   }
 
@@ -58,6 +65,14 @@ class PercentilesSpec extends SparkSpecBase {
     val rows = Seq(
       ("a", Some(1.0)), ("a", None), ("a", Some(2.0)), ("a", Some(3.0)),
       ("b", Some(5.0)), ("b", None))
+    check(rows.map { case (g, v) => (g, v.map(Double.box).orNull) }
+      .toDF("g", "v").selectExpr("g", "cast(v as double) as v"))
+  }
+
+  test("a group whose values are ALL null emits a row with null quantiles") {
+    val rows = Seq(
+      ("allnull", None), ("allnull", None),
+      ("b", Some(5.0)), ("b", Some(7.0)), ("b", None))
     check(rows.map { case (g, v) => (g, v.map(Double.box).orNull) }
       .toDF("g", "v").selectExpr("g", "cast(v as double) as v"))
   }

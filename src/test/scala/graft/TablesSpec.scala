@@ -26,10 +26,11 @@ class TablesSpec extends SparkSpecBase {
     assert(out.select(col("`odd ts`").cast("long")).as[Long].head() == 1704164645L)
   }
 
-  test("native TimestampType and frames without the column pass through untouched") {
+  test("native TimestampType passes through; a missing ts column fails fast") {
     val ts = spark.sql("SELECT TIMESTAMP '2024-01-02 03:04:05' AS ts")
     assert(Tables.normalizeTs(ts).schema("ts").dataType == TimestampType)
     val none = Seq((1, 2)).toDF("a", "b")
-    assert(Tables.normalizeTs(none).collect().toSeq == none.collect().toSeq)
+    val err = intercept[IllegalArgumentException](Tables.normalizeTs(none))
+    assert(err.getMessage.contains("`ts` not found"))
   }
 }
