@@ -37,18 +37,36 @@ object EmModelQueries {
   private val RunTsSql = "TIMESTAMP '2024-09-24 12:00:00'"
   private val RunTsStr = "2024-09-24 12:00:00"
 
-  @volatile private var written = false
-  private def ensureFixtures(spark: SparkSession): Unit = synchronized {
-    if (!written) {
-      Fixtures.fema(spark, 400).coalesce(1)
+  /** Fixture sizes scale with the graded SF so the EM staging→marts→public
+    * DAG (the actual reference workload) gets the same ×10 scale legs as
+    * the corpus operators: multiplier = sf/0.01, parsed from the LAST
+    * `sf<number>` in the data dir name (sf0.01 → ×1 floor so oracles stay
+    * fast, sf0.1 → ×10, sf1 → ×100), clamped to [1, 100]; dirs without an
+    * sf marker run at the ×1 floor. Parity is scale-free by construction:
+    * the DuckDB oracle replays the DAG over the SAME parquet fixture files
+    * whatever their size. */
+  private def multiplierFor(sfDir: String): Int =
+    "sf(\\d+(?:\\.\\d+)?)".r.findAllMatchIn(sfDir).toSeq.lastOption
+      .map(m => math.max(1, math.min(100, math.round(m.group(1).toDouble / 0.01).toInt)))
+      .getOrElse(1)
+
+  @volatile private var writtenMult = -1
+  private def ensureFixtures(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val mult = multiplierFor(sfDir)
+    if (writtenMult != mult) {
+      // single-file staging keeps the DuckDB oracle's read deterministic
+      // and is harness-side only (fixture write, not an engine data path)
+      Fixtures.fema(spark, 400 * mult).coalesce(1)
         .write.mode("overwrite").parquet(s"$FixtureDir/fema.parquet")
-      Fixtures.noaa(spark, 400).coalesce(1)
+      Fixtures.noaa(spark, 400 * mult).coalesce(1)
         .write.mode("overwrite").parquet(s"$FixtureDir/noaa.parquet")
-      Fixtures.coagmet(spark, 12, 120, AsOfDay).coalesce(1)
+      // coagmet scales the STATION axis (days are the fixed 120-day window
+      // the as-of queries slice): rows = stations × days × 4 obs/day
+      Fixtures.coagmet(spark, 12 * mult, 120, AsOfDay).coalesce(1)
         .write.mode("overwrite").parquet(s"$FixtureDir/coagmet.parquet")
-      Fixtures.usda(spark, 6000).coalesce(1)
+      Fixtures.usda(spark, 6000 * mult).coalesce(1)
         .write.mode("overwrite").parquet(s"$FixtureDir/usda.parquet")
-      written = true
+      writtenMult = mult
     }
   }
 
@@ -67,8 +85,8 @@ object EmModelQueries {
   private def fmtT(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "em_events" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_events" -> ((s, d) => {
+      ensureFixtures(s, d)
       events(s).select(
         col("event_id"), col("event_type"), col("event_subtype"), col("event_name"),
         col("state_code"), col("state_name"), col("state_fips_code"),
@@ -85,8 +103,8 @@ object EmModelQueries {
         fmtT(col("last_updated")).as("last_updated"))
     }),
 
-    "em_weather_impacts" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_weather_impacts" -> ((s, d) => {
+      ensureFixtures(s, d)
       Marts.weatherImpacts(stgCoag(s), stgNoaa(s), AsOf, RunTs).select(
         col("impact_id"), col("station_id"), col("station_name"),
         fmtD(col("impact_date")).as("impact_date"),
@@ -104,8 +122,8 @@ object EmModelQueries {
         fmtT(col("last_processed_at")).as("last_processed_at"))
     }),
 
-    "em_analytics" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_analytics" -> ((s, d) => {
+      ensureFixtures(s, d)
       Marts.disasterAnalytics(events(s), stgUsda(s), AsOf, RunTs).select(
         col("analytics_id"), col("state_code"), col("state_name"),
         col("disaster_year"), col("event_category"), col("event_count"),
@@ -121,8 +139,8 @@ object EmModelQueries {
         fmtT(col("analytics_generated_at")).as("analytics_generated_at"))
     }),
 
-    "em_api_performance" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_api_performance" -> ((s, d) => {
+      ensureFixtures(s, d)
       val ev = events(s)
       PublicLayer.apiPerformance(
         ev,
@@ -140,8 +158,8 @@ object EmModelQueries {
         fmtT(col("performance_check_timestamp")).as("performance_check_timestamp"))
     }),
 
-    "em_public_disasters" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_public_disasters" -> ((s, d) => {
+      ensureFixtures(s, d)
       PublicLayer.publicDisasters(events(s), AsOf, RunTs).select(
         col("disaster_id"), col("public_disaster_code"), col("disaster_type"),
         col("disaster_category"), col("disaster_title"), col("state_code"),
@@ -157,13 +175,13 @@ object EmModelQueries {
         col("api_hour_bucket"))
     }),
 
-    "em_public_ag" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_public_ag" -> ((s, d) => {
+      ensureFixtures(s, d)
       PublicLayer.publicAgriculturalData(stgUsda(s), AsOf)
     }),
 
-    "em_public_alerts" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_public_alerts" -> ((s, d) => {
+      ensureFixtures(s, d)
       PublicLayer.publicWeatherAlerts(stgNoaa(s), AsOf, RunTs).select(
         col("alert_api_id"), col("weather_event"), col("severity_level"),
         col("urgency_level"), col("alert_headline"), col("alert_description"),
@@ -174,8 +192,8 @@ object EmModelQueries {
         fmtT(col("last_updated")).as("last_updated"))
     }),
 
-    "em_ag_summary" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_ag_summary" -> ((s, d) => {
+      ensureFixtures(s, d)
       // state rollup over the published (privacy-thresholded, banded)
       // county frame: the banded money totals are multiples of 1000, so
       // their double sums are exact integers — order-independent
@@ -183,8 +201,8 @@ object EmModelQueries {
         PublicLayer.publicAgriculturalData(stgUsda(s), AsOf))
     }),
 
-    "em_quality_metrics" -> ((s, _) => {
-      ensureFixtures(s)
+    "em_quality_metrics" -> ((s, d) => {
+      ensureFixtures(s, d)
       PublicLayer.dataQualityMetrics(
         Seq(
           ("fema", stgFema(s), "disaster_number", "declaration_date"),

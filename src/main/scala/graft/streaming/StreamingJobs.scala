@@ -761,9 +761,13 @@ object StreamingJobs {
     * sentinel event per user (ts = global max + gap + 1), so inside the
     * stream itself the sentinel's gap force-closes each user's final real
     * session; the sentinel's own 1-event session is the only state left
-    * unemitted at EOF. Single staged file => single microbatch, so the
-    * per-batch sort in the state function sees sentinels after real events
-    * regardless of file-source ordering.
+    * unemitted at EOF. The staged input is written PARTITIONED (parallel
+    * write, no single-writer funnel): every staged file exists before the
+    * stream starts, and a file source with no maxFilesPerTrigger admits
+    * all available files into ONE microbatch, so the per-user per-batch
+    * sort in the state function normalizes cross-file arrival order — the
+    * single-microbatch contract needs file-listing atomicity, not a
+    * single file.
     *
     * Scale posture: state is O(1) per user (one (start,last,n) tuple); the
     * sentinel frame is one row per user, built by the same engine (a
@@ -778,7 +782,6 @@ object StreamingJobs {
     val staged = s"/tmp/graft_st13_input_${counter.incrementAndGet()}"
     ev.unionByName(
         ev.select("user_id").distinct().withColumn("ts_s", lit(maxS + gapSeconds + 1)))
-      .coalesce(1)
       .write.mode("overwrite").parquet(staged)
 
     val schema = spark.read.parquet(staged).schema

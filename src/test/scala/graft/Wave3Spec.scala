@@ -457,6 +457,32 @@ class Wave3Spec extends SparkSpecBase {
     assert(proseRatio > repC.toDouble / repN && proseRatio < noiseC.toDouble / noiseN)
   }
 
+  test("deflate_size matches a pinned cross-engine zlib ground-truth vector") {
+    // Expected sizes computed INDEPENDENTLY with CPython's zlib
+    // (compressobj(6, DEFLATED, -15) — raw deflate, level 6, nowrap: the
+    // exact parameters DeflateSize pins). Both stacks wrap canonical zlib,
+    // so these constants are a true cross-engine oracle for the rows-only
+    // t14 entry: any drift in level, wrap flag, UTF-8 handling, or a
+    // non-zlib Deflater would break them.
+    val vector = Seq(
+      ("a", 1, 3),
+      ("ab" * 100, 200, 7),
+      ("The quick brown fox jumps over the lazy dog while the storm surge " +
+        "floods the coastal county road.", 97, 80),
+      ("name=value;" * 40, 440, 18),
+      ("q8Zr1xV7pL3mNw9K2jD5hF0sTgYbUcEiOaXe4RtM6", 41, 43),
+      ("naïve café — résumé über straße 你好世界 🌊", 57, 62))
+    val got = vector.zipWithIndex.map { case ((t, _, _), i) => (i.toLong, t) }
+      .toDF("i", "t")
+      .select(col("i"), graft.plans.DeflateSize.deflate_size(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vector.zipWithIndex.foreach { case ((t, utf8Len, expected), i) =>
+      assert(t.getBytes("UTF-8").length == utf8Len, s"case $i utf8 length drifted")
+      assert(got(i.toLong) == expected,
+        s"case $i: deflate_size=${got(i.toLong)}, python zlib ground truth=$expected")
+    }
+  }
+
   test("deflate_size is deterministic, partitioning-independent, and SQL-registered") {
     val docs = Tables(spark, Sf0001).documents
     val a = docs.select(col("doc_id"), graft.plans.DeflateSize.deflate_size(col("text")).as("c"))
