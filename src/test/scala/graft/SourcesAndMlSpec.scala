@@ -58,6 +58,54 @@ class SourcesAndMlSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/t").count() == events.count())
   }
 
+  test("selective compaction rewrites only fragmented partitions, byte-identical elsewhere") {
+    val dir = Files.createTempDirectory("compact").toString
+    val events = Tables(spark, Sf0001).events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val days = events.select("day").distinct().orderBy("day")
+      .collect().map(_.getString(0)).take(3)
+    // one healthy partition, two fragmented ones (a micro-batch writer's
+    // output shape: many small files inside a single day directory)
+    events.filter(col("day") === days(0)).repartition(1)
+      .write.partitionBy("day").mode("append").parquet(s"$dir/t")
+    Seq(days(1), days(2)).foreach { d =>
+      events.filter(col("day") === d).repartition(8)
+        .write.partitionBy("day").mode("append").parquet(s"$dir/t")
+    }
+    val before = spark.read.parquet(s"$dir/t")
+    val total = before.count()
+    // content digest captured BEFORE compaction (the pre-rewrite DataFrame's
+    // file listing dies with the rewrite, so compare via materialized sums)
+    val cols = before.columns.sorted.toIndexedSeq
+    def digest(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.select(xxhash64(cols.map(c => col(c).cast("string")): _*).cast("decimal(38,0)").as("h"))
+        .agg(sum("h")).collect()(0).getDecimal(0)
+    val beforeDigest = digest(before)
+    val stats = Writers.partitionFileStats(s"$dir/t", "day")
+    assert(stats.map(_._1) == days.toSeq.sorted)
+    assert(stats.forall { case (_, n, bytes) => n > 0 && bytes > 0 })
+    val healthyFiles = new java.io.File(s"$dir/t/day=${days(0)}")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+
+    val rewritten = Writers.compactPartitions(spark, s"$dir/t", "day", maxFiles = 4)
+    assert(rewritten.toSet == Set(days(1), days(2)), s"rewrote $rewritten")
+    // fragmented partitions collapsed to the byte-target file count (tiny data -> 1)
+    Seq(days(1), days(2)).foreach { d =>
+      val n = new java.io.File(s"$dir/t/day=$d").listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"day=$d still has $n files")
+    }
+    // healthy partition untouched: same file names and mtimes
+    val healthyAfter = new java.io.File(s"$dir/t/day=${days(0)}")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    assert(healthyAfter == healthyFiles)
+    // data round-trips exactly (partition column re-encoded in dir names)
+    val after = spark.read.parquet(s"$dir/t")
+    assert(after.count() == total)
+    assert(digest(after) == beforeDigest)
+    // a second pass is a no-op
+    assert(Writers.compactPartitions(spark, s"$dir/t", "day", maxFiles = 4).isEmpty)
+  }
+
   test("multimodal: binary payload features are deterministic and schema-stable") {
     val docs = Tables(spark, Sf0001).documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
