@@ -560,4 +560,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Paragraph-granularity cross-document dedup (the CCNet/MassiveText
+    * operation: remove a paragraph wherever it reappears in another
+    * document, keeping the first occurrence). Documents are segmented
+    * into fixed non-overlapping `chunkLen`-token chunks (the synthetic
+    * corpus has no newlines; with real text, segment on '\n\n' and the
+    * rest of the plan is unchanged), each chunk keyed by its md5 — a
+    * portable fingerprint an oracle replays verbatim. Keeper = min
+    * doc_id per fingerprint; a chunk INSTANCE is dropped iff its doc is
+    * not the keeper AND the chunk has at least `minChunkTokens` tokens
+    * (CCNet's minimum-paragraph-length rule — a short remainder chunk
+    * colliding across docs is noise, not duplication; within-doc repeats
+    * are d10's concern, not this op's).
+    *
+    * Scale: explode is map-side; the fingerprint reduce is one
+    * partial-aggregated shuffle on the chunk hash; the keeper frame
+    * joins back on the same hash key (AQE skew-join absorbs hot
+    * boilerplate chunks); the per-doc card is one final reduce on
+    * doc_id. Nothing is pairwise, nothing is broadcast-unbounded.
+    *
+    * Output per doc: (doc_id, n_chunks, dropped_chunks, kept_tokens,
+    * dropped_tokens) — all integers, so the oracle compare is exact. */
+  def paragraphDedupStats(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int = 16, minChunkTokens: Int = 4): DataFrame = {
+    val toks = split(col(textCol), " ", -1)
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(chunkLen)))
+          .as(Seq("chunk_idx", "start")),
+        col("w"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(slice(col("w"), col("start") + 1, lit(chunkLen))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkLen)))).as("fp"))
+    val keepers = chunks
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keeper"))
+    val flagged = chunks
+      .join(keepers, Seq("fp"))
+      .withColumn("dropped",
+        col("doc_id") =!= col("keeper") && col("n_chunk_tokens") >= minChunkTokens)
+    flagged
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("dropped_chunks"),
+        sum(when(col("dropped"), 0L).otherwise(col("n_chunk_tokens"))).as("kept_tokens"),
+        sum(when(col("dropped"), col("n_chunk_tokens")).otherwise(0L)).as("dropped_tokens"))
+  }
 }

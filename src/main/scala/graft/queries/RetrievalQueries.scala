@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Projection, Retrieval, Similarity}
+
+/** Round-6 retrieval / curation wave: BM25 lexical search, hybrid
+  * (lexical + semantic) reciprocal-rank fusion, paragraph-granularity
+  * cross-doc dedup, and Johnson–Lindenstrauss random projection — each a
+  * FULL DuckDB oracle.
+  *
+  * Float-determinism notes (per-file contract like RelationalQueries):
+  *   - BM25's ln-based idf follows the t16 precedent: scores rounded to
+  *     6 dp BEFORE ranking on both engines, ties broken by doc_id.
+  *   - RRF scores are two-term rational sums (1/(60+r)) — bit-exact
+  *     across engines, no rounding needed.
+  *   - Random projection folds in fixed i-order on both sides (Spark
+  *     `aggregate` left fold; DuckDB ordered-aggregate sum) and rounds
+  *     to 6 dp.
+  *   - Paragraph-dedup outputs are all integers — exact.
+  */
+object RetrievalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val RpDim = 64
+  private val RpOutDim = 16
+  private val RpSeed = 42
+
+  def queries: Map[String, Q] = Map(
+    "s8_bm25_topk" -> ((s, d) => {
+      // Okapi BM25 lexical top-k: 8 query docs against the full corpus.
+      // Query-term semi-join BEFORE the tf shuffle keeps the postings
+      // exchange proportional to query-term hits, not corpus tokens.
+      val docs = Tables(s, d).documents
+      Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 8), "doc_id", "text", k = 10)
+    }),
+    "s9_hybrid_rrf" -> ((s, d) => {
+      // Hybrid retrieval: BM25 (text) and brute-force cosine (embedding)
+      // lists fused with reciprocal-rank fusion (Cormack et al. 2009).
+      // vec_id is the embedding-side doc key (row-aligned corpora), so
+      // the fused frame re-ranks one doc id space.
+      val docs = Tables(s, d).documents
+      val emb = Tables(s, d).embeddings
+      val lex = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 8), "doc_id", "text", k = 20)
+      val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 20)
+      Retrieval.rrfFuse(lex, sem, k = 10)
+    }),
+    "d15_paragraph_dedup" -> ((s, d) => {
+      // CCNet/MassiveText paragraph dedup as a per-doc card: fixed
+      // 16-token chunks, md5 fingerprints, keep-first (min doc_id)
+      // semantics, chunks under 4 tokens never dropped; counts and token
+      // tallies are exact integers.
+      Dedup.paragraphDedupStats(Tables(s, d).documents, "doc_id", "text",
+        chunkLen = 16, minChunkTokens = 4)
+    }),
+    "s10_random_projection" -> ((s, d) => {
+      // JL projection 64 -> 16 dims with a seeded Rademacher matrix baked
+      // into the plan as literals — map-only, zero exchanges (the 4x
+      // cheaper geometry all downstream passes can run in).
+      Projection.randomProject(Tables(s, d).embeddings, "vec_id", "embedding",
+        dim = RpDim, outDim = RpOutDim, seed = RpSeed)
+    })
+  )
+
+  /** BM25 oracle body, parameterized on k so s9 can reuse it at k=20.
+    * Arithmetic mirrors Retrieval.bm25TopK operation-for-operation (see
+    * the scaladoc there); every mixed-type site is CAST so DuckDB's
+    * DECIMAL literals can't leak decimal arithmetic into the double
+    * chain. */
+  private def bm25OracleSql(k: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT d.doc_id AS query_id, t.term
+       |       FROM d, unnest(w) AS t(term) WHERE d.doc_id < 8),
+       |p AS (SELECT d.doc_id, t.term, count(*) AS tf
+       |      FROM d, unnest(w) AS t(term)
+       |      WHERE t.term IN (SELECT DISTINCT term FROM qt)
+       |      GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+       |sc AS (
+       |  SELECT qt.query_id, p.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (CAST(st.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+       |      * (p.tf * CAST(2.2 AS DOUBLE))
+       |      / (p.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * (dl.dl / st.avgdl)))
+       |    ), 6) AS score
+       |  FROM p
+       |  JOIN df USING (term)
+       |  JOIN qt USING (term)
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  CROSS JOIN st
+       |  WHERE p.doc_id <> qt.query_id
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |      FROM sc)
+       |SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS rank, score
+       |FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Brute-force cosine top-k (s1's oracle shape) at vec_id < 8, k=20 —
+    * the semantic side of the s9 fusion. */
+  private val semOracleSql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |         list_cosine_similarity(q.embedding, e.embedding) AS sim
+      |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM p)
+      |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
+      |FROM r WHERE rnk <= 20""".stripMargin
+
+  /** The inlined ±1 Rademacher grid as a VALUES list — the identical
+    * matrix Projection.signMatrix bakes into the Spark plan. */
+  private def rpValuesSql: String = {
+    val signs = Projection.signMatrix(RpSeed, RpDim, RpOutDim)
+    val rows = for (j <- 0 until RpOutDim; i <- 1 to RpDim)
+      yield s"($j,$i,CAST(${if (signs(j)(i - 1) > 0) 1 else -1} AS DOUBLE))"
+    rows.mkString(",")
+  }
+
+  def oracle: Map[String, String] = Map(
+    "s8_bm25_topk" -> bm25OracleSql(10),
+    "s9_hybrid_rrf" ->
+      s"""WITH lex AS (${bm25OracleSql(20)}),
+         |sem AS ($semOracleSql),
+         |f AS (
+         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |         coalesce(l.doc_id, s.neighbor_id) AS doc_id,
+         |         coalesce(CAST(1 AS DOUBLE) / (60 + l.rank), 0)
+         |           + coalesce(CAST(1 AS DOUBLE) / (60 + s.rank), 0) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON s.query_id = l.query_id AND s.neighbor_id = l.doc_id),
+         |r AS (SELECT query_id, doc_id, rrf,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+         |      FROM f)
+         |SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS rank, rrf
+         |FROM r WHERE rnk <= 10""".stripMargin,
+    "d15_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c0 AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS st FROM d),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(least(st + 16, len(w)) - st AS INTEGER) AS n_chunk_tokens,
+        |    md5(array_to_string(w[st + 1 : least(st + 16, len(w))], ' ')) AS fp
+        |  FROM c0),
+        |k AS (SELECT fp, min(doc_id) AS keeper FROM c GROUP BY 1),
+        |f AS (SELECT c.doc_id, c.n_chunk_tokens,
+        |        (c.doc_id <> k.keeper AND c.n_chunk_tokens >= 4) AS dropped
+        |      FROM c JOIN k USING (fp))
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS dropped_chunks,
+        |  CAST(sum(CASE WHEN dropped THEN 0 ELSE n_chunk_tokens END) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(CASE WHEN dropped THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS dropped_tokens
+        |FROM f
+        |GROUP BY 1""".stripMargin,
+    "s10_random_projection" ->
+      s"""WITH s(j, i, sgn) AS (VALUES $rpValuesSql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (
+         |  SELECT vec_id, j, round(sum(v[i] * sgn ORDER BY i) / 4.0, 6) AS value
+         |  FROM e, s GROUP BY 1, 2)
+         |SELECT vec_id, CAST(j AS INTEGER) AS dim, "value" FROM x""".stripMargin
+  )
+}
