@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.queries.{AdvancedQueries, DedupQueries, EmModelQueries, ExtraQueries, RelationalQueries, RetrievalQueries, StreamingQueries, TextQueries}
+import graft.queries.{AdvancedQueries, DedupQueries, EmModelQueries, EventGraphQueries, ExtraQueries, RelationalQueries, RetrievalQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,12 +35,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       StreamingQueries.queries ++ ExtraQueries.queries ++ AdvancedQueries.queries ++
-      EmModelQueries.queries ++ RetrievalQueries.queries
+      EmModelQueries.queries ++ RetrievalQueries.queries ++ EventGraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
       StreamingQueries.oracle ++ ExtraQueries.oracle ++ AdvancedQueries.oracle ++
-      EmModelQueries.oracle ++ RetrievalQueries.oracle
+      EmModelQueries.oracle ++ RetrievalQueries.oracle ++ EventGraphQueries.oracle
 }

@@ -611,4 +611,53 @@ object Dedup {
         sum(when(col("dropped"), 0L).otherwise(col("n_chunk_tokens"))).as("kept_tokens"),
         sum(when(col("dropped"), col("n_chunk_tokens")).otherwise(0L)).as("dropped_tokens"))
   }
+
+  /** Boilerplate-chunk removal card — the CCNet/RefinedWeb "shared
+    * paragraph" filter: a chunk whose fingerprint appears in at least
+    * `docFreqThreshold` DISTINCT documents is boilerplate (nav bars,
+    * license headers, cookie banners) and is removed from EVERY document
+    * — including the first — which is exactly what distinguishes it from
+    * [[paragraphDedupStats]]'s keep-first dedup: dedup preserves one
+    * copy of repeated content, boilerplate removal decides the content
+    * itself is worthless. Chunks under `minChunkTokens` tokens are never
+    * removed (tail-fragment guard, same floor as d15).
+    *
+    * Same execution shape as paragraphDedupStats: map-side chunking, one
+    * partial-aggregated shuffle on the chunk hash for the distinct-doc
+    * frequency, a hash-key join back (AQE absorbs hot boilerplate
+    * fingerprints), one per-doc reduce. The doc-frequency aggregate uses
+    * count(DISTINCT doc_id) — two-phase, never a per-key set collect.
+    *
+    * Output per doc: (doc_id, n_chunks, boilerplate_chunks, kept_tokens,
+    * removed_tokens) — all integers, exact oracle compare. */
+  def boilerplateChunkStats(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int = 16, minChunkTokens: Int = 4,
+      docFreqThreshold: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ", -1)
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(chunkLen)))
+          .as(Seq("chunk_idx", "start")),
+        col("w"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(slice(col("w"), col("start") + 1, lit(chunkLen))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkLen)))).as("fp"))
+    val docFreq = chunks
+      .groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("docfreq"))
+    val flagged = chunks
+      .join(docFreq, Seq("fp"))
+      .withColumn("removed",
+        col("docfreq") >= docFreqThreshold && col("n_chunk_tokens") >= minChunkTokens)
+    flagged
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("boilerplate_chunks"),
+        sum(when(col("removed"), 0L).otherwise(col("n_chunk_tokens"))).as("kept_tokens"),
+        sum(when(col("removed"), col("n_chunk_tokens")).otherwise(0L)).as("removed_tokens"))
+  }
 }

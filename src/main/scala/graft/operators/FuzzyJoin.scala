@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked edit-distance (Levenshtein) self-join — approximate string
+  * matching for entity resolution / fuzzy dedup of names, titles, and
+  * short identifiers, the string-side analogue of the embedding near-dup
+  * operators in [[Dedup]].
+  *
+  * Never all-pairs: candidate pairs are generated ONLY inside a blocking
+  * key (one equi-join shuffle on the block columns), and the quadratic
+  * work is bounded by the largest block. The caller picks blocking
+  * columns that keep blocks small (here: a token of the string plus an
+  * orthogonal attribute); `maxBlock` is a hard skew guard in the same
+  * spirit as Dedup's maxDf — a block larger than the cap is dropped
+  * whole (a block that big means the blocking key is degenerate, and its
+  * pairs would dominate the stage). The levenshtein predicate itself is
+  * a codegen'd builtin evaluated post-join, never a join condition, so
+  * the join stays a hash equi-join.
+  */
+object FuzzyJoin {
+
+  /** Self-join `df` on equality of `blockCols`, keep pairs (idA < idB)
+    * whose `strCol` values are within `maxDist` edits.
+    *
+    * Output: (id_a, id_b, name_a, name_b, dist) with dist as long.
+    */
+  def blockedLevenshtein(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Option[Int] = Some(1000)
+  ): DataFrame = {
+    val base0 = df.select(
+      (col(idCol).as("id") +: col(strCol).as("name") +:
+        blockCols.map(c => col(c))): _*)
+    val base = maxBlock match {
+      case Some(cap) =>
+        // block-size census as a window count over the SAME partitioning
+        // the self-join shuffles on — no broadcast of the (unbounded)
+        // block-key set, no extra exchange shape
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(blockCols.map(col): _*)
+        base0
+          .withColumn("_bn", count(lit(1)).over(w))
+          .filter(col("_bn") <= cap)
+          .drop("_bn")
+      case None => base0
+    }
+    val a = base.select(
+      (col("id").as("id_a") +: col("name").as("name_a") +:
+        blockCols.map(c => col(c))): _*)
+    val b = base.select(
+      (col("id").as("id_b") +: col("name").as("name_b") +:
+        blockCols.map(c => col(c))): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(
+        col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+  }
+}

@@ -95,6 +95,71 @@ object Graph {
     labels.unionByName(isolated)
   }
 
+  /** PageRank with INTEGER arithmetic — damping 0.85, fixed iteration
+    * count, every quantity a BIGINT in units of `scale` (= 1.0). Using
+    * floor division (`div`) for both the per-edge contribution
+    * (rank div outdeg) and the damping step keeps every intermediate
+    * exactly representable and ORDER-INDEPENDENT: integer sums commute,
+    * so any engine, any partitioning, any merge order produces the
+    * bit-identical rank vector — a float PageRank cannot be
+    * hash-compared across engines, an integer one can.
+    *
+    * Execution shape per iteration: one equi-join of the edge list with
+    * the current ranks on src (shuffle on node id), one groupBy(dst)
+    * aggregation, one left join back onto the node set — all
+    * key-partitioned, nothing proportional to |V|², lineage truncated
+    * per round exactly like [[connectedComponents]]. Dangling nodes
+    * (no out-edges) simply stop contributing — the standard
+    * simplification; callers who need mass conservation can add the
+    * dangling-sum redistribution as one extra 1-row aggregate.
+    *
+    * @param edges directed (srcCol, dstCol); duplicates collapsed
+    * @return (node, rank) — rank in units of `scale` after `iterations`
+    *         rounds from a uniform start of 1.0·scale per node
+    */
+  def pageRankInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = 15L * scale / 100L
+
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd
+    var ranks = nodes.withColumn("rank", lit(scale))
+    var prevCp: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("contrib"))
+      val updated = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(
+          col("node"),
+          expr(s"${base}L + (85 * coalesce(contrib, 0L)) div 100").as("rank"))
+        .localCheckpoint(true)
+      prevCp.foreach(p => backingRdd(p).foreach(_.unpersist(false)))
+      prevCp = Some(updated)
+      ranks = updated
+    }
+    backingRdd(e).foreach(_.unpersist(false))
+    // `nodes`' blocks stay persisted: the final ranks frame reads them.
+    ranks
+  }
+
   /** Canonical-document selection: one keeper per component, largest
     * `weightCol` first, ties broken by smallest id — the "keep the longest
     * document in each near-dup cluster" policy. */

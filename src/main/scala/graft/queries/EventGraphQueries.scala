@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, FuzzyJoin, Graph, Percentiles}
+
+/** Wave 7: event-analytics and graph operators over the driver testdata —
+  * the product-analytics surface (funnel, cohort retention, rolling
+  * active users, robust outliers) plus link analysis (integer PageRank),
+  * boilerplate-chunk removal (the remove-everywhere complement of d15's
+  * keep-first paragraph dedup) and blocked edit-distance fuzzy matching.
+  * Every entry has a full DuckDB oracle: float surfaces are either pure
+  * per-row IEEE arithmetic (identical op order both engines) or
+  * integerized (PageRank), so hashes compare exactly.
+  */
+object EventGraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "a23_funnel" -> ((s, d) => {
+      // Ordered conversion funnel view -> click -> purchase: a user
+      // advances a stage only with an event strictly AFTER their
+      // previous-stage entry time. Per-user stage times are min-aggs
+      // (one shuffle on user_id each, partial-agg'd); the stage frame is
+      // 3 rows; the denominator is a broadcast 1-row aggregate
+      // (whitelisted 1-row BNLJ, the scalar-subquery shape).
+      val e = Tables(s, d).events
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      def stage(df: DataFrame, n: Long, nm: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(n).as("stage"), lit(nm).as("stage_name"), col("users"))
+      val stages = stage(v, 1L, "view")
+        .unionByName(stage(c, 2L, "click"))
+        .unionByName(stage(p, 3L, "purchase"))
+      val first = v.agg(count(lit(1)).as("first_users"))
+      stages.crossJoin(broadcast(first))
+        .select(col("stage"), col("stage_name"), col("users"),
+          round(col("users").cast("double") / col("first_users"), 6).as("conv_vs_first"))
+    }),
+
+    "a24_cohort_retention" -> ((s, d) => {
+      // Classic cohort-retention triangle at day grain: cohort = date of
+      // a user's first event; each (cohort, day-offset) cell counts the
+      // distinct users of that cohort active that many days later. Two
+      // shuffles total: the per-user min (partial-agg'd) and the
+      // count-distinct cell reduce; the cohort frame joins back on
+      // user_id — an equi shuffle join, never a broadcast of the
+      // (unbounded) user set.
+      val e = Tables(s, d).events
+      val cohorts = e.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort_date"))
+      e.join(cohorts, Seq("user_id"))
+        .select(col("cohort_date"),
+          datediff(to_date(col("ts")), col("cohort_date")).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort_date", "day_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        // string dates: the a10 convention — parquet DATE and DuckDB DATE
+        // materialize as different pandas types in the hash compare
+        .withColumn("cohort_date", date_format(col("cohort_date"), "yyyy-MM-dd"))
+    }),
+
+    "a25_rolling_active_users" -> ((s, d) => {
+      // Trailing 7-day distinct users per day (the DAU/WAU-style rolling
+      // active card). COUNT(DISTINCT) cannot ride a window frame, and a
+      // day-grid range join would plan as a BNLJ — so each (day, user)
+      // pair is EXPANDED map-side to the <=7 window-end days it
+      // contributes to (bounded x7, the d15/IntervalJoin day-bucket
+      // idiom), then one count-distinct reduce per window day. Window
+      // ends are clamped to days that exist in the data via a semi join
+      // against the distinct-day frame (|days| rows, broadcast-small at
+      // any SF).
+      val e = Tables(s, d).events
+      val perDay = e.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = e.select(to_date(col("ts")).as("day")).distinct()
+      perDay
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("s"), col("d"))
+        .select(col("user_id"), date_add(col("d"), col("s")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("au_7d"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    }),
+
+    "a26_mad_outliers" -> ((s, d) => {
+      // Robust outlier card: median absolute deviation with the 1.4826
+      // normal-consistency factor (the robust-statistics complement of
+      // a11's z-score, which a single wild value can hide from by
+      // inflating sigma). Both medians run through the distributed exact
+      // selection (Percentiles.exactByRange — a15's plan), whose results
+      // are G-row local frames broadcast back; the flag itself is pure
+      // per-row IEEE arithmetic in the same op order as the oracle, so
+      // the card hashes exactly.
+      val e = Tables(s, d).events
+      val med = Percentiles.exactByRange(e, "event_type", "value", Seq("med" -> 0.5))
+      val withDev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = Percentiles.exactByRange(withDev, "event_type", "dev", Seq("mad" -> 0.5))
+      val thresh = lit(3.0) * lit(1.4826) * col("mad")
+      withDev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("dev") > thresh, 1L).otherwise(0L)).as("outliers"),
+          round(max(col("med")), 6).as("median"),
+          round(max(col("mad")), 6).as("mad"))
+        .withColumn("outlier_rate",
+          round(col("outliers").cast("double") / col("n"), 6))
+    }),
+
+    "d16_boilerplate" -> ((s, d) =>
+      // remove-everywhere boilerplate filter (vs d15's keep-first dedup)
+      Dedup.boilerplateChunkStats(Tables(s, d).documents, "doc_id", "text",
+        chunkLen = 16, minChunkTokens = 4, docFreqThreshold = 3)),
+
+    "d17_fuzzy_join" -> ((s, d) => {
+      // entity-resolution fuzzy match over part names: blocked on
+      // (name noun, p_size) so candidate generation is an equi join with
+      // small blocks; levenshtein <= 3 evaluated post-join (codegen'd
+      // builtin). maxBlock=1000 is the degenerate-block skew guard,
+      // mirrored in the oracle.
+      val p = Tables(s, d).part
+        .select(col("p_partkey"), col("p_name"),
+          element_at(split(col("p_name"), " "), 2).as("noun"), col("p_size"))
+      FuzzyJoin.blockedLevenshtein(p, "p_partkey", "p_name",
+        blockCols = Seq("noun", "p_size"), maxDist = 3, maxBlock = Some(1000))
+    }),
+
+    "g1_pagerank" -> ((s, d) => {
+      // link analysis over the customer<->supplier trade graph (distinct
+      // pairs from orders x lineitem, symmetrized; nodes integer-encoded
+      // by parity). Integer PageRank: every rank a BIGINT in 1e-9 units,
+      // floor-division damping — order-independent, hash-exact vs the
+      // oracle's unrolled 5-iteration replay.
+      val t = Tables(s, d)
+      val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      Graph.pageRankInt(edges, "src", "dst", iterations = 5, scale = 1000000000L)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+          col("rank"))
+    })
+  )
+
+  /** DuckDB replay of the 5 unrolled PageRank iterations — same integer
+    * arithmetic (`//` floor division == Spark `div` on positives), sums
+    * cast back from HUGEINT to BIGINT at every step. */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    CAST(150000000 + ((85 * COALESCE(s.contrib, 0)) // 100) AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank // g.outdeg) AS BIGINT) AS contrib
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON e.src = r.node
+         |    JOIN deg g ON e.src = g.src
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, p AS dst FROM pairs
+       |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+       |$iters
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  rank
+       |FROM r$iterations""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "a23_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, count(*) AS users FROM v
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p)
+        |SELECT stage, stage_name, users,
+        |  round(CAST(users AS DOUBLE) / (SELECT count(*) FROM v), 6) AS conv_vs_first
+        |FROM st""".stripMargin,
+    "a24_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(f.cohort_date AS VARCHAR) AS cohort_date,
+        |  CAST(datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "a25_rolling_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |expanded AS (
+        |  SELECT du.user_id, du.d + CAST(t.s AS INTEGER) AS day
+        |  FROM du, unnest(range(0, 7)) AS t(s))
+        |SELECT CAST(e.day AS VARCHAR) AS day, count(DISTINCT e.user_id) AS au_7d
+        |FROM expanded e JOIN days USING (day)
+        |GROUP BY 1""".stripMargin,
+    "a26_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.dev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * m.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+        |  round(max(d.med), 6) AS median,
+        |  round(max(m.mad), 6) AS mad,
+        |  round(CAST(sum(CASE WHEN d.dev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * m.mad
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_rate
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    "d16_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c0 AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS st FROM d),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(least(st + 16, len(w)) - st AS INTEGER) AS n_chunk_tokens,
+        |    md5(array_to_string(w[st + 1 : least(st + 16, len(w))], ' ')) AS fp
+        |  FROM c0),
+        |df AS (SELECT fp, count(DISTINCT doc_id) AS docfreq FROM c GROUP BY 1),
+        |f AS (SELECT c.doc_id, c.n_chunk_tokens,
+        |        (df.docfreq >= 3 AND c.n_chunk_tokens >= 4) AS removed
+        |      FROM c JOIN df USING (fp))
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS boilerplate_chunks,
+        |  CAST(sum(CASE WHEN removed THEN 0 ELSE n_chunk_tokens END) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(CASE WHEN removed THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS removed_tokens
+        |FROM f
+        |GROUP BY 1""".stripMargin,
+    "d17_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS noun, p_size
+        |  FROM part),
+        |ok AS (SELECT noun, p_size FROM p GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |pb AS (SELECT p.* FROM p JOIN ok USING (noun, p_size))
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM pb a JOIN pb b
+        |  ON a.noun = b.noun AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "g1_pagerank" -> pageRankOracleSql(5)
+  )
+}

@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSpecBase {
   // stats/query frame, a |sources|-grain table) — the standard
   // scalar-subquery / stats-join shape. Cost is |stream| x |bounded|.
   private val bnljBounded: Map[String, String] = Map(
+    "a23_funnel" -> "broadcast 1-row first-stage user count (scalar-subquery shape)",
     "d9_semantic_decontamination" -> "broadcast distinct-collapsed bench embedding set",
     "d13_corpus_overlap" -> "source-pair signature matrix, |sources|^2 rows",
     "d13b_corpus_overlap_fast" -> "source-pair signature matrix, |sources|^2 rows",

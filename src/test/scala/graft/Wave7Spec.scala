@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, FuzzyJoin, Graph}
+import graft.queries.EventGraphQueries
+
+/** Wave 7: event analytics (funnel, cohort, rolling actives, MAD),
+  * boilerplate removal, blocked fuzzy join, integer PageRank. */
+class Wave7Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- a23 funnel ---------------------------------------------------------
+
+  test("a23 funnel: stage counts are monotone non-increasing and view conv is 1.0") {
+    val out = EventGraphQueries.queries("a23_funnel")(spark, Sf0001)
+      .orderBy("stage").collect()
+    assert(out.length == 3)
+    val users = out.map(_.getAs[Long]("users"))
+    assert(users(0) >= users(1) && users(1) >= users(2))
+    assert(out(0).getAs[Double]("conv_vs_first") == 1.0)
+    assert(out.map(_.getAs[String]("stage_name")).toSeq == Seq("view", "click", "purchase"))
+  }
+
+  test("funnel ordering is strict: a click before the first view does not advance") {
+    val e = Seq(
+      (1L, "click", "2024-01-01 00:00:00"), // before the view — must not count
+      (1L, "view", "2024-01-01 01:00:00"),
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-01 02:00:00"),
+      (2L, "purchase", "2024-01-01 03:00:00")
+    ).toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val v = e.filter(col("event_type") === "view").groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    assert(v.count() == 2)
+    assert(c.count() == 1) // only user 2 clicked after viewing
+    assert(c.select("user_id").as[Long].head() == 2L)
+  }
+
+  // ---- a24 cohort retention ----------------------------------------------
+
+  test("a24 cohort: offset-0 actives sum to the distinct user count; offsets non-negative") {
+    val out = EventGraphQueries.queries("a24_cohort_retention")(spark, Sf0001).collect()
+    assert(out.forall(_.getAs[Long]("day_offset") >= 0L))
+    val day0 = out.filter(_.getAs[Long]("day_offset") == 0L).map(_.getAs[Long]("active_users")).sum
+    val users = graft.core.Tables(spark, Sf0001).events
+      .select(countDistinct("user_id")).as[Long].head()
+    // every user is active on their own cohort day by construction
+    assert(day0 == users)
+  }
+
+  // ---- a25 rolling active users ------------------------------------------
+
+  test("a25 rolling 7d actives: bounded below by daily actives, above by total users") {
+    val e = graft.core.Tables(spark, Sf0001).events
+    val daily = e.groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("dau"))
+    val out = EventGraphQueries.queries("a25_rolling_active_users")(spark, Sf0001)
+    val joined = out.join(daily, Seq("day")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getAs[Long]("au_7d") >= r.getAs[Long]("dau")))
+    val total = e.select(countDistinct("user_id")).as[Long].head()
+    assert(joined.forall(_.getAs[Long]("au_7d") <= total))
+    // one row per day present in the data, no phantom trailing days
+    assert(out.count() == daily.count())
+  }
+
+  // ---- a26 MAD outliers ---------------------------------------------------
+
+  test("a26 MAD: hand-computed medians on a fixture; robust to one wild value") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 1000.0)
+    ).toDF("event_type", "value")
+    val med = graft.operators.Percentiles
+      .exactByRange(df, "event_type", "value", Seq("med" -> 0.5))
+      .select("med").as[Double].head()
+    assert(med == 3.0) // median ignores the wild value
+    val dev = df.withColumn("dev", abs(col("value") - lit(med)))
+    val mad = graft.operators.Percentiles
+      .exactByRange(dev, "event_type", "dev", Seq("mad" -> 0.5))
+      .select("mad").as[Double].head()
+    assert(mad == 1.0) // |devs| = 2,1,0,1,997 -> median 1
+    // 1000 is the only point beyond 3 * 1.4826 * MAD of the median
+    val flagged = dev.filter(col("dev") > lit(3.0) * lit(1.4826) * lit(mad)).count()
+    assert(flagged == 1L)
+  }
+
+  test("a26 board entry emits one row per event_type with rate in [0,1]") {
+    val out = EventGraphQueries.queries("a26_mad_outliers")(spark, Sf0001).collect()
+    assert(out.length == 5)
+    assert(out.forall { r =>
+      val rate = r.getAs[Double]("outlier_rate"); rate >= 0.0 && rate <= 1.0
+    })
+    assert(out.forall(_.getAs[Long]("outliers") <= out.map(_.getAs[Long]("n")).max))
+  }
+
+  // ---- d16 boilerplate ----------------------------------------------------
+
+  test("d16 boilerplate removes shared chunks EVERYWHERE, unlike d15 keep-first") {
+    val shared = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared), (3L, shared), // df=3 -> boilerplate
+      (4L, (1 to 16).map(i => s"u$i").mkString(" ")) // unique chunk
+    ).toDF("doc_id", "text")
+    val bp = Dedup.boilerplateChunkStats(docs, "doc_id", "text", 16, 4, 3)
+      .orderBy("doc_id").collect()
+    // ALL THREE sharers lose the chunk — including doc 1, which d15 keeps
+    assert(bp.take(3).forall(_.getAs[Long]("boilerplate_chunks") == 1L))
+    assert(bp(3).getAs[Long]("boilerplate_chunks") == 0L)
+    val dd = Dedup.paragraphDedupStats(docs, "doc_id", "text", 16, 4)
+      .orderBy("doc_id").collect()
+    assert(dd(0).getAs[Long]("dropped_chunks") == 0L) // keep-first keeps doc 1
+    assert(dd(1).getAs[Long]("dropped_chunks") == 1L)
+  }
+
+  test("d16 respects the min-token floor and the df threshold") {
+    val tiny = "a b" // 2 tokens < minChunkTokens floor
+    val docs = Seq((1L, tiny), (2L, tiny), (3L, tiny), (4L, tiny)).toDF("doc_id", "text")
+    val out = Dedup.boilerplateChunkStats(docs, "doc_id", "text", 16, 4, 3).collect()
+    assert(out.forall(_.getAs[Long]("boilerplate_chunks") == 0L)) // floor protects
+    val pair = Seq((1L, (1 to 16).map("x" + _).mkString(" ")),
+      (2L, (1 to 16).map("x" + _).mkString(" "))).toDF("doc_id", "text")
+    val out2 = Dedup.boilerplateChunkStats(pair, "doc_id", "text", 16, 4, 3).collect()
+    assert(out2.forall(_.getAs[Long]("boilerplate_chunks") == 0L)) // df=2 < threshold 3
+  }
+
+  test("d16 token conservation: kept + removed == total tokens per doc") {
+    val out = EventGraphQueries.queries("d16_boilerplate")(spark, Sf0001)
+    val docs = graft.core.Tables(spark, Sf0001).documents
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+    val bad = out.join(docs, Seq("doc_id"))
+      .filter(col("kept_tokens") + col("removed_tokens") =!= col("n_tok"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  // ---- d17 fuzzy join -----------------------------------------------------
+
+  test("d17 blocked levenshtein: exact distances, ordered pairs, block cap honored") {
+    val df = Seq(
+      (1L, "red widget", "widget", 5),
+      (2L, "ted widget", "widget", 5), // dist 1 from red widget
+      (3L, "rad widget", "widget", 5), // dist 1 from red widget, 2 from ted
+      (4L, "red widget", "widget", 9), // different block (size)
+      (5L, "red gear", "gear", 5) // different block (noun)
+    ).toDF("id", "name", "noun", "sz")
+    val out = FuzzyJoin.blockedLevenshtein(df, "id", "name",
+      Seq("noun", "sz"), maxDist = 3, maxBlock = Some(1000))
+      .orderBy("id_a", "id_b").collect()
+    val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("dist")))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
+    // cap: shrink maxBlock below the block size -> block dropped whole
+    val capped = FuzzyJoin.blockedLevenshtein(df, "id", "name",
+      Seq("noun", "sz"), maxDist = 3, maxBlock = Some(2))
+    assert(capped.count() == 0L)
+  }
+
+  test("d17 board entry: symmetric-free (a<b), within-threshold, nonzero at sf0.001") {
+    val out = EventGraphQueries.queries("d17_fuzzy_join")(spark, Sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(rows.forall(_.getAs[Long]("dist") <= 3L))
+  }
+
+  // ---- g1 PageRank --------------------------------------------------------
+
+  test("pageRankInt fixed point: a symmetric 2-cycle keeps rank exactly at scale") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRankInt(edges, "src", "dst", iterations = 5).collect()
+    assert(out.length == 2)
+    // r' = 0.15 + 0.85 * r with outdeg 1 -> fixed point 1.0 (integer-exact)
+    assert(out.forall(_.getAs[Long]("rank") == 1000000000L))
+  }
+
+  test("pageRankInt: star hub outranks leaves; ranks bounded below by the base") {
+    // leaves 2..5 all point at hub 1; hub points back at leaf 2
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L)).toDF("src", "dst")
+    val ranks = Graph.pageRankInt(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    assert(ranks(1L) > ranks(3L) && ranks(1L) > ranks(4L))
+    assert(ranks(2L) > ranks(3L)) // leaf 2 receives the hub's mass
+    assert(ranks.values.forall(_ >= 150000000L))
+  }
+
+  test("pageRankInt is deterministic across runs and partitionings") {
+    val t = graft.core.Tables(spark, Sf0001)
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+    val a = Graph.pageRankInt(edges, "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.pageRankInt(edges.repartition(17), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
