@@ -93,6 +93,28 @@ object EventGraphQueries {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     }),
 
+    "a25b_rolling_actives_hll" -> ((s, d) => {
+      // a25's rolling distinct via MERGEABLE DataSketches HLL — the true
+      // 100 TB shape: the exact path must re-count each 7-day window from
+      // the raw (day, user) pairs, while sketches reduce the corpus ONCE
+      // to |days| fixed-size (lgK=12 ≈ 1.6% err) sketch rows, and the
+      // window union runs over |days|×7 rows — a different complexity
+      // class when users/day is huge. Rows-only by design (sketch
+      // estimate is engine-specific); a25 is the exact hash-green twin
+      // and Wave7Spec bounds the relative error.
+      val e = Tables(s, d).events
+      val perDay = e.groupBy(to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val days = e.select(to_date(col("ts")).as("day")).distinct()
+      perDay
+        .select(col("sk"), explode(sequence(lit(0), lit(6))).as("s"), col("d"))
+        .select(col("sk"), date_add(col("d"), col("s")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("au_7d_est"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    }),
+
     "a26_mad_outliers" -> ((s, d) => {
       // Robust outlier card: median absolute deviation with the 1.4826
       // normal-consistency factor (the robust-statistics complement of

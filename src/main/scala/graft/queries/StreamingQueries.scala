@@ -57,7 +57,13 @@ object StreamingQueries {
       // histogram, per-window binned counts (nBins counters per
       // (window, type) — bounded state at any rate), finalized windows
       // scored with the identical ε-smoothed PSI; FULL oracle
-      StreamingJobs.streamingDriftPsi(s, d))
+      StreamingJobs.streamingDriftPsi(s, d)),
+    "st19_stream_funnel" -> ((s, d) =>
+      // a23's ordered conversion funnel at ingest time: O(1) per-user
+      // stage state (three timestamps), strictly-after advancement,
+      // per-user eof sentinel emits the final stage record inside the
+      // stream; identical output card -> reuses a23's FULL oracle
+      StreamingJobs.streamingFunnel(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -173,6 +179,9 @@ object StreamingQueries {
         |        * ln((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5)) / (CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5)))), 6) AS psi,
         |  round(sum((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5) - CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5))
         |        * ln((CAST(ca + 0.5 AS DOUBLE) / (ta + 2.5)) / (CAST(cb + 0.5 AS DOUBLE) / (tb + 2.5)))), 6) > 0.2 AS is_drift
-        |FROM p GROUP BY 1, 2""".stripMargin
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    // stream == batch: the stateful fold reproduces a23's strictly-after
+    // min-timestamp semantics exactly, so the batch oracle replays it
+    "st19_stream_funnel" -> EventGraphQueries.oracle("a23_funnel")
   )
 }

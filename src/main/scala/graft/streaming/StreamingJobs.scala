@@ -821,4 +821,80 @@ object StreamingJobs {
     }
     spark.table(name).withColumn("n_events", col("n_events").cast("long"))
   }
+
+  /** ST19: a23's ordered conversion funnel computed at ingest time with
+    * arbitrary stateful streaming. Per-user state is THREE timestamps
+    * (first view, first qualifying click, first qualifying purchase —
+    * -1 = unset), folded in event-time order: a click advances the user
+    * only if strictly after the first view, a purchase only if strictly
+    * after that click — byte-for-byte a23's strictly-after semantics, so
+    * the st19 board entry reuses a23's FULL DuckDB oracle. The staged
+    * input carries one far-future `eof` sentinel per user (the st13
+    * device): the sentinel sorts last in the per-user per-batch fold and
+    * triggers emission of the user's final reached-stage record inside
+    * the stream — no driver-side state peeking. The memory-sink stage
+    * records then reduce to the 3-row funnel card with a 1-row
+    * denominator (scalar-subquery shape).
+    *
+    * Scale posture: O(1) state per user (three longs), stage records are
+    * |users| rows, the final card is one bounded aggregate. */
+  def streamingFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = graft.core.Tables(spark, sfDir).events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val staged = s"/tmp/graft_st19_input_${counter.incrementAndGet()}"
+    ev.unionByName(
+        ev.select("user_id").distinct()
+          .withColumn("event_type", lit("eof"))
+          .withColumn("ts_us", lit(Long.MaxValue)))
+      .write.mode("overwrite").parquet(staged)
+
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+      .select(col("user_id").as[Long], col("event_type").as[String], col("ts_us").as[Long])
+      .as[(Long, String, Long)]
+
+    // state: (t_view, t_click, t_purchase) micros, -1 = unset
+    def fn(user: Long, rows: Iterator[(Long, String, Long)],
+        state: GroupState[(Long, Long, Long)]): Iterator[(Long, Int)] = {
+      val sorted = rows.toSeq.sortBy(_._3)
+      var (v, c, p) = state.getOption.getOrElse((-1L, -1L, -1L))
+      var emit = false
+      sorted.foreach { case (_, et, t) =>
+        et match {
+          case "view" if v < 0 => v = t
+          case "click" if v >= 0 && c < 0 && t > v => c = t
+          case "purchase" if c >= 0 && p < 0 && t > c => p = t
+          case "eof" => emit = true
+          case _ => ()
+        }
+      }
+      state.update((v, c, p))
+      if (emit && v >= 0) Iterator((user, if (p >= 0) 3 else if (c >= 0) 2 else 1))
+      else Iterator.empty
+    }
+
+    val reached = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "stage_reached")
+    val name = s"funnel_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = reached.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val agg = spark.table(name).agg(
+      sum(when(col("stage_reached") >= 1, 1L).otherwise(0L)).as("u1"),
+      sum(when(col("stage_reached") >= 2, 1L).otherwise(0L)).as("u2"),
+      sum(when(col("stage_reached") >= 3, 1L).otherwise(0L)).as("u3"))
+    def stage(n: Long, nm: String, cnt: String) =
+      agg.select(lit(n).as("stage"), lit(nm).as("stage_name"), col(cnt).as("users"),
+        round(col(cnt).cast("double") / col("u1"), 6).as("conv_vs_first"))
+    stage(1L, "view", "u1")
+      .unionByName(stage(2L, "click", "u2"))
+      .unionByName(stage(3L, "purchase", "u3"))
+  }
 }

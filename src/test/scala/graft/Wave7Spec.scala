@@ -69,6 +69,20 @@ class Wave7Spec extends SparkSpecBase {
     assert(out.count() == daily.count())
   }
 
+  test("a25b HLL rolling actives tracks the exact twin within sketch error") {
+    val exact = EventGraphQueries.queries("a25_rolling_active_users")(spark, Sf0001)
+    val approx = EventGraphQueries.queries("a25b_rolling_actives_hll")(spark, Sf0001)
+    val joined = exact.join(approx, Seq("day")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val ex = r.getAs[Long]("au_7d").toDouble
+      val est = r.getAs[Long]("au_7d_est").toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"day ${r.getAs[String]("day")}: est $est vs exact $ex") // lgK=12 ~1.6% typical
+    }
+    assert(exact.count() == approx.count())
+  }
+
   // ---- a26 MAD outliers ---------------------------------------------------
 
   test("a26 MAD: hand-computed medians on a fixture; robust to one wild value") {
@@ -165,6 +179,16 @@ class Wave7Spec extends SparkSpecBase {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
     assert(rows.forall(_.getAs[Long]("dist") <= 3L))
+  }
+
+  // ---- st19 streaming funnel ---------------------------------------------
+
+  test("st19 streaming funnel card equals the a23 batch card (stream == batch)") {
+    val batch = EventGraphQueries.queries("a23_funnel")(spark, Sf0001)
+      .orderBy("stage").collect().map(_.toSeq).toSeq
+    val stream = graft.queries.StreamingQueries.queries("st19_stream_funnel")(spark, Sf0001)
+      .orderBy("stage").collect().map(_.toSeq).toSeq
+    assert(stream == batch)
   }
 
   // ---- g1 PageRank --------------------------------------------------------
