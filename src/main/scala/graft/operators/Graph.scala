@@ -135,9 +135,15 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val base = 15L * scale / 100L
 
-    import org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd
+    // Unlike connectedComponents (unbounded rounds, convergence check per
+    // round), the iteration count here is FIXED and small, so the rounds
+    // compose into ONE lazy plan with no per-round materialization
+    // barrier: the only checkpoints are the shared edge/node frames above,
+    // and Catalyst plans all `iterations` shuffle rounds in a single job.
+    // For large iteration counts (>~10) a periodic checkpoint would bound
+    // plan growth; at the analytic 5-20 range this is measurably faster
+    // (no 5x blocking materialization of the |V|-row rank frame).
     var ranks = nodes.withColumn("rank", lit(scale))
-    var prevCp: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks, e("src") === ranks("node"))
@@ -145,18 +151,14 @@ object Graph {
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("contrib"))
-      val updated = nodes
+      ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(
           col("node"),
           expr(s"${base}L + (85 * coalesce(contrib, 0L)) div 100").as("rank"))
-        .localCheckpoint(true)
-      prevCp.foreach(p => backingRdd(p).foreach(_.unpersist(false)))
-      prevCp = Some(updated)
-      ranks = updated
     }
-    backingRdd(e).foreach(_.unpersist(false))
-    // `nodes`' blocks stay persisted: the final ranks frame reads them.
+    // e/nodes checkpoint blocks MUST stay persisted: the returned lazy plan
+    // re-reads both on every action (they are the loop's shared inputs).
     ranks
   }
 
