@@ -349,6 +349,28 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("events_in_session"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
     }),
+    "x15_purged_time_split" -> ((s, d) => {
+      // Leakage-safe TEMPORAL split with an embargo gap (the backtesting
+      // complement of x9's cluster-based split): train = strictly before
+      // the boundary, an embargo band is EXCLUDED entirely so windowed
+      // features computed at train time can't peek across the boundary,
+      // test = after the embargo. Pure map-side assignment + one card
+      // reduce; the boundary is a fixed literal (injected-clock
+      // convention), so the split is reproducible anywhere.
+      val trainEnd = lit("2024-01-20 00:00:00").cast("timestamp")
+      val testStart = lit("2024-01-22 00:00:00").cast("timestamp") // 2-day embargo
+      val e = Tables(s, d).events
+        .withColumn("split",
+          when(col("ts") < trainEnd, "train")
+            .when(col("ts") >= testStart, "test")
+            .otherwise("embargo"))
+      e.groupBy("split")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("first_day"),
+          date_format(max(to_date(col("ts"))), "yyyy-MM-dd").as("last_day"))
+    }),
     "a16_histogram" -> ((s, d) => {
       // fixed-width binning (pd.cut parity, ml_assets.py:387-391) as pure
       // arithmetic — no Bucketizer, so it runs inside codegen
@@ -647,6 +669,15 @@ object AdvancedQueries {
         |count(*) AS events_in_session,
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM g GROUP BY 1, 2""".stripMargin,
+    "x15_purged_time_split" ->
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |            WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+        |            ELSE 'embargo' END AS split,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(min(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
+        |  CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS last_day
+        |FROM events GROUP BY 1""".stripMargin,
     "a16_histogram" ->
       """SELECT CAST(least(floor(l_quantity / 10.0), 4) AS BIGINT) AS qty_bin,
         |count(*) AS cnt FROM lineitem GROUP BY 1""".stripMargin,

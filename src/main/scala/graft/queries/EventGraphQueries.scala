@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, FuzzyJoin, Graph, Percentiles}
+import graft.operators.{AsOfJoin, Dedup, FuzzyJoin, Graph, Percentiles}
 
 /** Wave 7: event-analytics and graph operators over the driver testdata —
   * the product-analytics surface (funnel, cohort retention, rolling
@@ -141,6 +141,30 @@ object EventGraphQueries {
           round(col("outliers").cast("double") / col("n"), 6))
     }),
 
+    "a27_attribution" -> ((s, d) => {
+      // Last-touch attribution: each purchase is credited to the user's
+      // most recent click at-or-before it — the marketing-analytics
+      // application of the as-of join. Reuses AsOfJoin.asOfLeft's
+      // union + carry-forward shape: ONE shuffle on user_id, no range
+      // join, no per-row scans; ties at identical click timestamps
+      // resolve to the max click id (asOfLeft's max-struct reduction),
+      // replayed identically in the oracle's ORDER BY.
+      val e = Tables(s, d).events
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+      AsOfJoin.asOfLeft(purchases, clicks, "user_id", "ts_us",
+          payloadCols = Seq("click_id", "click_ts_us"), prefix = "")
+        .select(col("user_id"), col("purchase_id"),
+          col("ts_us").as("purchase_ts_us"),
+          col("click_id"), col("click_ts_us"),
+          (col("ts_us") - col("click_ts_us")).as("latency_us"))
+    }),
+
     "d16_boilerplate" -> ((s, d) =>
       // remove-everywhere boilerplate filter (vs d15's keep-first dedup)
       Dedup.boilerplateChunkStats(Tables(s, d).documents, "doc_id", "text",
@@ -270,6 +294,24 @@ object EventGraphQueries {
         |                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_rate
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1""".stripMargin,
+    "a27_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS purchase_ts_us, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, p.purchase_id, p.purchase_ts_us, c.cid, c.cts,
+        |    row_number() OVER (
+        |      PARTITION BY p.user_id, p.purchase_id
+        |      ORDER BY c.cts DESC, c.cid DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.cts <= p.purchase_ts_us)
+        |SELECT user_id, purchase_id, purchase_ts_us,
+        |  cid AS click_id, cts AS click_ts_us,
+        |  purchase_ts_us - cts AS latency_us
+        |FROM j WHERE rn = 1""".stripMargin,
     "d16_boilerplate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c0 AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS st FROM d),

@@ -112,6 +112,52 @@ class Wave7Spec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("outliers") <= out.map(_.getAs[Long]("n")).max))
   }
 
+  // ---- a27 last-touch attribution ----------------------------------------
+
+  test("a27 attribution: inclusive as-of, latest click wins, unattributed stay null") {
+    val e = Seq(
+      (1L, "click", 10L, 100L), // user 1: click at t=1.0s
+      (1L, "click", 11L, 2000000L), // later click at t=2.0s
+      (1L, "purchase", 12L, 2000000L), // purchase at SAME instant — inclusive
+      (2L, "purchase", 20L, 500L) // user 2: no click at all
+    ).toDF("user_id", "event_type", "event_id", "ts_us")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+    val out = graft.operators.AsOfJoin.asOfLeft(purchases, clicks, "user_id", "ts_us",
+        Seq("click_id", "click_ts_us"), prefix = "")
+      .orderBy("purchase_id").collect()
+    assert(out(0).getAs[Long]("click_id") == 11L) // the equal-instant click, not the earlier one
+    assert(out(1).isNullAt(out(1).fieldIndex("click_id"))) // user 2 unattributed
+  }
+
+  test("a27 board entry: latency non-negative, every purchase appears exactly once") {
+    val out = EventGraphQueries.queries("a27_attribution")(spark, Sf0001)
+    val rows = out.collect()
+    val purchases = graft.core.Tables(spark, Sf0001).events
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong == purchases)
+    assert(rows.filter(!_.isNullAt(5)).forall(_.getAs[Long]("latency_us") >= 0L))
+  }
+
+  // ---- x15 purged temporal split -----------------------------------------
+
+  test("x15 purged split: train strictly precedes the embargo, test strictly follows it") {
+    val out = graft.queries.AdvancedQueries.queries("x15_purged_time_split")(spark, Sf0001)
+      .collect().map(r => r.getAs[String]("split") -> r).toMap
+    assert(out.contains("train") && out.contains("test"))
+    assert(out("train").getAs[String]("last_day") < "2024-01-20")
+    assert(out("test").getAs[String]("first_day") >= "2024-01-22")
+    out.get("embargo").foreach { r =>
+      assert(r.getAs[String]("first_day") >= "2024-01-20")
+      assert(r.getAs[String]("last_day") < "2024-01-22")
+    }
+    val total = out.values.map(_.getAs[Long]("n_events")).sum
+    assert(total == graft.core.Tables(spark, Sf0001).events.count())
+  }
+
   // ---- d16 boilerplate ----------------------------------------------------
 
   test("d16 boilerplate removes shared chunks EVERYWHERE, unlike d15 keep-first") {
