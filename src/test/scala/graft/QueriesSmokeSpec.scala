@@ -27,6 +27,29 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
   }
 
+  test("rows-only entries are exactly the documented sketch/seeded set") {
+    // every board entry must carry a DuckDB oracle EXCEPT the documented
+    // sketch/seeded-hash set (COVERAGE.md rows-only table — each has a
+    // hash-green twin or ground-truth spec) and the trained-ANN entries
+    // whose oracles are captured AFTER their models train (DedupQueries /
+    // TextQueries inline-the-model pattern). An oracle silently going
+    // missing from any other entry fails here instead of surfacing as a
+    // driver-side rows-only downgrade next round.
+    val documented = Set(
+      "a5b_approx_distinct", "a25b_rolling_actives_hll", "d2_minhash_lsh",
+      "d3_simhash", "d13b_corpus_overlap_fast", "t5_rolling_fingerprint",
+      "t13_bpe_learned", "t14_compression_ratio",
+      "st17_stream_latency_quantiles", "x1_hash_split",
+      "x7b_quantile_shards_approx")
+    val trainedCaptured = Set(
+      "s3_ann_ivf", "s4_ann_pq", "s5_ann_ivfpq",
+      "t13b_bpe_encode_sample", "x6b_trained_ann_recall")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert((missing -- trainedCaptured) == documented,
+      s"undocumented rows-only entries: ${(missing -- trainedCaptured) -- documented}; " +
+        s"documented-but-now-oracled (update the doc set): ${documented -- missing}")
+  }
+
   test("flagship entry returns enriched rows") {
     assert(SparkEntry.entry(spark).count() == 25) // 25 nations
   }

@@ -227,6 +227,34 @@ class Wave7Spec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Long]("dist") <= 3L))
   }
 
+  // ---- dirt tolerance (null user / type / ts in the event family) --------
+
+  test("event operators tolerate null user_id/event_type/ts rows without crashing") {
+    val clean = Seq(
+      (java.lang.Long.valueOf(1L), "view", "2024-01-01 01:00:00"),
+      (java.lang.Long.valueOf(1L), "click", "2024-01-01 02:00:00"),
+      (java.lang.Long.valueOf(1L), "purchase", "2024-01-01 03:00:00"))
+    val dirty = Seq(
+      (null.asInstanceOf[java.lang.Long], "view", "2024-01-01 01:00:00"), // null user
+      (java.lang.Long.valueOf(2L), null, "2024-01-01 01:00:00"), // null type
+      (java.lang.Long.valueOf(3L), "view", null)) // null ts
+    val e = (clean ++ dirty).toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    // funnel shape: null-type rows never match a stage filter; null-ts
+    // views are skipped by min(ts); nothing throws
+    val v = e.filter(col("event_type") === "view").groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    assert(c.count() == 1) // only the clean user converts
+    // cohort shape: null ts yields a null cohort date, null user its own group
+    val cohorts = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_date"))
+    assert(cohorts.count() == 4) // users 1,2,3 and the null group
+    // sessionize via the board x2 window shape: no NPE on null ts ordering
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+    assert(e.withColumn("prev", lag("ts", 1).over(w)).count() == 6)
+  }
+
   // ---- st19 streaming funnel ---------------------------------------------
 
   test("st19 streaming funnel card equals the a23 batch card (stream == batch)") {
