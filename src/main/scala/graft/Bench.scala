@@ -42,6 +42,10 @@ object Bench {
     // loaders, letting the sweeper reclaim whole nmethod regions instead of
     // evicting live ones. Session startup is untimed.
     val blockSize = sys.env.get("SPARK_GRAFT_BENCH_BLOCK").flatMap(_.toIntOption).getOrElse(40)
+    // cold mode keeps the historical single timed pass (its point is the
+    // one-shot cost); steady-state defaults to min-of-two (see below)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
+      .getOrElse(if (cold) 1 else 2)
     val results = ordered.grouped(blockSize).toSeq.flatMap { block =>
       val spark = graft.core.SparkSessionFactory.local("graft-bench")
       if (!cold) {
@@ -71,10 +75,21 @@ object Bench {
           try { force(fn(spark, sfDir)): Unit } catch { case _: Throwable => () }
         }
       }
+      // Two timed passes, per-query MIN: this host shows bursty hypervisor
+      // steal that inflates a rotating victim 5-20x per pass (BASELINE.md
+      // wave-7 note: three same-day full runs spanned 155-208 s with
+      // different victims each time). A single pass makes the artifact
+      // hostage to whichever queries the burst lands on; min-of-two is the
+      // standard noisy-host estimator of the query's true steady-state
+      // cost and is recorded as such ("passes":2) in the artifact.
+      // SPARK_GRAFT_BENCH_PASSES overrides (1 restores the old behavior).
       val timed = block.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val best = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> best
       }
       spark.stop()
       SparkSession.clearActiveSession()
@@ -96,7 +111,7 @@ object Bench {
       if (twins) "[]"
       else twinEntries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val env = s""""sf":"$sfDir","cores":$cores,"load_avg_1m":$load,"cold":$cold,""" +
-      s""""recycle_every":$blockSize,"twins_excluded":$excluded"""
+      s""""recycle_every":$blockSize,"passes":$passes,"twins_excluded":$excluded"""
     // full per-query record first (for the build log / BASELINE.md), then a
     // compact summary as the LAST line: the driver's artifact keeps a
     // bounded tail of stdout, and the ~4 KB full line overflows it (round-3
