@@ -63,7 +63,12 @@ object StreamingQueries {
       // stage state (three timestamps), strictly-after advancement,
       // per-user eof sentinel emits the final stage record inside the
       // stream; identical output card -> reuses a23's FULL oracle
-      StreamingJobs.streamingFunnel(s, d))
+      StreamingJobs.streamingFunnel(s, d)),
+    "st20_stream_attribution" -> ((s, d) =>
+      // a27's last-touch attribution at ingest: one (click_id, ts) pair
+      // of state per user, purchases emit their attribution row on
+      // arrival (decidable immediately — no sentinel/flush needed)
+      StreamingJobs.streamingAttribution(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -182,6 +187,9 @@ object StreamingQueries {
         |FROM p GROUP BY 1, 2""".stripMargin,
     // stream == batch: the stateful fold reproduces a23's strictly-after
     // min-timestamp semantics exactly, so the batch oracle replays it
-    "st19_stream_funnel" -> EventGraphQueries.oracle("a23_funnel")
+    "st19_stream_funnel" -> EventGraphQueries.oracle("a23_funnel"),
+    // stream == batch: the O(1)-state fold reproduces a27's inclusive
+    // as-of + max-id tie rule exactly, so the batch oracle replays it
+    "st20_stream_attribution" -> EventGraphQueries.oracle("a27_attribution")
   )
 }

@@ -897,4 +897,68 @@ object StreamingJobs {
       .unionByName(stage(2L, "click", "u2"))
       .unionByName(stage(3L, "purchase", "u3"))
   }
+
+  /** ST20: a27's last-touch attribution at ingest time. Per-user state is
+    * ONE (click_id, click_ts) pair — the newest click seen so far — and a
+    * purchase emits its attribution row the moment it arrives: no
+    * sentinel, no end-of-stream flush, because attribution is decidable
+    * at purchase time (only clicks at-or-before it are eligible and all
+    * of them precede it in event-time order). The per-batch fold sorts by
+    * (ts, click-before-purchase, id): equal-instant clicks attribute
+    * (a27's inclusive as-of) and same-timestamp click ties resolve to
+    * the max click id (a27's max-struct reduction) because later updates
+    * overwrite. Output card == a27's, so st20 reuses its FULL oracle. */
+  def streamingAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = graft.core.Tables(spark, sfDir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val staged = s"/tmp/graft_st20_input_${counter.incrementAndGet()}"
+    ev.write.mode("overwrite").parquet(staged)
+
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("event_id").as[Long], col("ts_us").as[Long])
+      .as[(Long, String, Long, Long)]
+
+    // state: (click_id, click_ts_us), -1 = none yet
+    // output: (user_id, purchase_id, purchase_ts_us, click_id?, click_ts_us?)
+    def fn(user: Long, rows: Iterator[(Long, String, Long, Long)],
+        state: GroupState[(Long, Long)]):
+        Iterator[(Long, Long, Long, Option[Long], Option[Long])] = {
+      val sorted = rows.toSeq.sortBy { case (_, et, id, t) =>
+        (t, if (et == "click") 0 else 1, id)
+      }
+      var (cid, cts) = state.getOption.getOrElse((-1L, -1L))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Option[Long], Option[Long])]
+      sorted.foreach {
+        case (_, "click", id, t) => cid = id; cts = t
+        case (_, _, id, t) =>
+          out += ((user, id, t,
+            if (cid >= 0) Some(cid) else None,
+            if (cid >= 0) Some(cts) else None))
+      }
+      state.update((cid, cts))
+      out.iterator
+    }
+
+    val attributed = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "purchase_id", "purchase_ts_us", "click_id", "click_ts_us")
+    val name = s"attribution_${counter.incrementAndGet()}"
+    withScopedShufflePartitions(spark, 8) {
+      val q = attributed.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts_us"),
+        col("click_id"), col("click_ts_us"),
+        (col("purchase_ts_us") - col("click_ts_us")).as("latency_us"))
+  }
 }

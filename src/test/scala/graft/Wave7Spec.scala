@@ -265,6 +265,15 @@ class Wave7Spec extends SparkSpecBase {
     assert(stream == batch)
   }
 
+  test("st20 streaming attribution equals the a27 batch card (stream == batch)") {
+    val batch = EventGraphQueries.queries("a27_attribution")(spark, Sf0001)
+      .orderBy("purchase_id").collect().map(_.toSeq).toSeq
+    val stream = graft.queries.StreamingQueries.queries("st20_stream_attribution")(spark, Sf0001)
+      .orderBy("purchase_id").collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   // ---- g1 PageRank --------------------------------------------------------
 
   test("pageRankInt fixed point: a symmetric 2-cycle keeps rank exactly at scale") {
