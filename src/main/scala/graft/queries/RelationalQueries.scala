@@ -323,6 +323,33 @@ object RelationalQueries {
         .latestByKey(Tables(s, d).events, Seq("user_id", "event_type"), "event_id", "event_id")
         .select("user_id", "event_type", "event_id", "value")
     }),
+    "u11_incremental_rollup" -> ((s, d) => {
+      // REFRESH ASYNC materialized-view semantics (the reference's
+      // create_starrocks_materialized_view macro) as explicit state
+      // maintenance: the pre-cutoff history is a STORED partial
+      // aggregate, the post-cutoff days arrive as a new partition whose
+      // partial folds in via IncrementalRollup.merge — and the merged
+      // state is byte-identical to the full recompute the oracle runs
+      // (exact decimal sums make partial+merge order-independent).
+      // Steady-state refresh cost = one delta scan + a |groups|-row
+      // merge, never the accumulated history.
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val e = Tables(s, d).events
+        .select(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("value"), col("ts"))
+      val keys = Seq("event_type", "day")
+      val specs: graft.operators.IncrementalRollup.Spec =
+        Seq(("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max"))
+      val stored = graft.operators.IncrementalRollup.partial(
+        e.filter(col("ts") < cutoff), keys, specs)
+      val delta = graft.operators.IncrementalRollup.partial(
+        e.filter(col("ts") >= cutoff), keys, specs)
+      graft.operators.IncrementalRollup.merge(Seq(stored, delta), keys, specs)
+        .select(col("event_type"), col("day"), col("n"),
+          col("value_sum").cast("double").as("value_sum"),
+          col("value_min"), col("value_max"))
+    }),
     "u10_snapshot_diff" -> ((s, d) => {
       // snapshot diff: the event log's first and second halves (split at
       // the median event_id) materialized as two keep-latest-per-user
@@ -589,6 +616,14 @@ object RelationalQueries {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY event_id DESC, event_id ASC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    "u11_incremental_rollup" ->
+      """SELECT event_type,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+        |  min(value) AS value_min,
+        |  max(value) AS value_max
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "u10_snapshot_diff" ->
       """WITH mx AS (SELECT max(event_id) AS mx FROM events),
         |t AS (SELECT user_id, event_id, value, event_id <= mx / 2 AS is_v1 FROM events, mx),

@@ -227,6 +227,45 @@ class Wave7Spec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Long]("dist") <= 3L))
   }
 
+  // ---- u11 incremental rollup maintenance --------------------------------
+
+  test("u11 merge of partial states equals the full recompute, at any split") {
+    import graft.operators.IncrementalRollup
+    val e = graft.core.Tables(spark, Sf0001).events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"), col("event_id"))
+    val keys = Seq("event_type", "day")
+    val specs: IncrementalRollup.Spec =
+      Seq(("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max"))
+    val full = IncrementalRollup.partial(e, keys, specs)
+      .orderBy("event_type", "day").collect().map(_.toSeq).toSeq
+    // 2-way split on an arbitrary non-temporal predicate
+    val two = IncrementalRollup.merge(Seq(
+        IncrementalRollup.partial(e.filter(col("event_id") % 2 === 0), keys, specs),
+        IncrementalRollup.partial(e.filter(col("event_id") % 2 =!= 0), keys, specs)),
+      keys, specs).orderBy("event_type", "day").collect().map(_.toSeq).toSeq
+    // hierarchical: merge of merges (3-way, then fold)
+    val parts = (0 to 2).map(i =>
+      IncrementalRollup.partial(e.filter(col("event_id") % 3 === i), keys, specs))
+    val folded = IncrementalRollup.merge(
+      Seq(IncrementalRollup.merge(parts.take(2), keys, specs), parts(2)), keys, specs)
+      .orderBy("event_type", "day").collect().map(_.toSeq).toSeq
+    // decimal sums make these EXACT equalities, not approximate ones
+    def noDec(rows: Seq[Seq[Any]]) = rows.map(_.map {
+      case d: java.math.BigDecimal => d.stripTrailingZeros
+      case x => x
+    })
+    assert(noDec(two) == noDec(full))
+    assert(noDec(folded) == noDec(full))
+  }
+
+  test("u11 rejects non-algebraic aggregate kinds") {
+    import graft.operators.IncrementalRollup
+    val e = graft.core.Tables(spark, Sf0001).events
+    intercept[IllegalArgumentException] {
+      IncrementalRollup.partial(e, Seq("event_type"), Seq(("value", "median")))
+    }
+  }
+
   // ---- dirt tolerance (null user / type / ts in the event family) --------
 
   test("event operators tolerate null user_id/event_type/ts rows without crashing") {
