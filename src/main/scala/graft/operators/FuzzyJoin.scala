@@ -56,11 +56,17 @@ object FuzzyJoin {
     val b = base.select(
       (col("id").as("id_b") +: col("name").as("name_b") +:
         blockCols.map(c => col(c))): _*)
+    // banded Ukkonen distance (plans/EditDistanceExpressions): exact for
+    // every surviving pair (value == builtin levenshtein when <= maxDist)
+    // but O(k·len) with length-gap and dead-band short-circuits on the
+    // dominant non-matching pairs, and codegen'd like the builtin
+    val dist = graft.plans.LevenshteinWithin
+      .levenshtein_within(col("name_a"), col("name_b"), maxDist)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .filter(dist <= maxDist)
       .select(
         col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        dist.cast("long").as("dist"))
   }
 }
