@@ -165,6 +165,32 @@ object EventGraphQueries {
           (col("ts_us") - col("click_ts_us")).as("latency_us"))
     }),
 
+    "a28_forecast_backtest" -> ((s, d) => {
+      // Seasonal-naive forecast backtest — the baseline every capacity
+      // plan / anomaly detector is judged against: predict each day's
+      // event count with the count 7 days earlier, score MAE/MAPE per
+      // event type over the days that HAVE a 7-day-old ancestor. The
+      // prediction joins c(day) with c(day-7) by DATE ARITHMETIC (an
+      // equi join), not a ROWS lag — robust to missing days, and the
+      // daily-counts frame it self-joins is |days|×|types| rows, so the
+      // backtest costs one small shuffle after the count reduce.
+      val daily = Tables(s, d).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val pred = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("c").as("pred"))
+      daily.join(pred, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_eval_days"),
+          round(sum(abs(col("c") - col("pred"))).cast("double") / count(lit(1)), 6).as("mae"),
+          // wMAPE (sum|err|/sum actual), not per-day MAPE: both sums are
+          // INTEGER — commutative, partition-order-independent — where a
+          // float sum of per-day ratios would be merge-order-sensitive
+          round(sum(abs(col("c") - col("pred"))).cast("double") /
+            sum(col("c")).cast("double"), 6).as("wmape"))
+    }),
+
     "d16_boilerplate" -> ((s, d) =>
       // remove-everywhere boilerplate filter (vs d15's keep-first dedup)
       Dedup.boilerplateChunkStats(Tables(s, d).documents, "doc_id", "text",
@@ -312,6 +338,19 @@ object EventGraphQueries {
         |  cid AS click_id, cts AS click_ts_us,
         |  purchase_ts_us - cts AS latency_us
         |FROM j WHERE rn = 1""".stripMargin,
+    "a28_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.c, p.c AS pred
+        |  FROM daily a JOIN daily p
+        |    ON a.event_type = p.event_type AND a.day = p.day + 7)
+        |SELECT event_type,
+        |  count(*) AS n_eval_days,
+        |  round(CAST(sum(abs(c - pred)) AS DOUBLE) / count(*), 6) AS mae,
+        |  round(CAST(sum(abs(c - pred)) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS wmape
+        |FROM j GROUP BY 1""".stripMargin,
     "d16_boilerplate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c0 AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS st FROM d),

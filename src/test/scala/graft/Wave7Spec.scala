@@ -227,6 +227,28 @@ class Wave7Spec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Long]("dist") <= 3L))
   }
 
+  // ---- a28 seasonal-naive backtest ---------------------------------------
+
+  test("a28 backtest: perfect weekly seasonality scores zero error; scale check") {
+    // synthetic: counts repeat with period 7 -> seasonal naive is exact
+    val days = (0 until 21).flatMap { d =>
+      val day = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d))
+      Seq.fill(1 + (d % 7))(("a", day))
+    }
+    val daily = days.toDF("event_type", "day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val pred = daily.select(col("event_type"), date_add(col("day"), 7).as("day"), col("c").as("pred"))
+    val joined = daily.join(pred, Seq("event_type", "day"))
+    assert(joined.count() == 14) // days 8..21 have a 7-day ancestor
+    assert(joined.filter(col("c") =!= col("pred")).count() == 0) // exact repeat -> 0 error
+    val board = EventGraphQueries.queries("a28_forecast_backtest")(spark, Sf0001).collect()
+    assert(board.length == 5)
+    board.foreach { r =>
+      assert(r.getAs[Double]("wmape") >= 0.0 && r.getAs[Double]("mae") >= 0.0)
+      assert(r.getAs[Long]("n_eval_days") > 0L)
+    }
+  }
+
   // ---- u11 incremental rollup maintenance --------------------------------
 
   test("u11 merge of partial states equals the full recompute, at any split") {
