@@ -162,6 +162,55 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection — each round every node adopts the MOST FREQUENT label
+    * among its in-neighbors, ties to the smallest label. Unlike
+    * [[connectedComponents]] (which converges to one label per connected
+    * component), LP stops after a fixed round count and the surviving
+    * labels partition dense regions into communities.
+    *
+    * Determinism: synchronous rounds (all updates read the previous
+    * round's labels) + the (count DESC, label ASC) tie-break make the
+    * result a pure function of the graph — integer labels, no RNG, no
+    * arrival-order sensitivity — so an oracle can replay the rounds
+    * exactly. The classic asynchronous LP is order-dependent by design;
+    * this is the reproducible variant a data pipeline needs.
+    *
+    * Per round: one edge⋈labels equi join, one (dst, label) count
+    * reduce, one per-dst top-1 window — all key-partitioned. Fixed small
+    * round count composes lazily into one plan (the [[pageRankInt]]
+    * pattern); nodes with no in-edges never appear, so symmetrize the
+    * edge list if isolated-direction nodes must keep their own label.
+    *
+    * @return (node, community) after `iterations` rounds from
+    *         community(v) = v
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val w = Window.partitionBy("dst").orderBy(col("k").desc, col("label").asc)
+      labels = e
+        .join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Canonical-document selection: one keeper per component, largest
     * `weightCol` first, ties broken by smallest id — the "keep the longest
     * document in each near-dup cluster" policy. */

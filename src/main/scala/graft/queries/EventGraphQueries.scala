@@ -191,6 +191,61 @@ object EventGraphQueries {
             sum(col("c")).cast("double"), 6).as("wmape"))
     }),
 
+    "x16_dp_noisy_counts" -> ((s, d) => {
+      // ε-differentially-private histogram release: each (event_type,
+      // day) count gets Laplace(1/ε) noise BEFORE publication — the
+      // modern complement of a3's threshold-suppression privacy rule.
+      // The noise is SEEDED (md5-uniform → inverse-CDF Laplace), so the
+      // release is a pure function of the data and the seed: any engine
+      // reproduces it bit-for-bit (the x4/x11 portable-uniform idiom),
+      // the oracle replays it, and a re-run can't silently re-randomize
+      // a published table. Raw counts are NOT released. Map-side
+      // assignment on a |types|×|days| frame after one count reduce.
+      val e = Tables(s, d).events
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val u16 = conv(substring(md5(concat(col("event_type"), lit("|"),
+        col("day"), lit("|dp42"))), 1, 4), 16, 10).cast("double")
+      val u = (u16 + lit(0.5)) / lit(65536.0) // (0,1), never exactly 0.5
+      val eps = 1.0
+      val noise = signum(u - lit(0.5)) * lit(-1.0 / eps) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      e.select(col("event_type"), col("day"),
+        round(col("c") + noise, 6).as("noisy_count"),
+        lit(eps).as("epsilon"))
+    }),
+
+    "a29_cusum_changepoint" -> ((s, d) => {
+      // One-sided CUSUM drift detection over the daily count series, via
+      // the drawdown identity cusum⁺(d) = S(d) − min_{j≤d} S(j) with
+      // S = running sum of (count − mean): equivalent to the
+      // max(0, prev + dev) recursion but expressible as two ordered
+      // window passes — no recursion, no UDF, identical plan in the
+      // oracle. The mean rides the exact decimal-sum pattern and the
+      // ordered float cumsum is bit-deterministic (fixed order both
+      // engines). Alarm threshold = 4σ of the daily counts (a17's
+      // stddev_samp precedent). |days|×|types| rows after one reduce.
+      val daily = Tables(s, d).events
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val ordered = byType.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val mean = sum(col("c").cast("decimal(28,6)")).over(byType).cast("double") /
+        count(lit(1)).over(byType)
+      val sd = stddev_samp(col("c").cast("double")).over(byType)
+      daily
+        .withColumn("dev", col("c") - mean)
+        .withColumn("srun", sum(col("dev")).over(ordered))
+        .withColumn("cusum_pos", col("srun") - min(col("srun")).over(ordered))
+        .select(col("event_type"), col("day"),
+          round(col("cusum_pos"), 6).as("cusum_pos"),
+          (col("cusum_pos") > lit(4.0) * sd).as("is_change"))
+    }),
+
     "d16_boilerplate" -> ((s, d) =>
       // remove-everywhere boilerplate filter (vs d15's keep-first dedup)
       Dedup.boilerplateChunkStats(Tables(s, d).documents, "doc_id", "text",
@@ -207,6 +262,27 @@ object EventGraphQueries {
           element_at(split(col("p_name"), " "), 2).as("noun"), col("p_size"))
       FuzzyJoin.blockedLevenshtein(p, "p_partkey", "p_name",
         blockCols = Seq("noun", "p_size"), maxDist = 3, maxBlock = Some(1000))
+    }),
+
+    "g2_label_propagation" -> ((s, d) => {
+      // community detection over the same symmetrized trade graph as g1:
+      // 4 synchronous label-propagation rounds, majority label with
+      // min-label tie-break — integer-deterministic, so the oracle
+      // replays the rounds exactly (a float-modularity method could
+      // never hash-compare). Symmetric edges mean every node has
+      // in-neighbors and survives each round.
+      val t = Tables(s, d)
+      val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+          col("community"))
     }),
 
     "g1_pagerank" -> ((s, d) => {
@@ -260,7 +336,34 @@ object EventGraphQueries {
        |FROM r$iterations""".stripMargin
   }
 
+  /** DuckDB replay of the synchronous LP rounds — same integer majority +
+    * min-label tie-break, unrolled. */
+  private def labelPropOracleSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""l$k AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT e.dst, r.label, count(*) AS k,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, r.label ASC) AS rn
+         |    FROM edges e JOIN l${k - 1} r ON e.src = r.node
+         |    GROUP BY e.dst, r.label) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, p AS dst FROM pairs
+       |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$iters
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  label AS community
+       |FROM l$iterations""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "g2_label_propagation" -> labelPropOracleSql(4),
     "a23_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events
@@ -351,6 +454,41 @@ object EventGraphQueries {
         |  round(CAST(sum(abs(c - pred)) AS DOUBLE) / count(*), 6) AS mae,
         |  round(CAST(sum(abs(c - pred)) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS wmape
         |FROM j GROUP BY 1""".stripMargin,
+    "x16_dp_noisy_counts" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, day, c,
+        |    (CAST(CAST(('0x' || substr(md5(event_type || '|' || day || '|dp42'), 1, 4))
+        |          AS INTEGER) AS DOUBLE) + 0.5) / 65536.0 AS u
+        |  FROM daily)
+        |SELECT event_type, day,
+        |  round(c + sign(u - 0.5) * (-1.0) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM n""".stripMargin,
+    "a29_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *,
+        |    CAST(sum(CAST(c AS DECIMAL(28,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY event_type) AS mean_c,
+        |    stddev_samp(CAST(c AS DOUBLE)) OVER (PARTITION BY event_type) AS sd_c
+        |  FROM daily),
+        |s AS (
+        |  SELECT *, sum(c - mean_c) OVER (
+        |    PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS srun
+        |  FROM m),
+        |x AS (
+        |  SELECT *, srun - min(srun) OVER (
+        |    PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum_pos
+        |  FROM s)
+        |SELECT event_type, day,
+        |  round(cusum_pos, 6) AS cusum_pos,
+        |  cusum_pos > 4.0 * sd_c AS is_change
+        |FROM x""".stripMargin,
     "d16_boilerplate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c0 AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS st FROM d),

@@ -249,6 +249,60 @@ class Wave7Spec extends SparkSpecBase {
     }
   }
 
+  // ---- x16 seeded-DP noisy counts ----------------------------------------
+
+  test("x16 DP release: deterministic across runs, noise bounded by the u16 grid") {
+    val a = EventGraphQueries.queries("x16_dp_noisy_counts")(spark, Sf0001)
+      .orderBy("event_type", "day").collect().map(_.toSeq).toSeq
+    val b = EventGraphQueries.queries("x16_dp_noisy_counts")(spark, Sf0001)
+      .orderBy("event_type", "day").collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty) // seeded noise: a re-run cannot re-randomize
+    // |Laplace via inverse CDF on the 16-bit grid| <= ln(65536) ~ 11.1 at eps=1
+    val truth = graft.core.Tables(spark, Sf0001).events
+      .groupBy(col("event_type"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val joined = EventGraphQueries.queries("x16_dp_noisy_counts")(spark, Sf0001)
+      .join(truth, Seq("event_type", "day")).collect()
+    assert(joined.forall(r =>
+      math.abs(r.getAs[Double]("noisy_count") - r.getAs[Long]("c")) <= 12.0))
+    // and the noise is actually nonzero somewhere (it IS a DP release)
+    assert(joined.exists(r =>
+      math.abs(r.getAs[Double]("noisy_count") - r.getAs[Long]("c")) > 1e-6))
+  }
+
+  // ---- a29 CUSUM changepoint ---------------------------------------------
+
+  test("a29 CUSUM: drawdown identity flags a level shift and stays quiet on a flat series") {
+    def series(name: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, i) => Seq.fill(c)((name, f"2024-01-${i + 1}%02d"))
+    }
+    val e = (series("flat", Seq.fill(14)(10)) ++
+      series("shift", Seq.fill(7)(10) ++ Seq.fill(7)(30)))
+      .toDF("event_type", "day_s")
+      .select(col("event_type"), col("day_s").cast("date").as("d"))
+      .select(col("event_type"), lit(1L).as("user_id"),
+        (col("d").cast("timestamp")).as("ts"))
+    val daily = e.groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val mean = sum(col("c").cast("decimal(28,6)")).over(byType).cast("double") /
+      count(lit(1)).over(byType)
+    val out = daily.withColumn("dev", col("c") - mean)
+      .withColumn("srun", sum(col("dev")).over(ordered))
+      .withColumn("cusum_pos", col("srun") - min(col("srun")).over(ordered))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Double]("cusum_pos"))).toSeq
+    assert(out.filter(_._1 == "flat").forall(_._3 == 0.0)) // dev==0 everywhere
+    val shiftTail = out.filter(t => t._1 == "shift" && t._2 >= "2024-01-12")
+    assert(shiftTail.forall(_._3 > 20.0)) // post-shift cusum accumulates
+    val board = EventGraphQueries.queries("a29_cusum_changepoint")(spark, Sf0001).collect()
+    assert(board.nonEmpty && board.forall(_.getAs[Double]("cusum_pos") >= -1e-9))
+  }
+
   // ---- u11 incremental rollup maintenance --------------------------------
 
   test("u11 merge of partial states equals the full recompute, at any split") {
@@ -336,6 +390,31 @@ class Wave7Spec extends SparkSpecBase {
   }
 
   // ---- g1 PageRank --------------------------------------------------------
+
+  test("labelPropagation: two cliques joined by one bridge resolve to two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10; symmetric edges
+    val cl = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = cl.toDF("a", "b")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val out = Graph.labelPropagation(sym, "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    assert(out(1L) == out(2L) && out(2L) == out(3L)) // clique 1 agrees
+    assert(out(10L) == out(11L) && out(11L) == out(12L)) // clique 2 agrees
+    assert(out(1L) != out(10L)) // the bridge does not merge them
+  }
+
+  test("labelPropagation is deterministic across partitionings") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("a", "b")
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val x = Graph.labelPropagation(sym, "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val y = Graph.labelPropagation(sym.repartition(13), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(x == y && x.nonEmpty)
+  }
 
   test("pageRankInt fixed point: a symmetric 2-cycle keeps rank exactly at scale") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
