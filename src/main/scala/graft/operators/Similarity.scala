@@ -72,6 +72,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Maximum-inner-product search (MIPS) top-k — recommendation-style
+    * retrieval where magnitude MATTERS (user×item factor models score by
+    * raw dot product; cosine's normalization would erase item
+    * popularity). Same plan as [[bruteForceTopK]] minus the unit
+    * normalization: broadcast query set, ONE corpus scan, no corpus
+    * shuffle. The scale path composes with the existing ANN
+    * infrastructure via the Shrivastava–Li (2014) augmentation — append
+    * sqrt(M²−‖x‖²) to each corpus vector and 0 to each query (M = max
+    * corpus norm) and MIPS order becomes cosine order, so [[ivfTopK]] /
+    * [[pqTopK]] serve MIPS untouched (reduction proven in Wave7Spec). */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = c
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), vector_dot(col("qv"), col("nv")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Exact scan over int8-quantized storage (the "flat SQ8" index): the
     * query set keeps full float precision while every corpus vector is
     * decoded on the fly from its uint8 codes ([[Quantization]] — 4x less

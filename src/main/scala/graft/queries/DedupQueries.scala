@@ -257,6 +257,14 @@ object DedupQueries {
       val e = Tables(s, d).embeddings
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
+    "s11_mips_topk" -> ((s, d) => {
+      // maximum-inner-product retrieval (recommendation scoring: raw dot,
+      // magnitude matters — cosine would erase popularity); s1's plan
+      // minus normalization, and the Shrivastava-Li augmentation proven
+      // in Wave7Spec routes it through the SAME IVF/PQ scale path
+      val e = Tables(s, d).embeddings
+      Similarity.mipsTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
     "s6_scalar_quantization" -> ((s, d) => {
       // int8 embedding compression (FAISS QT_8bit / Lucene int8 shape):
       // per-dim min/max learned in ONE dim-keyed agg (64 groups at any
@@ -779,6 +787,18 @@ object DedupQueries {
         |  CAST(COALESCE(m.max_run + 4, 0) AS BIGINT) AS longest_dup_span_tokens
         |FROM documents doc LEFT JOIN m USING (doc_id)""".stripMargin,
     "s1_knn_bruteforce" -> s1OracleSql,
+    "s11_mips_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(q.embedding, e.embedding) AS score
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 5""".stripMargin,
     "s7_knn_quantized" -> s7OracleSql,
     "x6c_quantized_recall" ->
       s"""WITH brute AS ($s1OracleSql),

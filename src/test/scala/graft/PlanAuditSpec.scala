@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d13_corpus_overlap" -> "source-pair signature matrix, |sources|^2 rows",
     "d13b_corpus_overlap_fast" -> "source-pair signature matrix, |sources|^2 rows",
     "s1_knn_bruteforce" -> "broadcast bounded query set; brute force is |q|x|corpus| by definition",
+    "s11_mips_topk" -> "broadcast bounded query set; brute MIPS is |q|x|corpus| by definition",
     "s8_bm25_topk" -> "broadcast 1-row corpus stats frame (N, avgdl)",
     "s9_hybrid_rrf" -> "composes s8 (1-row stats) + s1 (bounded query set)",
     "s4_ann_pq" -> "broadcast bounded query set for ADC scoring",

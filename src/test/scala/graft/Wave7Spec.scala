@@ -370,6 +370,28 @@ class Wave7Spec extends SparkSpecBase {
     assert(e.withColumn("prev", lag("ts", 1).over(w)).count() == 6)
   }
 
+  // ---- s11 MIPS and the augmentation reduction ---------------------------
+
+  test("s11 MIPS reduces to cosine search via the Shrivastava-Li augmentation") {
+    import graft.operators.Similarity
+    val e = graft.core.Tables(spark, Sf0001).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val direct = Similarity.mipsTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3)).toSeq
+    // augment: corpus gets sqrt(M^2 - |x|^2) appended, queries get 0 —
+    // cosine order of the augmented vectors == dot order of the originals
+    val dotSelf = graft.plans.VectorExpressions
+      .vector_dot(col("embedding"), col("embedding"))
+    val m2 = e.agg(max(dotSelf).as("m2"))
+    val corpusAug = e.crossJoin(broadcast(m2)).select(col("vec_id"),
+      concat(col("embedding"), array(sqrt(col("m2") - dotSelf).cast("float"))).as("embedding"))
+    val qAug = q.select(col("vec_id"),
+      concat(col("embedding"), array(lit(0.0f))).as("embedding"))
+    val viaCosine = Similarity.bruteForceTopK(corpusAug, qAug, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3)).toSeq
+    assert(direct.nonEmpty && direct == viaCosine)
+  }
+
   // ---- st19 streaming funnel ---------------------------------------------
 
   test("st19 streaming funnel card equals the a23 batch card (stream == batch)") {
