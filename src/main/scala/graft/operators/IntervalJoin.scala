@@ -38,6 +38,35 @@ object IntervalJoin {
     exploded.join(facts, factDate === col("__day"), "left")
   }
 
+  /** Interval × interval OVERLAP join (closed intervals: overlap iff
+    * lStart <= rEnd AND rStart <= lEnd) — the two-sided generalization of
+    * [[byDay]], for session-vs-incident / alert-vs-outage correlation.
+    * Same scale device: each side explodes into its covered days, the
+    * join is an equi join on the day key (shuffled hash, never a BNLJ),
+    * the exact overlap predicate filters post-join, and `distinct()`
+    * collapses the double-match of pairs that share several days. Both
+    * sides must carry disjoint column names; input rows must be unique
+    * (they define pair identity for the distinct).
+    *
+    * Day buckets are low-cardinality, so every bucket is a bounded
+    * mini-cross of that day's rows — the intended shape when intervals
+    * are short (sessions, alert windows); for long-lived intervals
+    * bucket at a coarser grain first.
+    */
+  def overlapByDay(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String
+  ): DataFrame = {
+    val l = left.withColumn("__day",
+      explode(sequence(to_date(col(lStart)), to_date(col(lEnd)))))
+    val r = right.withColumn("__day",
+      explode(sequence(to_date(col(rStart)), to_date(col(rEnd)))))
+    l.join(r, Seq("__day"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__day")
+      .distinct()
+  }
+
   /** Reference-shaped naive variant (BroadcastNestedLoopJoin) kept for
     * semantic differential tests on small data: byDay must aggregate to the
     * same result. */

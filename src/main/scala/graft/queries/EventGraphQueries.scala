@@ -246,6 +246,40 @@ object EventGraphQueries {
           (col("cusum_pos") > lit(4.0) * sd).as("is_change"))
     }),
 
+    "j11_overlap_join" -> ((s, d) => {
+      // interval × interval overlap: which user sessions (x2's 30-min
+      // gap rule) overlapped a global incident window (error event
+      // ±30 min)? IntervalJoin.overlapByDay day-buckets BOTH sides so
+      // the correlation is an equi join + post-filter, never a BNLJ;
+      // sessions with no incident keep a 0 row (left semantics via the
+      // final left join onto the session spine).
+      val e = Tables(s, d).events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sessions = e
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val incidents = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("i_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("i_end"))
+      val pairs = graft.operators.IntervalJoin.overlapByDay(
+        sessions, "s_start", "s_end", incidents, "i_start", "i_end")
+      val perSession = pairs.groupBy("user_id", "session_seq")
+        .agg(countDistinct(col("incident_id")).as("n"))
+      sessions.join(perSession, Seq("user_id", "session_seq"), "left")
+        .select(col("user_id"), col("session_seq"),
+          coalesce(col("n"), lit(0L)).as("n_incidents"))
+    }),
+
     "d16_boilerplate" -> ((s, d) =>
       // remove-everywhere boilerplate filter (vs d15's keep-first dedup)
       Dedup.boilerplateChunkStats(Tables(s, d).documents, "doc_id", "text",
@@ -454,6 +488,43 @@ object EventGraphQueries {
         |  round(CAST(sum(abs(c - pred)) AS DOUBLE) / count(*), 6) AS mae,
         |  round(CAST(sum(abs(c - pred)) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS wmape
         |FROM j GROUP BY 1""".stripMargin,
+    "j11_overlap_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |    min(ts) AS s_start, max(ts) AS s_end
+        |  FROM g GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT event_id AS incident_id,
+        |    ts - INTERVAL 30 MINUTE AS i_start, ts + INTERVAL 30 MINUTE AS i_end
+        |  FROM events WHERE event_type = 'error'),
+        |sd AS (
+        |  SELECT s.*, unnest(generate_series(CAST(s_start AS DATE), CAST(s_end AS DATE),
+        |    INTERVAL 1 DAY)) AS day FROM sess s),
+        |id2 AS (
+        |  SELECT i.*, unnest(generate_series(CAST(i_start AS DATE), CAST(i_end AS DATE),
+        |    INTERVAL 1 DAY)) AS day FROM inc i),
+        |p AS (
+        |  SELECT DISTINCT sd.user_id, sd.session_seq, id2.incident_id
+        |  FROM sd JOIN id2 ON sd.day = id2.day
+        |  WHERE sd.s_start <= id2.i_end AND id2.i_start <= sd.s_end)
+        |SELECT s.user_id, s.session_seq,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_incidents
+        |FROM sess s LEFT JOIN (
+        |  SELECT user_id, session_seq, count(DISTINCT incident_id) AS n
+        |  FROM p GROUP BY 1, 2) c
+        |  ON s.user_id = c.user_id AND s.session_seq = c.session_seq""".stripMargin,
     "x16_dp_noisy_counts" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS c

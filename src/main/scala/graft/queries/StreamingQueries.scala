@@ -68,7 +68,25 @@ object StreamingQueries {
       // a27's last-touch attribution at ingest: one (click_id, ts) pair
       // of state per user, purchases emit their attribution row on
       // arrival (decidable immediately — no sentinel/flush needed)
-      StreamingJobs.streamingAttribution(s, d))
+      StreamingJobs.streamingAttribution(s, d)),
+    "st21_stream_dp_release" -> ((s, d) => {
+      // privacy-preserving telemetry publication at ingest: st5's real
+      // streaming tumbling counts, released through x16's seeded-Laplace
+      // mechanism (ε=1) as a stateless post-aggregation projection —
+      // the published hourly series is noisy, deterministic (md5-seeded
+      // inverse-CDF), and never exposes the raw counts
+      import org.apache.spark.sql.functions._
+      val counts = StreamingJobs.tumblingEventCounts(s, d)
+      val key = concat(col("event_type"), lit("|"),
+        date_format(col("hr_start"), "yyyy-MM-dd HH:mm:ss"), lit("|dpst42"))
+      val u16 = conv(substring(md5(key), 1, 4), 16, 10).cast("double")
+      val u = (u16 + lit(0.5)) / lit(65536.0)
+      val noise = signum(u - lit(0.5)) * lit(-1.0) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      counts.select(col("event_type"), col("hr_start"),
+        round(col("event_cnt") + noise, 6).as("noisy_events"),
+        lit(1.0).as("epsilon"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -190,6 +208,23 @@ object StreamingQueries {
     "st19_stream_funnel" -> EventGraphQueries.oracle("a23_funnel"),
     // stream == batch: the O(1)-state fold reproduces a27's inclusive
     // as-of + max-id tie rule exactly, so the batch oracle replays it
-    "st20_stream_attribution" -> EventGraphQueries.oracle("a27_attribution")
+    "st20_stream_attribution" -> EventGraphQueries.oracle("a27_attribution"),
+    // st5's hour buckets + x16's seeded-noise formula, replayed in batch
+    "st21_stream_dp_release" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr_start, event_type,
+        |    count(*) AS event_cnt
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT *,
+        |    (CAST(CAST(('0x' || substr(md5(event_type || '|' ||
+        |       strftime(hr_start, '%Y-%m-%d %H:%M:%S') || '|dpst42'), 1, 4))
+        |       AS INTEGER) AS DOUBLE) + 0.5) / 65536.0 AS u
+        |  FROM c)
+        |SELECT event_type, hr_start,
+        |  round(event_cnt + sign(u - 0.5) * (-1.0) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+        |    AS noisy_events,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM n""".stripMargin
   )
 }

@@ -303,6 +303,55 @@ class Wave7Spec extends SparkSpecBase {
     assert(board.nonEmpty && board.forall(_.getAs[Double]("cusum_pos") >= -1e-9))
   }
 
+  // ---- j11 interval-overlap join -----------------------------------------
+
+  test("overlapByDay: exact closed-interval semantics, multi-day pairs dedup") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // overlaps A
+      (2L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")), // spans midnight, overlaps B twice-bucketed
+      (3L, ts("2024-01-03 10:00:00"), ts("2024-01-03 10:30:00")), // overlaps nothing
+      (4L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")) // touches A's end exactly (closed)
+    ).toDF("sid", "s_start", "s_end")
+    val incidents = Seq(
+      (100L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")), // A
+      (200L, ts("2024-01-01 23:30:00"), ts("2024-01-02 00:30:00")) // B
+    ).toDF("incident_id", "i_start", "i_end")
+    val pairs = graft.operators.IntervalJoin.overlapByDay(
+        sessions, "s_start", "s_end", incidents, "i_start", "i_end")
+      .select("sid", "incident_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // session 2 × incident B share TWO day buckets -> must appear ONCE
+    assert(pairs == Seq((1L, 100L), (2L, 200L), (4L, 100L)))
+    // differential: equals the naive theta join on the same data
+    val naive = sessions.crossJoin(incidents)
+      .filter(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+      .select("sid", "incident_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs == naive)
+  }
+
+  test("j11 board entry: every session appears once; incident counts non-negative") {
+    val out = EventGraphQueries.queries("j11_overlap_join")(spark, Sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.length.toLong == out.select("user_id", "session_seq").distinct().count())
+    assert(rows.forall(_.getAs[Long]("n_incidents") >= 0L))
+    assert(rows.exists(_.getAs[Long]("n_incidents") > 0L)) // incidents do land in sessions
+  }
+
+  // ---- st21 streaming DP release -----------------------------------------
+
+  test("st21 releases deterministic noisy counts and hides the raw series") {
+    val a = graft.queries.StreamingQueries.queries("st21_stream_dp_release")(spark, Sf0001)
+      .orderBy("event_type", "hr_start").collect().map(_.toSeq).toSeq
+    val b = graft.queries.StreamingQueries.queries("st21_stream_dp_release")(spark, Sf0001)
+      .orderBy("event_type", "hr_start").collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty) // seeded: replays exactly
+    val schema = graft.queries.StreamingQueries.queries("st21_stream_dp_release")(spark, Sf0001).schema
+    assert(!schema.fieldNames.contains("event_cnt")) // raw counts not published
+  }
+
   // ---- u11 incremental rollup maintenance --------------------------------
 
   test("u11 merge of partial states equals the full recompute, at any split") {
