@@ -87,4 +87,14 @@ class TsGenerationsSpec extends SparkSpecBase {
     assertSameAcrossForms("streamingDriftPsi",
       dir => StreamingJobs.streamingDriftPsi(spark, dir))
   }
+
+  test("streaming funnel agrees across all three ts generations") {
+    assertSameAcrossForms("streamingFunnel",
+      dir => StreamingJobs.streamingFunnel(spark, dir))
+  }
+
+  test("streaming attribution agrees across all three ts generations") {
+    assertSameAcrossForms("streamingAttribution",
+      dir => StreamingJobs.streamingAttribution(spark, dir))
+  }
 }
