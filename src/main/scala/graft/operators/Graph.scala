@@ -113,6 +113,13 @@ object Graph {
     * simplification; callers who need mass conservation can add the
     * dangling-sum redistribution as one extra 1-row aggregate.
     *
+    * Overflow headroom: the largest intermediate is 85 × Σ contributions
+    * into one node, bounded by 85 · |V| · scale (total rank mass never
+    * grows — damping only shrinks it). With the default scale = 1e9 that
+    * stays inside Long up to |V| ≈ 1e8 nodes; for larger graphs pass a
+    * smaller `scale` (1e6 keeps exactness to a millionth of a rank unit
+    * and headroom to |V| ≈ 1e11).
+    *
     * @param edges directed (srcCol, dstCol); duplicates collapsed
     * @return (node, rank) — rank in units of `scale` after `iterations`
     *         rounds from a uniform start of 1.0·scale per node

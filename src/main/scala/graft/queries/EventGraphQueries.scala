@@ -225,7 +225,9 @@ object EventGraphQueries {
       // oracle. The mean rides the exact decimal-sum pattern and the
       // ordered float cumsum is bit-deterministic (fixed order both
       // engines). Alarm threshold = 4σ of the daily counts (a17's
-      // stddev_samp precedent). |days|×|types| rows after one reduce.
+      // stddev_samp precedent; a type with a single observed day has
+      // null σ and a null flag — both engines agree). |days|×|types|
+      // rows after one reduce.
       val daily = Tables(s, d).events
         .groupBy(col("event_type"),
           date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
