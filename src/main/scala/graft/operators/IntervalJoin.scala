@@ -52,6 +52,13 @@ object IntervalJoin {
     * mini-cross of that day's rows — the intended shape when intervals
     * are short (sessions, alert windows); for long-lived intervals
     * bucket at a coarser grain first.
+    *
+    * SCALE CAVEAT: per-bucket pairs grow as the PRODUCT of the two
+    * sides, so when both sides scale with the data this is quadratic
+    * (measured ×16.9 for ×10 data on the j11 workload). Use it only
+    * when the pair LIST itself is the output; for overlap COUNTS use
+    * [[RangeRank.overlapCounts]] — O((L+R) log), measured ×1.9 for
+    * ×10 data on the same workload.
     */
   def overlapByDay(
       left: DataFrame, lStart: String, lEnd: String,

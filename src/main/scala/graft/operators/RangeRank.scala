@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order-statistics lookup ("searchsorted at scale"): for
+  * every probe row, the COUNT of reference values ≤ (or <) its probe
+  * value — the primitive that turns interval-overlap COUNTING from a
+  * quadratic pair join into two rank lookups:
+  *
+  *   #incidents overlapping [s, e] = #(i_start ≤ e) − #(i_end < s)
+  *
+  * (valid for any interval set: an incident either ends before s, starts
+  * after e, or overlaps). The wave-7 pair-enumerating j11 measured ×16.9
+  * for ×10 data — the enumeration is Ω(sessions × incidents / buckets),
+  * quadratic when both sides scale with the data; this primitive is
+  * O((R + P) log) and output-linear.
+  *
+  * Execution shape (the [[Percentiles.exactByRange]] device): approximate
+  * quantile bounds of the reference values steer BALANCE only — both
+  * sides bucket by the same broadcast bounds, a per-bucket window
+  * (partitioned, never global) running-counts the reference rows, and a
+  * bounded |buckets|-row offset table (prior-bucket reference counts)
+  * lifts local ranks to global ones. One shuffle on the bucket key, no
+  * pairs, no global window.
+  */
+object RangeRank {
+
+  /** Append `outCol` = count of non-null `ref.refCol` values ≤ the row's
+    * `probeCol` (or strictly < when `strict`). Values compare as longs
+    * (exact for ids / epoch micros). Probe rows with a null probe value
+    * get a null count. */
+  def countRef(
+      ref: DataFrame,
+      refCol: String,
+      probes: DataFrame,
+      probeCol: String,
+      outCol: String,
+      strict: Boolean
+  ): DataFrame = {
+    val spark = probes.sparkSession
+    val rv = ref.select(col(refCol).cast("long").as("_v")).filter(col("_v").isNotNull)
+
+    val numBuckets = spark.sessionState.conf.numShufflePartitions
+    val bounds = rv.select(col("_v").cast("double").as("_vd")).stat
+      .approxQuantile("_vd", (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+      .distinct.sorted
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*), b => b <= v.cast("double")))
+
+    // bounded |buckets|-row exclusive-prefix offsets of reference counts
+    val counts: Map[Int, Long] = rv.withColumn("_b", bucketOf(col("_v")))
+      .groupBy("_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsetRows = (0 to bounds.length).scanLeft((0, 0L)) {
+      case ((_, acc), b) => (b, acc + counts.getOrElse(b - 1, 0L))
+    }.tail.map { case (b, off) => (b, off) }
+    import spark.implicits._
+    val offsets = offsetRows.toDF("_b", "_off")
+
+    val probeCols = probes.columns.toSeq
+    val p = probes
+      .withColumn("_v", col(probeCol).cast("long"))
+      .withColumn("_isref", lit(0))
+    val r = rv.select(
+      probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+        Seq(col("_v"), lit(1).as("_isref")): _*)
+
+    // tie order: non-strict counts equal refs (ref sorts first), strict
+    // does not (probe sorts first)
+    val tieOrder = if (strict) col("_isref").asc else col("_isref").desc
+    val w = Window.partitionBy("_b").orderBy(col("_v").asc, tieOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val nullProbes = p.filter(col("_v").isNull)
+      .select(probeCols.map(col) :+ lit(null).cast("long").as(outCol): _*)
+    p.filter(col("_v").isNotNull)
+      .unionByName(r)
+      .withColumn("_b", bucketOf(col("_v")))
+      .withColumn("_cnt", sum(col("_isref")).over(w))
+      .filter(col("_isref") === 0)
+      .join(broadcast(offsets), Seq("_b"))
+      .select(probeCols.map(col) :+ (col("_off") + col("_cnt")).as(outCol): _*)
+      .unionByName(nullProbes)
+  }
+
+  /** Overlap COUNT of `intervals` [rStart, rEnd] per probe interval
+    * [pStart, pEnd] (closed, long-comparable values) — the scalable
+    * counting twin of [[IntervalJoin.overlapByDay]]: use this when only
+    * the count (not the pair list) is needed. */
+  def overlapCounts(
+      probes: DataFrame, pStart: String, pEnd: String,
+      intervals: DataFrame, rStart: String, rEnd: String,
+      outCol: String
+  ): DataFrame = {
+    val started = countRef(intervals.select(col(rStart)), rStart,
+      probes, pEnd, "_n_started", strict = false)
+    val ended = countRef(intervals.select(col(rEnd)), rEnd,
+      started, pStart, "_n_ended", strict = true)
+    ended
+      .withColumn(outCol, col("_n_started") - col("_n_ended"))
+      .drop("_n_started", "_n_ended")
+  }
+}

@@ -331,6 +331,50 @@ class Wave7Spec extends SparkSpecBase {
     assert(pairs == naive)
   }
 
+  test("RangeRank.countRef: exact searchsorted semantics, strict and non-strict, ties and nulls") {
+    val ref = Seq(10L, 20L, 20L, 30L).toDF("v")
+    val probes = Seq((1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(20L)),
+      (3L, java.lang.Long.valueOf(35L)), (4L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "x")
+    val leq = graft.operators.RangeRank.countRef(ref, "v", probes, "x", "n", strict = false)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(leq == Map(1L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> -1L)) // 20 counts BOTH 20s
+    val less = graft.operators.RangeRank.countRef(ref, "v", probes, "x", "n", strict = true)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(less == Map(1L -> 0L, 2L -> 1L, 3L -> 4L, 4L -> -1L)) // strict excludes the 20s
+  }
+
+  test("j11 rank-lookup counts equal the pair-enumeration counts (differential)") {
+    val e = graft.core.Tables(spark, Sf0001).events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = e
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val incidents = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("i_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("i_end"))
+    val pairCounts = graft.operators.IntervalJoin.overlapByDay(
+        sessions, "s_start", "s_end", incidents, "i_start", "i_end")
+      .groupBy("user_id", "session_seq")
+      .agg(countDistinct(col("incident_id")).as("n"))
+    val viaPairs = sessions.join(pairCounts, Seq("user_id", "session_seq"), "left")
+      .select(col("user_id"), col("session_seq"), coalesce(col("n"), lit(0L)).as("n_incidents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaRanks = EventGraphQueries.queries("j11_overlap_join")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaRanks == viaPairs && viaRanks.nonEmpty)
+  }
+
   test("j11 board entry: every session appears once; incident counts non-negative") {
     val out = EventGraphQueries.queries("j11_overlap_join")(spark, Sf0001)
     val rows = out.collect()
