@@ -44,8 +44,22 @@ object Bench {
     val blockSize = sys.env.get("SPARK_GRAFT_BENCH_BLOCK").flatMap(_.toIntOption).getOrElse(40)
     // cold mode keeps the historical single timed pass (its point is the
     // one-shot cost); steady-state defaults to min-of-two (see below)
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
-      .getOrElse(if (cold) 1 else 2)
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
+      .getOrElse(if (cold) 1 else 2))
+    // Steal-retry sanity ceiling: this host's hypervisor-steal bursts can
+    // hit BOTH timed passes of one query (round 6: j10 recorded 11.2 s
+    // official vs 0.47 s isolated), so min-of-two alone can still print a
+    // wild outlier next to a sub-second query — and a genuine regression in
+    // a fast query could then hide behind the "it's just steal" precedent.
+    // Any query whose best time exceeds the ceiling is re-run (once, by
+    // default) and the retry count is recorded in the artifact, so the
+    // official number either recovers the true cost or documents that the
+    // query is REALLY that slow even on a third pass. The ceiling is
+    // absolute (legit slow legs like g1 pay one extra ~4 s pass — cheap
+    // insurance on a 135 s board); 0 disables.
+    val retryCeiling = sys.env.get("SPARK_GRAFT_BENCH_RETRY_SEC").flatMap(_.toDoubleOption)
+      .getOrElse(if (cold) 0.0 else 2.0)
+    val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES").flatMap(_.toIntOption).getOrElse(1)
     val results = ordered.grouped(blockSize).toSeq.flatMap { block =>
       val spark = graft.core.SparkSessionFactory.local("graft-bench")
       if (!cold) {
@@ -84,12 +98,27 @@ object Bench {
       // cost and is recorded as such ("passes":2) in the artifact.
       // SPARK_GRAFT_BENCH_PASSES overrides (1 restores the old behavior).
       val timed = block.map { case (name, fn) =>
-        val best = (1 to passes).map { _ =>
+        def onePass(): (Double, Boolean) = {
           val t0 = System.nanoTime()
-          try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> best
+          val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        // min over SUCCESSFUL passes only: a pass that throws typically
+        // fails fast, and letting its short elapsed time win the min would
+        // mask a regression behind a fast failure. All-passes-failed
+        // records the -1 failure marker (never a time).
+        val first = (1 to passes).map(_ => onePass())
+        var best = first.collect { case (t, true) => t } match {
+          case ok if ok.nonEmpty => ok.min
+          case _ => -1.0
+        }
+        var retries = 0
+        while (retryCeiling > 0 && best > retryCeiling && retries < maxRetries) {
+          retries += 1
+          val (t, ok) = onePass()
+          if (ok && t < best) best = t
+        }
+        (name, best, retries)
       }
       spark.stop()
       SparkSession.clearActiveSession()
@@ -98,9 +127,10 @@ object Bench {
     }
     def fmt(v: Double, places: Int): String =
       java.lang.String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 4) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    val nFailed = results.count(_._2 < 0)
     // environment fingerprint: a contended machine (stray JVMs, parallel
     // builds) inflates CPU-bound queries 10-100x — recording cores + the
     // 1-min load average alongside the numbers makes contamination
@@ -110,8 +140,11 @@ object Bench {
     val excluded =
       if (twins) "[]"
       else twinEntries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retried = results.collect { case (k, _, r) if r > 0 => s"\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
     val env = s""""sf":"$sfDir","cores":$cores,"load_avg_1m":$load,"cold":$cold,""" +
-      s""""recycle_every":$blockSize,"passes":$passes,"twins_excluded":$excluded"""
+      s""""recycle_every":$blockSize,"passes":$passes,"retry_ceiling_sec":$retryCeiling,""" +
+      s""""retries":$retried,"n_failed":$nFailed,"twins_excluded":$excluded"""
     // full per-query record first (for the build log / BASELINE.md), then a
     // compact summary as the LAST line: the driver's artifact keeps a
     // bounded tail of stdout, and the ~4 KB full line overflows it (round-3
@@ -120,7 +153,7 @@ object Bench {
     // is self-contained: total + count + the slowest legs, parseable.
     println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,$env}""")
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
+      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.length},"slowest":$slowest,$env}""")
   }
 }

@@ -184,11 +184,23 @@ object Graph {
     * this is the reproducible variant a data pipeline needs.
     *
     * Per round: one edge⋈labels equi join, one (dst, label) count
-    * reduce, one per-dst top-1 window — all key-partitioned. Fixed small
-    * round count composes lazily into one plan (the [[pageRankInt]]
-    * pattern); nodes with no in-edges never appear, so symmetrize the
-    * edge list if isolated-direction nodes must keep their own label.
+    * reduce, one per-dst top-1 window, one left join carrying forward
+    * the labels of nodes with no in-edges — all key-partitioned. Fixed
+    * small round count composes lazily into one plan (the
+    * [[pageRankInt]] pattern). Labels seed from src ∪ dst and every
+    * edge-touched node keeps a row (and keeps VOTING) in every round —
+    * canonical synchronous LP on non-symmetric graphs: a node with
+    * out-edges but no in-edges retains its own label and still pushes
+    * it downstream each round (on a symmetric edge list the carry-
+    * forward never fires and the result is unchanged). Nodes with no
+    * edges at all can't appear in an edge list; pass them via
+    * `isolated` to union them back as their own singleton communities.
     *
+    * @param isolated optional node set (column `isolatedCol`); nodes in
+    *                 it but absent from the edge list are appended with
+    *                 community = own id, so downstream joins see the
+    *                 full node universe instead of a silently shrunken
+    *                 one
     * @return (node, community) after `iterations` rounds from
     *         community(v) = v
     */
@@ -196,26 +208,41 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 4
+      iterations: Int = 4,
+      isolated: Option[DataFrame] = None,
+      isolatedCol: String = "node"
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    var labels = e.select(col("src").as("node")).distinct()
+    var labels = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iterations) {
       val w = Window.partitionBy("dst").orderBy(col("k").desc, col("label").asc)
-      labels = e
+      val votes = e
         .join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("k"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("dst").as("node"), col("label"))
+        .select(col("dst").as("vnode"), col("label").as("vlabel"))
+      labels = labels
+        .join(votes, labels("node") === votes("vnode"), "left")
+        .select(col("node"), coalesce(col("vlabel"), col("label")).as("label"))
     }
-    labels.select(col("node"), col("label").as("community"))
+    val communities = labels.select(col("node"), col("label").as("community"))
+    isolated match {
+      case None => communities
+      case Some(n) =>
+        val extra = n.select(col(isolatedCol).cast("long").as("node")).distinct()
+          .join(communities.select("node"), Seq("node"), "left_anti")
+          .withColumn("community", col("node"))
+        communities.unionByName(extra)
+    }
   }
 
   /** Canonical-document selection: one keeper per component, largest

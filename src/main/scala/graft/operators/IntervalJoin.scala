@@ -59,16 +59,41 @@ object IntervalJoin {
     * when the pair LIST itself is the output; for overlap COUNTS use
     * [[RangeRank.overlapCounts]] — O((L+R) log), measured ×1.9 for
     * ×10 data on the same workload.
+    *
+    * GUARD (default ON, the d1-maxDf spirit): `maxPairsPerBucket` caps
+    * the per-day pair product. A day bucket whose |left-day| ×
+    * |right-day| census exceeds the cap is DROPPED from the join —
+    * pairs whose only shared days are degenerate are lost, exactly like
+    * maxDf drops stop-gram postings — so one hot day (a global outage,
+    * a batch-dated backfill) can't re-create the quadratic shape this
+    * operator's own doc warns about. The census is part of the SAME
+    * lazy plan (two day-grain aggregates + a broadcast-size allowed-day
+    * join), no extra action. Pass `Long.MaxValue` to explicitly accept
+    * unbounded per-bucket products on trusted-small inputs.
     */
   def overlapByDay(
       left: DataFrame, lStart: String, lEnd: String,
-      right: DataFrame, rStart: String, rEnd: String
+      right: DataFrame, rStart: String, rEnd: String,
+      maxPairsPerBucket: Long = 10000000L
   ): DataFrame = {
     val l = left.withColumn("__day",
       explode(sequence(to_date(col(lStart)), to_date(col(lEnd)))))
     val r = right.withColumn("__day",
       explode(sequence(to_date(col(rStart)), to_date(col(rEnd)))))
-    l.join(r, Seq("__day"))
+    val (lg, rg) =
+      if (maxPairsPerBucket == Long.MaxValue) (l, r)
+      else {
+        // day-grain census of both sides -> allowed days (bounded: one row
+        // per calendar day with activity), semi-joined onto each side
+        val lc = l.groupBy("__day").agg(count(lit(1)).as("__ln"))
+        val rc = r.groupBy("__day").agg(count(lit(1)).as("__rn"))
+        val allowed = lc.join(rc, Seq("__day"))
+          .filter(col("__ln") * col("__rn") <= maxPairsPerBucket)
+          .select("__day")
+        (l.join(broadcast(allowed), Seq("__day"), "left_semi"),
+          r.join(broadcast(allowed), Seq("__day"), "left_semi"))
+      }
+    lg.join(rg, Seq("__day"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .drop("__day")
       .distinct()

@@ -20,8 +20,9 @@ import org.apache.spark.storage.StorageLevel
   *
   *   1. compact to (group, value) → freq            [one shuffle, partial agg]
   *   2. ~equi-depth value buckets from approxQuantile boundaries over the
-  *      compacted frame (bucket id = #boundaries ≤ v, an O(P) codegen'd
-  *      array filter per row — no RangePartitioner sampling job)
+  *      compacted frame (bucket id = #boundaries ≤ v, an O(log P) codegen
+  *      binary search per row [[graft.plans.BoundsRank]] — no
+  *      RangePartitioner sampling job)
   *   3. (bucket, group) → count, collected          [B × G scalars — bounded
   *      by buckets × groups, NOT by data]; driver prefix-sums them into the
   *      absolute rank offset of every bucket slice
@@ -86,14 +87,17 @@ object Percentiles {
       val bounds = freq.stat
         .approxQuantile("v", (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
         .distinct.sorted
-      // NaN sorts greatest in Spark (and in the builtin percentile's sort),
-      // so NaN pins to the top bucket — `b <= NaN` is false for every
-      // boundary and would otherwise drop it into bucket 0, shifting every
-      // rank in the group
+      // NaN sorts greatest in Spark (and in the builtin percentile's
+      // sort), so NaN must pin to the top bucket. bounds_rank's
+      // binarySearch total order already sends NaN there; the explicit
+      // isnan branch stays as belt-and-suspenders documentation of the
+      // contract. bounds_rank is an O(log B) codegen binary search over
+      // ONE broadcast boundary array, not an O(B) literal-array filter
+      // (B tracks the shuffle-partition count).
       val bucketOf =
         if (bounds.isEmpty) lit(0)
         else when(isnan(col("v")), lit(bounds.length))
-          .otherwise(size(filter(array(bounds.map(lit(_)): _*), b => b <= col("v"))))
+          .otherwise(graft.plans.BoundsRank.bounds_rank(col("v"), bounds))
       val freqB = freq.withColumn("bucket", bucketOf)
 
       // B × G counters -> absolute rank offset of every (bucket, group)

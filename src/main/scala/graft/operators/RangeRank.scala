@@ -40,15 +40,26 @@ object RangeRank {
       strict: Boolean
   ): DataFrame = {
     val spark = probes.sparkSession
+    // the internal working columns are appended to the probe frame and the
+    // frame is rebuilt by name afterwards — a probe column sharing one of
+    // these names would be silently clobbered, so fail loudly instead
+    // (outCol collisions are the caller's explicit choice and allowed)
+    val reserved = Seq("_v", "_isref", "_b", "_cnt", "_off")
+    val clash = probes.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"countRef reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename probe columns: ${clash.mkString(", ")}")
     val rv = ref.select(col(refCol).cast("long").as("_v")).filter(col("_v").isNotNull)
 
     val numBuckets = spark.sessionState.conf.numShufflePartitions
     val bounds = rv.select(col("_v").cast("double").as("_vd")).stat
       .approxQuantile("_vd", (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
       .distinct.sorted
+    // O(log B) codegen binary search (one reference object), not an O(B)
+    // literal-array filter: B tracks the cluster's shuffle-partition count
     def bucketOf(v: org.apache.spark.sql.Column) =
       if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.map(lit(_)): _*), b => b <= v.cast("double")))
+      else graft.plans.BoundsRank.bounds_rank(v.cast("double"), bounds)
 
     // bounded |buckets|-row exclusive-prefix offsets of reference counts
     val counts: Map[Int, Long] = rv.withColumn("_b", bucketOf(col("_v")))

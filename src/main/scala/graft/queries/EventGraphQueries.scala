@@ -192,14 +192,21 @@ object EventGraphQueries {
     }),
 
     "x16_dp_noisy_counts" -> ((s, d) => {
-      // ε-differentially-private histogram release: each (event_type,
-      // day) count gets Laplace(1/ε) noise BEFORE publication — the
-      // modern complement of a3's threshold-suppression privacy rule.
-      // The noise is SEEDED (md5-uniform → inverse-CDF Laplace), so the
-      // release is a pure function of the data and the seed: any engine
-      // reproduces it bit-for-bit (the x4/x11 portable-uniform idiom),
-      // the oracle replays it, and a re-run can't silently re-randomize
-      // a published table. Raw counts are NOT released. Map-side
+      // Seeded-Laplace DP-SHAPED histogram release: each (event_type,
+      // day) count gets Laplace(1/ε)-distributed noise BEFORE
+      // publication — the modern complement of a3's threshold-
+      // suppression privacy rule. The noise is SEEDED (md5-uniform →
+      // inverse-CDF Laplace) from the group key and a hardcoded public
+      // seed, so the release is a pure function of the data and seed:
+      // any engine reproduces it bit-for-bit (the x4/x11 portable-
+      // uniform idiom), the oracle replays it, and a re-run can't
+      // silently re-randomize a published table. NOTE: determinism is
+      // a replay/testing device, not a privacy guarantee — with a
+      // public seed anyone can recompute and subtract the noise, so a
+      // real ε-DP deployment must draw the noise from a secret seed
+      // (swap the "dp42" literal for a key-management secret); the
+      // mechanism and sensitivity analysis carry over unchanged.
+      // Raw counts are NOT released. Map-side
       // assignment on a |types|×|days| frame after one count reduce.
       val e = Tables(s, d).events
         .groupBy(col("event_type"),
@@ -218,11 +225,13 @@ object EventGraphQueries {
 
     "a29_cusum_changepoint" -> ((s, d) => {
       // One-sided CUSUM drift detection over the daily count series, via
-      // the drawdown identity cusum⁺(d) = S(d) − min_{j≤d} S(j) with
-      // S = running sum of (count − mean): equivalent to the
-      // max(0, prev + dev) recursion but expressible as two ordered
-      // window passes — no recursion, no UDF, identical plan in the
-      // oracle. The mean rides the exact decimal-sum pattern and the
+      // the drawdown identity cusum⁺(d) = S(d) − min_{0≤j≤d} S(j) with
+      // S = running sum of (count − mean) and the S(0)=0 empty prefix
+      // included in the min (the least(0, …) term): exactly the
+      // max(0, prev + dev) recursion — by induction, both are 0 at d=0
+      // and clamp at 0 whenever the running sum sets a new minimum —
+      // expressible as two ordered window passes: no recursion, no UDF,
+      // identical plan in the oracle. The mean rides the exact decimal-sum pattern and the
       // ordered float cumsum is bit-deterministic (fixed order both
       // engines). Alarm threshold = 4σ of the daily counts (a17's
       // stddev_samp precedent; a type with a single observed day has
@@ -242,7 +251,8 @@ object EventGraphQueries {
       daily
         .withColumn("dev", col("c") - mean)
         .withColumn("srun", sum(col("dev")).over(ordered))
-        .withColumn("cusum_pos", col("srun") - min(col("srun")).over(ordered))
+        .withColumn("cusum_pos",
+          col("srun") - least(lit(0.0), min(col("srun")).over(ordered)))
         .select(col("event_type"), col("day"),
           round(col("cusum_pos"), 6).as("cusum_pos"),
           (col("cusum_pos") > lit(4.0) * sd).as("is_change"))
@@ -557,8 +567,8 @@ object EventGraphQueries {
         |    PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS srun
         |  FROM m),
         |x AS (
-        |  SELECT *, srun - min(srun) OVER (
-        |    PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum_pos
+        |  SELECT *, srun - least(0, min(srun) OVER (
+        |    PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum_pos
         |  FROM s)
         |SELECT event_type, day,
         |  round(cusum_pos, 6) AS cusum_pos,

@@ -70,11 +70,13 @@ object StreamingQueries {
       // arrival (decidable immediately — no sentinel/flush needed)
       StreamingJobs.streamingAttribution(s, d)),
     "st21_stream_dp_release" -> ((s, d) => {
-      // privacy-preserving telemetry publication at ingest: st5's real
-      // streaming tumbling counts, released through x16's seeded-Laplace
+      // DP-SHAPED telemetry publication at ingest: st5's real streaming
+      // tumbling counts, released through x16's seeded-Laplace
       // mechanism (ε=1) as a stateless post-aggregation projection —
       // the published hourly series is noisy, deterministic (md5-seeded
-      // inverse-CDF), and never exposes the raw counts
+      // inverse-CDF), and never exposes the raw counts. As in x16, the
+      // PUBLIC seed makes this replayable but not actually private; a
+      // production ε-DP release needs a secret seed (see x16 note).
       import org.apache.spark.sql.functions._
       val counts = StreamingJobs.tumblingEventCounts(s, d)
       val key = concat(col("event_type"), lit("|"),

@@ -293,7 +293,8 @@ class Wave7Spec extends SparkSpecBase {
       count(lit(1)).over(byType)
     val out = daily.withColumn("dev", col("c") - mean)
       .withColumn("srun", sum(col("dev")).over(ordered))
-      .withColumn("cusum_pos", col("srun") - min(col("srun")).over(ordered))
+      .withColumn("cusum_pos",
+        col("srun") - least(lit(0.0), min(col("srun")).over(ordered)))
       .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
         r.getAs[Double]("cusum_pos"))).toSeq
     assert(out.filter(_._1 == "flat").forall(_._3 == 0.0)) // dev==0 everywhere

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, IntervalJoin, RangeRank}
+import graft.plans.BoundsRank
+
+/** Round-7 hardening wave: CUSUM canonical-recursion equivalence, the
+  * overlapByDay degenerate-bucket guard, countRef reserved-name guard,
+  * BoundsRank binary-search differential, and canonical label
+  * propagation on non-symmetric graphs.
+  */
+class Wave8Spec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // ---- a29 CUSUM: drawdown identity == max(0, prev + dev) recursion ------
+
+  test("CUSUM drawdown identity matches the canonical recursion when all prefix sums stay positive") {
+    // Rising series: dev > 0 from day one, so the running sum NEVER dips
+    // below 0 — the exact case where the pre-fix variant (min without the
+    // S(0)=0 anchor) understated the statistic by S(1).
+    val counts = Seq(30, 31, 29, 35, 40, 45, 50)
+    val daily = counts.zipWithIndex
+      .map { case (c, i) => ("t", f"2024-02-${i + 1}%02d", c.toLong) }
+      .toDF("event_type", "day", "c")
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val mean = sum(col("c").cast("decimal(28,6)")).over(byType).cast("double") /
+      count(lit(1)).over(byType)
+    val engine = daily
+      .withColumn("dev", col("c") - mean)
+      .withColumn("srun", sum(col("dev")).over(ordered))
+      .withColumn("cusum_pos",
+        col("srun") - least(lit(0.0), min(col("srun")).over(ordered)))
+      .orderBy("day")
+      .collect().map(_.getAs[Double]("cusum_pos")).toSeq
+
+    // driver-side canonical recursion: cusum(0)=0; cusum(d)=max(0, cusum(d-1)+dev(d))
+    val m = counts.sum.toDouble / counts.length
+    val expected = counts.map(_ - m).scanLeft(0.0)((acc, dev) => math.max(0.0, acc + dev)).tail
+    engine.zip(expected).foreach { case (e, x) => assert(math.abs(e - x) < 1e-9, s"$e vs $x") }
+    // the understated variant would differ here (first dev is negative of
+    // mean-shift but the tail accumulates): sanity that the series is the
+    // interesting one — at least one cusum value strictly positive on day 1
+    assert(expected.head != 0.0 || expected.exists(_ > 0.0))
+  }
+
+  // ---- overlapByDay degenerate-bucket guard -------------------------------
+
+  test("overlapByDay drops a day bucket whose pair product exceeds the cap, keeps the rest") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hot day: 30 x 30 = 900 candidate pairs on 2024-01-01; quiet day: 1 x 1
+    val hotL = (1 to 30).map(i => (i.toLong, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+    val l = (hotL :+ (99L, ts("2024-01-05 10:00:00"), ts("2024-01-05 11:00:00")))
+      .toDF("lid", "l_start", "l_end")
+    val hotR = (1 to 30).map(i => (100L + i, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")))
+    val r = (hotR :+ (999L, ts("2024-01-05 10:30:00"), ts("2024-01-05 12:00:00")))
+      .toDF("rid", "r_start", "r_end")
+
+    val guarded = IntervalJoin.overlapByDay(l, "l_start", "l_end", r, "r_start", "r_end",
+      maxPairsPerBucket = 100L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // the 900-pair day is dropped; the quiet day survives
+    assert(guarded == Seq((99L, 999L)))
+
+    val unguarded = IntervalJoin.overlapByDay(l, "l_start", "l_end", r, "r_start", "r_end",
+      maxPairsPerBucket = Long.MaxValue)
+    assert(unguarded.count() == 901L)
+    // default cap (10M) leaves small workloads untouched
+    val default = IntervalJoin.overlapByDay(l, "l_start", "l_end", r, "r_start", "r_end")
+    assert(default.count() == 901L)
+  }
+
+  // ---- countRef reserved-name guard ---------------------------------------
+
+  test("countRef rejects probe frames whose columns collide with its internal names") {
+    val ref = Seq(1L, 2L).toDF("v")
+    val probes = Seq((1L, 2L)).toDF("id", "_cnt")
+    val e = intercept[IllegalArgumentException] {
+      RangeRank.countRef(ref, "v", probes, "id", "out", strict = false)
+    }
+    assert(e.getMessage.contains("_cnt"))
+  }
+
+  // ---- BoundsRank binary search == linear array-filter probe --------------
+
+  test("bounds_rank matches the linear filter probe on edges, ties, gaps, NaN, null") {
+    val bounds = Array(-3.5, 0.0, 2.0, 7.25, 100.0)
+    val vals: Seq[java.lang.Double] = Seq(
+      -10.0, -3.5, -3.4999, 0.0, 1.0, 2.0, 5.0, 7.25, 99.0, 100.0, 1e9,
+      Double.NaN, null)
+    val df = vals.toDF("v")
+    val out = df.select(
+      col("v"),
+      BoundsRank.bounds_rank(col("v"), bounds).as("fast"),
+      size(filter(array(bounds.map(lit(_)): _*), b => b <= col("v"))).as("slow"))
+      .collect()
+    out.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1)) // null in -> null out
+      else {
+        // Spark comparison order: NaN > everything, so the array filter
+        // returns B for NaN — the binary search's total order agrees
+        assert(r.getInt(1) == r.getInt(2), s"v=${r.get(0)}: fast=${r.get(1)} slow=${r.get(2)}")
+      }
+    }
+    // scalar sanity across every insertion point
+    for (v <- Seq(-4.0, -3.5, -1.0, 0.0, 0.5, 2.0, 3.0, 7.25, 50.0, 100.0, 101.0)) {
+      assert(BoundsRank.compute(v, bounds) == bounds.count(_ <= v))
+    }
+    assert(BoundsRank.compute(Double.NaN, bounds) == bounds.length)
+  }
+
+  // ---- canonical label propagation on non-symmetric graphs ----------------
+
+  test("labelPropagation: a source-only node keeps its label and keeps voting every round") {
+    // 0 -> 1 -> 2 -> 3 chain (directed, NOT symmetrized). Node 0 has no
+    // in-edges: canonical synchronous LP keeps label(0)=0 forever and its
+    // vote propagates one hop per round; after 3 rounds everything is 0.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // every node of src ∪ dst appears — no silently shrunken node set
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("labelPropagation: isolated nodes union back as singleton communities") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 7L, 8L).toDF("node")
+    val out = Graph.labelPropagation(edges, "src", "dst", iterations = 2,
+      isolated = Some(nodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(7L) == 7L && out(8L) == 8L)
+    // a 2-cycle oscillates under synchronous LP: after an even round
+    // count each node is back to its own label (documented determinism)
+    assert(out(1L) == 1L && out(2L) == 2L)
+  }
+
+  test("labelPropagation on a symmetric graph is unchanged by the carry-forward (two cliques)") {
+    // same shape as the Wave7 clique test: symmetric edges — the left join
+    // carry-forward must be a no-op on the result
+    val cliqueA = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- 10L to 13L if a != b) yield (a, b)
+    val edges = (cliqueA ++ cliqueB :+ (3L, 10L) :+ (10L, 3L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(n => out(n) == 0L))
+    assert((10L to 13L).forall(n => out(n) == 10L))
+  }
+}
