@@ -65,6 +65,53 @@ object EmPipelineJob {
           "processed_at")
         val batch2 = Staging.femaDisasters(Fixtures.fema(spark, 2000), Timestamp.valueOf("2024-08-01 12:00:00"))
         graft.operators.Scd2.merge(snapBase, batch2, Seq("disaster_number"), "processed_at")
+      }),
+      Dag.Node("weather_alerts_snapshot", Seq("stg_noaa"), { d =>
+        // snapshots/weather_alerts_snapshot.sql: unique_key=alert_id,
+        // strategy=timestamp on processed_at, invalidate_hard_deletes —
+        // batch 2 re-stages the feed a month later; alerts that left the
+        // feed close at the batch-2 run time
+        import org.apache.spark.sql.functions._
+        val k = regexp_extract(col("alert_id"), "([0-9]+)$", 1).cast("int")
+        val base = graft.operators.Scd2.init(d("stg_noaa").filter(k % 2 === 0), "processed_at")
+        val t2 = Timestamp.valueOf("2024-08-01 12:00:00")
+        val batch2 = Staging.noaaWeather(Fixtures.noaa(spark, 1000), t2)
+        graft.operators.Scd2.merge(base, batch2, Seq("alert_id"), "processed_at",
+          invalidateHardDeletes = true, deleteTs = Some(t2))
+      }),
+      Dag.Node("agricultural_risk_snapshot", Seq("stg_usda"), { d =>
+        // snapshots/agricultural_risk_snapshot.sql: the 4-column composite
+        // unique_key program_year||state_code||county_code||commodity_name.
+        // The staging feed carries several policies per composite key, so
+        // collapse to one row per key (deterministic max) before merging —
+        // a timestamp strategy cannot order same-ts duplicates.
+        import org.apache.spark.sql.functions._
+        val keys = Seq("program_year", "state_code", "county_code", "commodity_name")
+        def collapse(src: org.apache.spark.sql.DataFrame) = src
+          .groupBy(keys.map(col): _*)
+          .agg(max("loss_category").as("loss_category"),
+            max("premium_amount_usd").as("premium_amount_usd"),
+            max("indemnity_amount_usd").as("indemnity_amount_usd"),
+            first("processed_at").as("processed_at"))
+        val base = graft.operators.Scd2.init(collapse(d("stg_usda")), "processed_at")
+        val t2 = Timestamp.valueOf("2024-08-01 12:00:00")
+        val batch2 = collapse(Staging.usdaData(Fixtures.usda(spark, 5000), t2))
+        graft.operators.Scd2.merge(base, batch2, keys, "processed_at",
+          invalidateHardDeletes = true, deleteTs = Some(t2))
+      }),
+      Dag.Node("emergency_events_summary_snapshot", Seq("emergency_events"), { d =>
+        // snapshots/emergency_events_summary_snapshot.sql: unique_key=
+        // event_id, updated_at=last_updated — the one snapshot taken
+        // DOWNSTREAM of a model (the emergency_events mart), versioning
+        // the published summary rather than a staging feed
+        import org.apache.spark.sql.functions._
+        val ev = d("emergency_events")
+        val base = graft.operators.Scd2.init(
+          ev.filter(regexp_extract(col("event_id"), "([0-9]+)$", 1).cast("int") % 2 === 0),
+          "last_updated")
+        val batch2 = ev.withColumn("last_updated",
+          lit(Timestamp.valueOf("2024-08-01 12:00:00")))
+        graft.operators.Scd2.merge(base, batch2, Seq("event_id"), "last_updated")
       })
     )
     val result = Dag.run(nodes, sink)

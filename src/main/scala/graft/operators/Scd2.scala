@@ -4,9 +4,16 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** SCD2 timestamp-strategy snapshots over parquet — dbt snapshot semantics
-  * (reference: snapshots/disaster_declarations_snapshot.sql:2-37,
-  * invalidate_hard_deletes=True) without a MERGE-capable table format.
+/** SCD2 snapshots over parquet — dbt snapshot semantics (reference:
+  * snapshots/disaster_declarations_snapshot.sql:2-37 and the three
+  * sibling configs, all `strategy='timestamp'` with
+  * `invalidate_hard_deletes=True`; `agricultural_risk_snapshot.sql`
+  * uses the 4-column composite `unique_key`) without a MERGE-capable
+  * table format. Both dbt strategies are provided: [[merge]] =
+  * `strategy='timestamp'` (change when `updated_at` advances),
+  * [[mergeCheckCols]] = `strategy='check'` (change when any
+  * `check_cols` value differs; validity stamped with the snapshot run
+  * time, dbt's current_timestamp).
   *
   * History table columns: business columns + `valid_from`, `valid_to`
   * (null = open), `is_current`. The merge is a deterministic full-outer
@@ -90,5 +97,82 @@ object Scd2 {
       .unionByName(nowClosed)
       .unionByName(hardClosed)
       .unionByName(newOpen)
+  }
+
+  /** Initialize a history table stamped at a snapshot run time (the
+    * check-cols companion of [[init]], which reads validity from a data
+    * column). */
+  def initAt(batch: DataFrame, runTs: java.sql.Timestamp): DataFrame =
+    batch
+      .withColumn("valid_from", lit(runTs).cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+
+  /** dbt `strategy='check'` merge: a key is CHANGED when any of
+    * `checkCols` differs (null-safe) between its open history row and the
+    * batch row — no reliance on a source-updated timestamp, the strategy
+    * for feeds that mutate in place without bumping one. Validity edges
+    * are stamped with `runTs` (dbt uses the snapshot's
+    * current_timestamp): changed keys close at `runTs` and reopen at
+    * `runTs` with the batch's values; unchanged keys keep their open row
+    * untouched; new keys open at `runTs`; keys absent from the batch
+    * close at `runTs` when `invalidateHardDeletes`. Idempotent: re-running
+    * with the same batch changes nothing (every checkCol then matches).
+    *
+    * The batch must be one row per key (pre-collapse upstream — there is
+    * no updated_at to pick "latest" by, so this operator refuses to guess
+    * and instead keys the full-outer join directly).
+    */
+  def mergeCheckCols(
+      history: DataFrame,
+      batch: DataFrame,
+      keys: Seq[String],
+      checkCols: Seq[String],
+      runTs: java.sql.Timestamp,
+      invalidateHardDeletes: Boolean = false
+  ): DataFrame = {
+    require(checkCols.nonEmpty, "check strategy needs at least one check column")
+    val bizCols = history.columns.filterNot(Seq("valid_from", "valid_to", "is_current").contains)
+
+    val closed = history.filter(!col("is_current"))
+    val open = history.filter(col("is_current"))
+
+    // presence flags survive the coalescing using-join (the merge()
+    // device uses updatedAt; check strategy has none, so tag explicitly)
+    val joined = open.withColumn("__has_old", lit(true)).as("o")
+      .join(batch.withColumn("__has_new", lit(true)).as("n"), keys, "full_outer")
+    val hasOld = col("o.__has_old").isNotNull
+    val hasNew = col("n.__has_new").isNotNull
+    // null-safe inequality on any check column = dbt's row-changed test
+    val differs = checkCols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+
+    def oRow(extra: Seq[org.apache.spark.sql.Column]) =
+      keys.map(col) ++ bizCols.filterNot(keys.contains).map(c => col(s"o.$c")) ++ extra
+    def nRow(extra: Seq[org.apache.spark.sql.Column]) =
+      keys.map(col) ++ bizCols.filterNot(keys.contains).map(c => col(s"n.$c")) ++ extra
+
+    val stillOpen = joined
+      .filter(hasOld && hasNew && !differs)
+      .select(oRow(Seq(col("o.valid_from"), col("o.valid_to"), col("o.is_current"))): _*)
+    val nowClosed = joined
+      .filter(hasOld && hasNew && differs)
+      .select(oRow(Seq(col("o.valid_from"), lit(runTs).cast("timestamp").as("valid_to"),
+        lit(false).as("is_current"))): _*)
+    val hardClosed =
+      if (!invalidateHardDeletes) open.limit(0)
+      else joined
+        .filter(hasOld && !hasNew)
+        .select(oRow(Seq(col("o.valid_from"), lit(runTs).cast("timestamp").as("valid_to"),
+          lit(false).as("is_current"))): _*)
+    val newOpen = joined
+      .filter(hasNew && (!hasOld || differs))
+      .select(nRow(Seq(lit(runTs).cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))): _*)
+
+    closed
+      .unionByName(stillOpen.drop("__has_old", "__has_new"))
+      .unionByName(nowClosed.drop("__has_old", "__has_new"))
+      .unionByName(hardClosed.drop("__has_old", "__has_new"))
+      .unionByName(newOpen.drop("__has_old", "__has_new"))
   }
 }

@@ -84,6 +84,84 @@ object EmModelQueries {
   private def fmtD(c: Column): Column = date_format(c, "yyyy-MM-dd")
   private def fmtT(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  // ---- em_snapshots: the three remaining reference snapshot configs ------
+
+  /** Batch-2 run time and hard-delete time for the snapshot replay (day
+    * after / two days after the fixture run ts, UTC-exact like RunTs). */
+  private val Run2Ts = new Timestamp((AsOfDay + 1) * 86400000L + 12L * 3600000L)
+  private val Del3Ts = new Timestamp((AsOfDay + 2) * 86400000L)
+  private val Run2TsSql = "TIMESTAMP '2024-09-25 12:00:00'"
+  private val Del3TsSql = "TIMESTAMP '2024-09-26 00:00:00'"
+
+  /** Uniform summary projection over an SCD2 history: snapshot identity +
+    * key + one payload column (shows WHICH version survived each merge
+    * path) + validity + the reference's compliance metadata literals. */
+  private def snapSummary(
+      name: String, purpose: String, hist: DataFrame,
+      key: Column, payload: Column): DataFrame =
+    hist.select(
+      lit(name).as("snapshot_name"),
+      key.as("record_key"),
+      payload.as("payload_attr"),
+      fmtT(col("valid_from")).as("valid_from"),
+      fmtT(col("valid_to")).as("valid_to"),
+      col("is_current"),
+      lit("FedRAMP,DORA,FISMA,NIST").as("applicable_frameworks"),
+      lit(purpose).as("snapshot_purpose"))
+
+  /** Build batch 1 / batch 2 from a 1-row-per-key frame using the per-key
+    * integer `k`: b1 = k%3∈{0,1}, b2 = k%3∈{1,2} with even-k rows bumped
+    * to Run2Ts and their payload suffixed '+r2'. The merge then hits all
+    * four SCD2 paths: k%3=0 hard-deletes, k%3=1∧odd stays open, k%3=1∧even
+    * closes+reopens, k%3=2 appends new. */
+  private def snapshotMerge(
+      src: DataFrame, k: Column, keys: Seq[String],
+      tsCol: String, payloadCol: String): DataFrame = {
+    import graft.operators.Scd2
+    val b1 = src.filter(k % 3 <= 1)
+    val b2 = src.filter(k % 3 >= 1)
+      .withColumn(tsCol, when(k % 2 === 0, lit(Run2Ts)).otherwise(col(tsCol)))
+      .withColumn(payloadCol,
+        when(k % 2 === 0, concat(col(payloadCol), lit("+r2"))).otherwise(col(payloadCol)))
+    Scd2.merge(Scd2.init(b1, tsCol), b2, keys, tsCol,
+      invalidateHardDeletes = true, deleteTs = Some(Del3Ts))
+  }
+
+  private def snapshotHistories(s: SparkSession): DataFrame = {
+    // weather_alerts_snapshot: unique_key=alert_id, updated_at=processed_at
+    val kW = regexp_extract(col("alert_id"), "([0-9]+)$", 1).cast("int")
+    val weather = snapshotMerge(
+      stgNoaa(s).select("alert_id", "severity_level", "processed_at"),
+      kW, Seq("alert_id"), "processed_at", "severity_level")
+
+    // agricultural_risk_snapshot: 4-column composite unique_key. The
+    // staging frame can carry several policies per composite key, so
+    // collapse to one row per key first (deterministic max) — the
+    // timestamp strategy has no way to pick among same-ts duplicates.
+    val agKeys = Seq("program_year", "state_code", "county_code", "commodity_name")
+    val agSrc = stgUsda(s)
+      .groupBy(agKeys.map(col): _*)
+      .agg(max("loss_category").as("loss_category"))
+      .withColumn("processed_at", lit(RunTs))
+    val kA = conv(substring(md5(concat_ws("|", agKeys.map(col): _*)), 1, 2), 16, 10).cast("int")
+    val ag = snapshotMerge(agSrc, kA, agKeys, "processed_at", "loss_category")
+
+    // emergency_events_summary_snapshot: unique_key=event_id,
+    // updated_at=last_updated, over the emergency_events MART (the only
+    // snapshot taken downstream of a model, not a staging feed)
+    val kE = regexp_extract(col("event_id"), "([0-9]+)$", 1).cast("int")
+    val ev = snapshotMerge(
+      events(s).select("event_id", "risk_level", "last_updated"),
+      kE, Seq("event_id"), "last_updated", "risk_level")
+
+    snapSummary("weather_alerts_snapshot", "WEATHER_ALERT_TRACKING",
+        weather, col("alert_id"), col("severity_level"))
+      .unionByName(snapSummary("agricultural_risk_snapshot", "AGRICULTURAL_RISK_TRACKING",
+        ag, concat_ws("|", agKeys.map(col): _*), col("loss_category")))
+      .unionByName(snapSummary("emergency_events_summary_snapshot", "EMERGENCY_EVENTS_TRACKING",
+        ev, col("event_id"), col("risk_level")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em_events" -> ((s, d) => {
       ensureFixtures(s, d)
@@ -210,6 +288,24 @@ object EmModelQueries {
           ("coagmet", stgCoag(s), "station_id", "observation_date")),
         RunTs)
         .withColumn("last_processed_at", fmtD(col("last_processed_at")))
+    }),
+
+    "em_snapshots" -> ((s, d) => {
+      // The reference's remaining three snapshot configs as one replayed
+      // board entry (snapshots/weather_alerts_snapshot.sql,
+      // agricultural_risk_snapshot.sql — 4-column composite unique_key —
+      // and emergency_events_summary_snapshot.sql; all strategy=
+      // timestamp + invalidate_hard_deletes): for each, batch 1 seeds the
+      // history, batch 2 exercises EVERY merge path — still-open (same
+      // updated_at), close+reopen (newer updated_at, payload suffixed
+      // '+r2' so the surviving version is visible), hard delete (key
+      // vanished, closed at the delete ts), brand-new key — and the
+      // DuckDB oracle replays the same full-outer merge over the same
+      // fixture parquet. Subset membership and the batch-2 bump are
+      // driven by a deterministic per-key integer (digit suffix / md5
+      // byte), identical in both engines.
+      ensureFixtures(s, d)
+      snapshotHistories(s)
     }),
 
     "em_usage_metrics" -> ((s, d) => {
@@ -523,7 +619,76 @@ object EmModelQueries {
        |    $RunTsSql AS analytics_generated_at
        |  FROM win)""".stripMargin
 
+  /** Generic SCD2 timestamp-strategy merge replay over a `${p}_src` CTE
+    * of (record_key, payload, uts, k): builds b1/b2 with the same k-driven
+    * membership + bump as [[snapshotMerge]], then reconciles them with the
+    * same full-outer case analysis as `Scd2.merge` (1 row/key batches,
+    * init = b1 all-open): still-open, close+reopen, hard-delete at
+    * [[Del3TsSql]], new-key. Ends in `${p}_hist(record_key, payload, vf,
+    * vt, cur)`. */
+  private def snapMergeSql(p: String): String =
+    s"""${p}_b1 AS (SELECT record_key, payload, uts FROM ${p}_src WHERE k % 3 <= 1),
+       |${p}_b2 AS (
+       |  SELECT record_key,
+       |    CASE WHEN k % 2 = 0 THEN payload || '+r2' ELSE payload END AS payload,
+       |    CASE WHEN k % 2 = 0 THEN $Run2TsSql ELSE uts END AS uts
+       |  FROM ${p}_src WHERE k % 3 >= 1),
+       |${p}_j AS (
+       |  SELECT o.record_key AS o_key, o.payload AS o_p, o.uts AS o_t,
+       |         n.record_key AS n_key, n.payload AS n_p, n.uts AS n_t
+       |  FROM ${p}_b1 o FULL OUTER JOIN ${p}_b2 n ON o.record_key = n.record_key),
+       |${p}_hist AS (
+       |  SELECT o_key AS record_key, o_p AS payload, o_t AS vf,
+       |         CAST(NULL AS TIMESTAMP) AS vt, TRUE AS cur
+       |  FROM ${p}_j WHERE o_t IS NOT NULL AND n_t IS NOT NULL AND n_t <= o_t
+       |  UNION ALL
+       |  SELECT o_key, o_p, o_t, n_t, FALSE
+       |  FROM ${p}_j WHERE o_t IS NOT NULL AND n_t IS NOT NULL AND n_t > o_t
+       |  UNION ALL
+       |  SELECT o_key, o_p, o_t, $Del3TsSql, FALSE
+       |  FROM ${p}_j WHERE o_t IS NOT NULL AND n_t IS NULL
+       |  UNION ALL
+       |  SELECT n_key, n_p, n_t, CAST(NULL AS TIMESTAMP), TRUE
+       |  FROM ${p}_j WHERE n_t IS NOT NULL AND (o_t IS NULL OR n_t > o_t))""".stripMargin
+
+  private def snapSummarySql(p: String, name: String, purpose: String): String =
+    s"""SELECT '$name' AS snapshot_name, record_key, payload AS payload_attr,
+       |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       |  cur AS is_current,
+       |  'FedRAMP,DORA,FISMA,NIST' AS applicable_frameworks,
+       |  '$purpose' AS snapshot_purpose
+       |FROM ${p}_hist""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "em_snapshots" ->
+      s"""WITH $sqlSeed,
+         |$sqlStgFema,
+         |$sqlStgNoaa,
+         |$sqlStgUsda,
+         |$sqlEvents,
+         |w_src AS (
+         |  SELECT alert_id AS record_key, severity_level AS payload, processed_at AS uts,
+         |    CAST(regexp_extract(alert_id, '([0-9]+)$$', 1) AS INTEGER) AS k
+         |  FROM stg_noaa),
+         |a_src AS (
+         |  SELECT concat_ws('|', program_year, state_code, county_code, commodity_name) AS record_key,
+         |    max(loss_category) AS payload, $RunTsSql AS uts,
+         |    CAST(('0x' || substr(md5(concat_ws('|', program_year, state_code, county_code, commodity_name)), 1, 2)) AS INTEGER) AS k
+         |  FROM stg_usda GROUP BY program_year, state_code, county_code, commodity_name),
+         |e_src AS (
+         |  SELECT event_id AS record_key, risk_level AS payload, last_updated AS uts,
+         |    CAST(regexp_extract(event_id, '([0-9]+)$$', 1) AS INTEGER) AS k
+         |  FROM ev),
+         |${snapMergeSql("w")},
+         |${snapMergeSql("a")},
+         |${snapMergeSql("e")}
+         |${snapSummarySql("w", "weather_alerts_snapshot", "WEATHER_ALERT_TRACKING")}
+         |UNION ALL
+         |${snapSummarySql("a", "agricultural_risk_snapshot", "AGRICULTURAL_RISK_TRACKING")}
+         |UNION ALL
+         |${snapSummarySql("e", "emergency_events_summary_snapshot", "EMERGENCY_EVENTS_TRACKING")}""".stripMargin,
+
     "em_events" ->
       s"""WITH $sqlSeed,
          |$sqlStgFema,

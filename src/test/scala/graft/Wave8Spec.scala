@@ -113,6 +113,31 @@ class Wave8Spec extends SparkSpecBase {
     assert(BoundsRank.compute(Double.NaN, bounds) == bounds.length)
   }
 
+  // ---- em_snapshots: every SCD2 merge path is exercised -------------------
+
+  test("em_snapshots replay hits all four merge paths in each of the three snapshots") {
+    val rows = graft.queries.EmModelQueries.queries("em_snapshots")(spark, Sf0001)
+      .collect().map { r =>
+        (r.getAs[String]("snapshot_name"), r.getAs[String]("payload_attr"),
+          r.getAs[String]("valid_from"), Option(r.getAs[String]("valid_to")),
+          r.getAs[Boolean]("is_current"))
+      }.toSeq
+    val names = Seq("weather_alerts_snapshot", "agricultural_risk_snapshot",
+      "emergency_events_summary_snapshot")
+    assert(rows.map(_._1).toSet == names.toSet)
+    for (n <- names) {
+      val s = rows.filter(_._1 == n)
+      // still-open: untouched batch-1 row
+      assert(s.exists(r => r._5 && r._3 == "2024-09-24 12:00:00"), s"$n: no still-open row")
+      // close+reopen: closed at run-2 ts AND an open '+r2' version exists
+      assert(s.exists(r => !r._5 && r._4.contains("2024-09-25 12:00:00")), s"$n: no superseded row")
+      assert(s.exists(r => r._5 && r._3 == "2024-09-25 12:00:00" && r._2.endsWith("+r2")),
+        s"$n: no reopened +r2 row")
+      // hard delete: closed at the delete ts
+      assert(s.exists(r => !r._5 && r._4.contains("2024-09-26 00:00:00")), s"$n: no hard-deleted row")
+    }
+  }
+
   // ---- canonical label propagation on non-symmetric graphs ----------------
 
   test("labelPropagation: a source-only node keeps its label and keeps voting every round") {
