@@ -184,17 +184,21 @@ object Graph {
     * this is the reproducible variant a data pipeline needs.
     *
     * Per round: one edge⋈labels equi join, one (dst, label) count
-    * reduce, one per-dst top-1 window, one left join carrying forward
-    * the labels of nodes with no in-edges — all key-partitioned. Fixed
-    * small round count composes lazily into one plan (the
-    * [[pageRankInt]] pattern). Labels seed from src ∪ dst and every
-    * edge-touched node keeps a row (and keeps VOTING) in every round —
-    * canonical synchronous LP on non-symmetric graphs: a node with
-    * out-edges but no in-edges retains its own label and still pushes
-    * it downstream each round (on a symmetric edge list the carry-
-    * forward never fires and the result is unchanged). Nodes with no
-    * edges at all can't appear in an edge list; pass them via
-    * `isolated` to union them back as their own singleton communities.
+    * reduce, one per-dst top-1 window, one union with the static
+    * no-in-edge label frame — all key-partitioned. Labels seed from
+    * src ∪ dst and every edge-touched node keeps a row (and keeps
+    * VOTING) in every round — canonical synchronous LP on non-symmetric
+    * graphs: a node with out-edges but no in-edges never receives a
+    * vote, so its label provably stays its own id forever; the carry-
+    * forward is therefore a STATIC checkpointed frame unioned into each
+    * round, not a per-round left join — `labels` stays single-referenced
+    * and the fixed small round count composes lazily into one
+    * linear-size plan (the [[pageRankInt]] pattern; a per-round
+    * carry-forward join would reference `labels` twice and double the
+    * plan each round). On a symmetric edge list the static frame is
+    * empty and the result is unchanged. Nodes with no edges at all
+    * can't appear in an edge list; pass them via `isolated` to union
+    * them back as their own singleton communities.
     *
     * @param isolated optional node set (column `isolatedCol`); nodes in
     *                 it but absent from the edge list are appended with
@@ -217,22 +221,26 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    var labels = e.select(col("src").as("node"))
+    val allNodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
+      .localCheckpoint(true)
+    // nodes with no in-edges: never voted on, label pinned to own id
+    val noIn = allNodes
+      .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
       .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var labels = allNodes.withColumn("label", col("node"))
     for (_ <- 1 to iterations) {
       val w = Window.partitionBy("dst").orderBy(col("k").desc, col("label").asc)
-      val votes = e
+      labels = e
         .join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("k"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("dst").as("vnode"), col("label").as("vlabel"))
-      labels = labels
-        .join(votes, labels("node") === votes("vnode"), "left")
-        .select(col("node"), coalesce(col("vlabel"), col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(noIn)
     }
     val communities = labels.select(col("node"), col("label").as("community"))
     isolated match {

@@ -55,7 +55,196 @@ class PlanAuditSpec extends SparkSpecBase {
     "x13_token_budget_repeat" -> "uniform budgets over |sources| rows, broadcast back"
   )
 
-  private case class Fired(cartesian: Boolean, bnlj: Boolean, globalWindow: Boolean)
+  // Per-query shuffle-exchange budget (EXACT counts, AQE-off executedPlan
+  // at sf0.001): the cartesian/BNLJ/window detectors can't see a regression
+  // that merely ADDS an avoidable exchange — a stray repartition(), a lost
+  // broadcast, a join that stopped reusing a partitioning. Counting is
+  // exact both ways: above budget fails as a shuffle regression; below
+  // budget fails as a stale entry (the plan improved — lock in the win by
+  // lowering the number). Regenerate after an intentional plan change with
+  //   sbt "Test/runMain graft.ShuffleBudgetGen"
+  private val shuffleBudget: Map[String, Int] = Map(
+    "a10_freshness" -> 1,
+    "a11_zscore_outliers" -> 2,
+    "a13_rollup" -> 1,
+    "a14_pivot" -> 2,
+    "a15_percentiles" -> 0,
+    "a16_histogram" -> 1,
+    "a17_stats_suite" -> 1,
+    "a18_cube" -> 1,
+    "a19_geo_constraint" -> 1,
+    "a1_conditional_agg" -> 1,
+    "a20_temporal_cluster" -> 1,
+    "a21_drift_psi" -> 2,
+    "a22_latency_quantiles" -> 1,
+    "a23_funnel" -> 7,
+    "a24_cohort_retention" -> 3,
+    "a25_rolling_active_users" -> 4,
+    "a25b_rolling_actives_hll" -> 3,
+    "a26_mad_outliers" -> 1,
+    "a27_attribution" -> 2,
+    "a28_forecast_backtest" -> 3,
+    "a29_cusum_changepoint" -> 2,
+    "a2_daily_rollup" -> 1,
+    "a3_privacy_rollup" -> 1,
+    "a4_quality_union" -> 6,
+    "a5_count_distinct" -> 2,
+    "a5b_approx_distinct" -> 1,
+    "a6_health_buckets" -> 1,
+    "a7_time_floor_agg" -> 1,
+    "a8_config_agg" -> 1,
+    "a9_profile_stats" -> 2,
+    "d10_repeated_spans" -> 3,
+    "d10b_longest_dup_span" -> 3,
+    "d12_containment" -> 4,
+    "d13_corpus_overlap" -> 4,
+    "d13b_corpus_overlap_fast" -> 1,
+    "d14_dedup_savings" -> 3,
+    "d15_paragraph_dedup" -> 2,
+    "d16_boilerplate" -> 3,
+    "d17_fuzzy_join" -> 1,
+    "d1_ngram_jaccard" -> 4,
+    "d2_minhash_lsh" -> 1,
+    "d2b_minhash_portable" -> 3,
+    "d3_simhash" -> 1,
+    "d3b_simhash_portable" -> 1,
+    "d4_embedding_neardup" -> 1,
+    "d5_neardup_clusters" -> 1,
+    "d6_dedup_keepers" -> 2,
+    "d7_decontamination" -> 2,
+    "d7b_leaked_spans" -> 1,
+    "d7c_decontamination_bloom" -> 1,
+    "d8_semantic_dedup" -> 2,
+    "d9_semantic_decontamination" -> 1,
+    "em_ag_summary" -> 3,
+    "em_analytics" -> 3,
+    "em_api_performance" -> 9,
+    "em_events" -> 0,
+    "em_fiscal_calendar" -> 1,
+    "em_public_ag" -> 1,
+    "em_public_alerts" -> 1,
+    "em_public_disasters" -> 1,
+    "em_quality_metrics" -> 6,
+    "em_scalar_suite" -> 0,
+    "em_snapshots" -> 14,
+    "em_surrogate_ids" -> 0,
+    "em_usage_metrics" -> 2,
+    "em_weather_impacts" -> 2,
+    "g1_pagerank" -> 15,
+    "g2_label_propagation" -> 14,
+    "j10_json_extract" -> 0,
+    "j11_overlap_join" -> 3,
+    "j1_dim_enrich_agg" -> 1,
+    "j2_two_key_left" -> 2,
+    "j3_interval_join" -> 1,
+    "j5_anti_join" -> 0,
+    "j6_semi_join" -> 0,
+    "j7_daily_merge" -> 2,
+    "j8_ri_check" -> 2,
+    "j9_asof_join" -> 2,
+    "m1_multimodal_meta" -> 0,
+    "m2_image_decode" -> 0,
+    "m3_frame_sample" -> 0,
+    "m4_audio_decode" -> 0,
+    "m5_image_resize" -> 0,
+    "o2_custom_sort_topk" -> 0,
+    "p1_standardize_project" -> 0,
+    "p2_required_nonnull" -> 1,
+    "p3_range_validate" -> 0,
+    "p4_time_window_prune" -> 1,
+    "p5_categorical_filter" -> 1,
+    "p6_config_filter" -> 0,
+    "p7_truncate_mask" -> 0,
+    "s10_random_projection" -> 0,
+    "s11_mips_topk" -> 1,
+    "s1_knn_bruteforce" -> 1,
+    "s2_ann_lsh" -> 2,
+    "s3_ann_ivf" -> 1,
+    "s4_ann_pq" -> 2,
+    "s5_ann_ivfpq" -> 2,
+    "s6_scalar_quantization" -> 0,
+    "s7_knn_quantized" -> 1,
+    "s8_bm25_topk" -> 8,
+    "s9_hybrid_rrf" -> 12,
+    "st10_stream_semantic_dedup" -> 0,
+    "st11_stream_exact_dedup" -> 1,
+    "st12_stream_chunking" -> 0,
+    "st13_stream_sessionize" -> 0,
+    "st14_stream_quality_gate" -> 0,
+    "st15_stream_packing" -> 1,
+    "st16_stream_cdc_apply" -> 1,
+    "st17_stream_latency_quantiles" -> 0,
+    "st18_stream_drift_psi" -> 2,
+    "st19_stream_funnel" -> 3,
+    "st20_stream_attribution" -> 0,
+    "st21_stream_dp_release" -> 0,
+    "st5_stream_tumbling" -> 0,
+    "st6_stream_sliding" -> 0,
+    "st7_stream_join" -> 0,
+    "st9_stream_decontaminate" -> 0,
+    "t10_unigram_lm" -> 3,
+    "t11_repetition" -> 2,
+    "t12_normalize" -> 0,
+    "t13_bpe_learned" -> 0,
+    "t13b_bpe_encode_sample" -> 0,
+    "t14_compression_ratio" -> 0,
+    "t15_chunking" -> 0,
+    "t16_bigram_lm" -> 5,
+    "t17_gopher_filter" -> 0,
+    "t18_repetition_filter" -> 3,
+    "t19_lm_quality_filter" -> 7,
+    "t1_token_stats" -> 0,
+    "t20_token_entropy" -> 2,
+    "t2_quality_score" -> 0,
+    "t3_lang_id" -> 0,
+    "t4_fingerprint_shingles" -> 0,
+    "t5_rolling_fingerprint" -> 0,
+    "t5b_rolling_fingerprint_portable" -> 0,
+    "t6_bpe_pieces" -> 0,
+    "t7_pii_redact" -> 0,
+    "t7b_pii_spans" -> 0,
+    "t8_tfidf_topterms" -> 4,
+    "t9_array_suite" -> 0,
+    "u10_snapshot_diff" -> 3,
+    "u11_incremental_rollup" -> 2,
+    "u1_union_align" -> 0,
+    "u3_union_missing_cols" -> 0,
+    "u4_exact_dedup" -> 1,
+    "u5_upsert_latest" -> 1,
+    "u6_intersect" -> 1,
+    "u7_except" -> 1,
+    "u8_scd2_history" -> 1,
+    "u9_cdc_apply" -> 1,
+    "w1_lag_yoy" -> 2,
+    "w2_row_number" -> 1,
+    "w3_range_frame_30d" -> 1,
+    "w4_rows_frame_trailing" -> 1,
+    "w5_lead_next" -> 1,
+    "w7_ranking_suite" -> 1,
+    "x10_zorder_curve" -> 0,
+    "x11_stratified_quota" -> 1,
+    "x12_mixture_apply" -> 2,
+    "x13_token_budget_repeat" -> 3,
+    "x14_dataset_card" -> 2,
+    "x15_purged_time_split" -> 2,
+    "x16_dp_noisy_counts" -> 1,
+    "x1_hash_split" -> 1,
+    "x1b_hash_split_portable" -> 1,
+    "x2_sessionize_batch" -> 1,
+    "x3_pack_sequences" -> 1,
+    "x4_weighted_sample" -> 0,
+    "x5_mixture_rebalance" -> 2,
+    "x5b_temperature_mixture" -> 2,
+    "x6_ann_recall_report" -> 6,
+    "x6b_trained_ann_recall" -> 13,
+    "x6c_quantized_recall" -> 5,
+    "x7_quantile_shards" -> 1,
+    "x7b_quantile_shards_approx" -> 2,
+    "x8_global_shuffle" -> 1,
+    "x9_leakage_safe_split" -> 1
+  )
+
+  private case class Fired(cartesian: Boolean, bnlj: Boolean, globalWindow: Boolean, shuffles: Int)
 
   private def audit(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Fired = {
     val df = fn(spark, Sf0001)
@@ -66,14 +255,22 @@ class PlanAuditSpec extends SparkSpecBase {
     Fired(
       cartesian = physical.contains("CartesianProduct"),
       bnlj = physical.contains("BroadcastNestedLoopJoin"),
-      globalWindow = globalWin)
+      globalWindow = globalWin,
+      shuffles = PlanAudit.shuffleCount(df))
   }
 
-  private lazy val fired: Map[String, Either[String, Fired]] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+  private lazy val fired: Map[String, Either[String, Fired]] = {
+    // AQE off for the WHOLE audit pass: shuffleCount needs the concrete
+    // executedPlan (under AQE it's an opaque adaptive wrapper), and the
+    // budget table is defined at these exact conditions
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try Right(audit(fn))
       catch { case e: Throwable => Left(s"${String.valueOf(e.getMessage).take(120)}") })
     }.toMap
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 
   test("no board query plans a cartesian product, unbounded BNLJ, or raw global window") {
     val violations = fired.toSeq.sortBy(_._1).flatMap {
@@ -96,5 +293,24 @@ class PlanAuditSpec extends SparkSpecBase {
     val unusedWin = globalWindowBounded.keySet.filter(n => fired.get(n).exists(_.exists(f => !f.globalWindow)))
     assert(unusedBnlj.isEmpty && unusedWin.isEmpty,
       s"exemptions whose detector no longer fires (remove them): bnlj=$unusedBnlj window=$unusedWin")
+  }
+
+  test("every board query's shuffle-exchange count matches its recorded budget exactly") {
+    val violations = fired.toSeq.sortBy(_._1).flatMap {
+      case (_, Left(_)) => None // reported by the detector test
+      case (name, Right(f)) =>
+        shuffleBudget.get(name) match {
+          case None => Some(s"$name: no shuffle budget recorded — run ShuffleBudgetGen and add it")
+          case Some(b) if f.shuffles > b =>
+            Some(s"$name: ${f.shuffles} shuffles > budget $b — an avoidable exchange crept in")
+          case Some(b) if f.shuffles < b =>
+            Some(s"$name: ${f.shuffles} shuffles < budget $b — plan improved, lower the budget to lock it in")
+          case _ => None
+        }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+    // and the budget table can't accumulate entries for dead queries
+    val stale = shuffleBudget.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"budget entries for unknown queries: $stale")
   }
 }
