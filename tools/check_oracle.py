@@ -12,7 +12,21 @@ import json, sys, glob, math
 import duckdb
 import pandas as pd
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+# optional: --json <path> appends a CORRECTNESS-style JSON artifact
+# ({query: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+# err}}) alongside the human-readable report — used by the x100 EM leg
+# (tools/em100_leg.sh) to commit a per-round machine-readable record.
+args = [a for a in sys.argv[1:]]
+json_out = None
+if "--json" in args:
+    i = args.index("--json"); json_out = args[i + 1]; del args[i:i + 2]
+sfdir, outdir = args[0], args[1]
+results = {}
+
+def record(q, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err=None):
+    results[q] = {"rows_match": rows_match, "schema_match": schema_match,
+                  "hash_match": hash_match, "spark_rows": spark_rows,
+                  "oracle_rows": oracle_rows, "err": err}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -47,16 +61,19 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
     got = pd.concat([pd.read_parquet(f) for f in spark_files], ignore_index=True)
     if q not in oracle:
         print(f"{q:28s} ROWS-ONLY rows={len(got)}")
+        record(q, len(got) > 0, None, None, len(got), None, "no_oracle")
         continue
     try:
         exp = con.execute(oracle[q]).df()
     except Exception as e:
         print(f"{q:28s} ORACLE-SQL-ERROR {e}")
+        record(q, False, False, False, len(got), None, f"oracle sql error: {e}")
         fails += 1
         continue
     g, e = canon(got), canon(exp)
     if list(g.columns) != list(e.columns):
         print(f"{q:28s} COLS-MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
+        record(q, len(g) == len(e), False, False, len(g), len(e), "column mismatch")
         fails += 1; continue
     # Driver's hash compare is value-representation-sensitive: an int64 7500
     # and a float64 7500.0 hash differently. Emulate that by failing on
@@ -71,9 +88,11 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
     if kind_bad:
         c, gd, ed = kind_bad
         print(f"{q:28s} DTYPE-MISMATCH col={c} spark={gd} duck={ed} (driver hash would differ)")
+        record(q, len(g) == len(e), False, False, len(g), len(e), f"dtype mismatch {c}")
         fails += 1; continue
     if len(g) != len(e):
         print(f"{q:28s} ROWCOUNT spark={len(g)} duck={len(e)}")
+        record(q, False, True, False, len(g), len(e), "rowcount mismatch")
         fails += 1; continue
     bad = None
     for c in g.columns:
@@ -85,8 +104,13 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
     if bad:
         c, i, x, y = bad
         print(f"{q:28s} VALUE-MISMATCH col={c} row={i} spark={x!r} ({type(x).__name__}) duck={y!r} ({type(y).__name__})")
+        record(q, True, True, False, len(g), len(e), f"value mismatch col={c} row={i}")
         fails += 1
     else:
         print(f"{q:28s} OK rows={len(g)}")
+        record(q, True, True, True, len(g), len(e))
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
 print(f"\n{fails} failing")
 sys.exit(1 if fails else 0)
