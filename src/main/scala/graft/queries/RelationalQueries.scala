@@ -365,6 +365,37 @@ object RelationalQueries {
         tagged.filter(col("event_id") > col("mx") / 2), Seq("user_id"), "event_id", "event_id")
       graft.operators.Upsert.snapshotDiff(v1, v2, "user_id", Seq("value"), Seq("event_id"))
     }),
+    "u12_scd2_checkcols" -> ((s, d) => {
+      // dbt 'check' snapshot strategy with a FULL oracle (the timestamp
+      // strategy's board twin is u8/em_snapshots): the event log's
+      // first-half keep-latest table is snapshotted at run 1, then the
+      // SECOND-half keep-latest table is merged at run 2 with change
+      // detection by null-safe (event_type, value) column diff — no
+      // source timestamp involved, the check strategy's reason to exist.
+      // All four merge paths fire: unchanged users stay open from run 1,
+      // changed users close at run 2 and reopen with the new values,
+      // first-half-only users hard-delete at run 2, second-half-only
+      // users open new. Median split rides u10's O(1) broadcast row; one
+      // full-outer join on user_id.
+      val runTs1 = new java.sql.Timestamp(19990L * 86400000L + 12L * 3600000L)
+      val runTs2 = new java.sql.Timestamp(19991L * 86400000L + 12L * 3600000L)
+      val ev = Tables(s, d).events.select("user_id", "event_id", "event_type", "value")
+      val mx = ev.agg(max("event_id").as("mx"))
+      val tagged = ev.crossJoin(broadcast(mx))
+      def latest(df: DataFrame) = graft.operators.Upsert
+        .latestByKey(df, Seq("user_id"), "event_id", "event_id")
+        .select("user_id", "event_type", "value")
+      val v1 = latest(tagged.filter(col("event_id") <= col("mx") / 2))
+      val v2 = latest(tagged.filter(col("event_id") > col("mx") / 2))
+      graft.operators.Scd2
+        .mergeCheckCols(graft.operators.Scd2.initAt(v1, runTs1), v2,
+          Seq("user_id"), Seq("event_type", "value"), runTs2,
+          invalidateHardDeletes = true)
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_timestamp(col("valid_from")).as("valid_from_s"),
+          unix_timestamp(col("valid_to")).as("valid_to_s"),
+          col("is_current"))
+    }),
     "u9_cdc_apply" -> ((s, d) => {
       // CDC changelog apply: events as a change feed keyed by user —
       // newest change wins, and a key whose newest change is a tombstone
@@ -643,6 +674,37 @@ object RelationalQueries {
         |  v1.value AS v1_value, v2.value AS v2_value,
         |  v1.event_id AS v1_event_id, v2.event_id AS v2_event_id
         |FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id""".stripMargin,
+    "u12_scd2_checkcols" ->
+      """WITH mx AS (SELECT max(event_id) AS mx FROM events),
+        |t AS (SELECT user_id, event_id, event_type, value, event_id <= mx / 2 AS is_v1 FROM events, mx),
+        |v1 AS (SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM t WHERE is_v1) WHERE rn = 1),
+        |v2 AS (SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM t WHERE NOT is_v1) WHERE rn = 1),
+        |j AS (
+        |  SELECT v1.user_id AS o_key, v1.event_type AS o_et, v1.value AS o_v,
+        |         v2.user_id AS n_key, v2.event_type AS n_et, v2.value AS n_v,
+        |         (v1.event_type IS DISTINCT FROM v2.event_type)
+        |           OR (v1.value IS DISTINCT FROM v2.value) AS differs
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id),
+        |ts AS (SELECT CAST(floor(epoch(TIMESTAMP '2024-09-24 12:00:00')) AS BIGINT) AS t1,
+        |              CAST(floor(epoch(TIMESTAMP '2024-09-25 12:00:00')) AS BIGINT) AS t2)
+        |SELECT o_key AS user_id, o_et AS event_type, o_v AS value,
+        |       t1 AS valid_from_s, CAST(NULL AS BIGINT) AS valid_to_s, TRUE AS is_current
+        |FROM j, ts WHERE o_key IS NOT NULL AND n_key IS NOT NULL AND NOT differs
+        |UNION ALL
+        |SELECT o_key, o_et, o_v, t1, t2, FALSE
+        |FROM j, ts WHERE o_key IS NOT NULL AND n_key IS NOT NULL AND differs
+        |UNION ALL
+        |SELECT o_key, o_et, o_v, t1, t2, FALSE
+        |FROM j, ts WHERE o_key IS NOT NULL AND n_key IS NULL
+        |UNION ALL
+        |SELECT n_key, n_et, n_v, t2, CAST(NULL AS BIGINT), TRUE
+        |FROM j, ts WHERE n_key IS NOT NULL AND (o_key IS NULL OR differs)""".stripMargin,
     "u9_cdc_apply" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "st18_stream_drift_psi" -> "broadcast bounded per-bucket reference histogram",
     "t19_lm_quality_filter" -> "broadcast 1-row corpus perplexity quantile bound",
     "u10_snapshot_diff" -> "broadcast 1-row max(event_id) median-split bound",
+    "u12_scd2_checkcols" -> "broadcast 1-row max(event_id) median-split bound (u10's device)",
     "x6_ann_recall_report" -> "composes s1/s2: bounded query set both sides",
     "x6b_trained_ann_recall" -> "composes s1/s3: bounded query set both sides",
     "x6c_quantized_recall" -> "composes s1/s7: bounded query set both sides",
@@ -207,6 +208,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "t9_array_suite" -> 0,
     "u10_snapshot_diff" -> 3,
     "u11_incremental_rollup" -> 2,
+    "u12_scd2_checkcols" -> 6,
     "u1_union_align" -> 0,
     "u3_union_missing_cols" -> 0,
     "u4_exact_dedup" -> 1,
@@ -312,5 +314,16 @@ class PlanAuditSpec extends SparkSpecBase {
     // and the budget table can't accumulate entries for dead queries
     val stale = shuffleBudget.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"budget entries for unknown queries: $stale")
+  }
+
+  test("budget sensitivity: a deliberately added repartition() busts its query's budget") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sabotaged = SparkEntry.queries("a1_conditional_agg")(spark, Sf0001)
+        .repartition(7)
+      assert(PlanAudit.shuffleCount(sabotaged) > shuffleBudget("a1_conditional_agg"),
+        "an added exchange must exceed the recorded budget or the gate is blind")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
