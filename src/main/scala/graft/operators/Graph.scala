@@ -139,7 +139,13 @@ object Graph {
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-degree attached to each edge ONCE, eagerly: inside the lazy
+    // iteration plan the deg aggregate and its join would otherwise be
+    // REPLAYED per round (5 redundant shuffles of the edge list) — the
+    // degree never changes, so it rides the checkpointed edge frame
+    val ed = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
     val base = 15L * scale / 100L
 
     // Unlike connectedComponents (unbounded rounds, convergence check per
@@ -152,9 +158,8 @@ object Graph {
     // (no 5x blocking materialization of the |V|-row rank frame).
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
+      val contrib = ed
+        .join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("contrib"))
@@ -164,8 +169,9 @@ object Graph {
           col("node"),
           expr(s"${base}L + (85 * coalesce(contrib, 0L)) div 100").as("rank"))
     }
-    // e/nodes checkpoint blocks MUST stay persisted: the returned lazy plan
-    // re-reads both on every action (they are the loop's shared inputs).
+    // ed/nodes checkpoint blocks MUST stay persisted: the returned lazy
+    // plan re-reads both on every action (they are the loop's shared
+    // inputs).
     ranks
   }
 
@@ -184,8 +190,9 @@ object Graph {
     * this is the reproducible variant a data pipeline needs.
     *
     * Per round: one edge⋈labels equi join, one (dst, label) count
-    * reduce, one per-dst top-1 window, one union with the static
-    * no-in-edge label frame — all key-partitioned. Labels seed from
+    * reduce, one per-dst argmax aggregate (max(struct(k, −label)) —
+    * partial-agg'd, no sort window over the vote table), one union with
+    * the static no-in-edge label frame — all key-partitioned. Labels seed from
     * src ∪ dst and every edge-touched node keeps a row (and keeps
     * VOTING) in every round — canonical synchronous LP on non-symmetric
     * graphs: a node with out-edges but no in-edges never receives a
@@ -232,14 +239,18 @@ object Graph {
       .localCheckpoint(true)
     var labels = allNodes.withColumn("label", col("node"))
     for (_ <- 1 to iterations) {
-      val w = Window.partitionBy("dst").orderBy(col("k").desc, col("label").asc)
+      // top-1 label per dst as an ARGMAX aggregate, not a sort window:
+      // max(struct(k, -label)) picks (count DESC, label ASC) — the same
+      // deterministic winner — with map-side partial aggregation and no
+      // per-partition sort of the vote table (labels are non-negative
+      // node ids, so -label is exact)
       labels = e
         .join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("k"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("node"), col("label"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("k"), (-col("label")).as("neg_label"))).as("top"))
+        .select(col("dst").as("node"), (-col("top.neg_label")).as("label"))
         .unionByName(noIn)
     }
     val communities = labels.select(col("node"), col("label").as("community"))

@@ -131,7 +131,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "em_surrogate_ids" -> 0,
     "em_usage_metrics" -> 2,
     "em_weather_impacts" -> 2,
-    "g1_pagerank" -> 15,
+    "g1_pagerank" -> 5,
     "g2_label_propagation" -> 14,
     "j10_json_extract" -> 0,
     "j11_overlap_join" -> 3,
