@@ -37,6 +37,14 @@ object Scd2 {
     * - keys absent from the batch: closed at `deleteTs` when
     *   `invalidateHardDeletes` (dbt's invalidate_hard_deletes=True)
     * - already-closed history rows pass through untouched
+    *
+    * KEY CONTRACT (both strategies): key columns must be NON-NULL and the
+    * batch unique per (keys, updatedAt) — dbt's unique_key contract. A
+    * null key never equi-joins, so a null-keyed row can't be matched to
+    * its history version: under invalidateHardDeletes it would hard-close
+    * and re-open on EVERY merge (Scd2Spec pins this churn), and same-key
+    * same-ts duplicates make the keep-latest pick arbitrary. Collapse
+    * upstream first (the agricultural_risk_snapshot device).
     */
   def merge(
       history: DataFrame,

@@ -127,6 +127,24 @@ class Scd2Spec extends SparkSpecBase {
     assert(h3.count() == h2.count() && h3.exceptAll(h2).isEmpty)
   }
 
+  test("null keys violate the contract observably: they churn (hard-close + reopen) every merge") {
+    // documents (rather than guesses at) the failure mode the key
+    // contract in the scaladoc warns about: a null key never equi-joins,
+    // so its history version is unreachable — under hard deletes the row
+    // closes and reopens on every merge instead of staying open
+    val b = Seq((null.asInstanceOf[String], "x", ts("2024-01-01 00:00:00")))
+      .toDF("id", "v", "updated_at")
+    val h1 = Scd2.init(b, "updated_at")
+    val h2 = Scd2.merge(h1, b, Seq("id"), "updated_at",
+      invalidateHardDeletes = true, deleteTs = Some(ts("2024-02-01 00:00:00")))
+    // same single-row batch re-merged: a non-null key would be a no-op
+    // (one open row); the null key yields one closed + one open row
+    assert(h2.count() == 2)
+    assert(h2.filter(col("is_current")).count() == 1)
+    assert(h2.filter(!col("is_current") &&
+      col("valid_to") === ts("2024-02-01 00:00:00")).count() == 1)
+  }
+
   test("mergeCheckCols treats null -> value and value -> null as changes (null-safe diff)") {
     val b1 = Seq(("k1", null.asInstanceOf[String]), ("k2", "x")).toDF("id", "v")
     val h1 = Scd2.initAt(b1, ts("2024-01-01 00:00:00"))
