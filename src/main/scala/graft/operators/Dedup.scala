@@ -248,6 +248,41 @@ object Dedup {
     * (xxhash64, used by the fast variant, exists only in Spark).
     * ~2× the hash cost of the xxhash64 variant — the portability tax; use
     * minHashLshPairs in production, this one to validate it. */
+  /** Oracle-portable MinHash signatures: the k "permutations" are md5 hex
+    * digests of `"<seed>|<shingle>"` min-selected LEXICOGRAPHICALLY. Each
+    * DISTINCT shingle is hashed once (k md5s per distinct shingle, not per
+    * (doc, shingle) occurrence — on corpora with shared vocabulary that is
+    * orders of magnitude less md5 work; this was the board's most
+    * expensive leg before), then the k-column hash table joins back on the
+    * shingle key. Both sides exchange on sh; SHUFFLE_HASH for the same
+    * reason as ngramJaccardPairs — the derived distinct frame's size
+    * estimate would otherwise tempt a corpus-sized broadcast at scale.
+    * Results are bit-identical to hashing per occurrence: same
+    * per-shingle hashes, same per-doc minima. Returns (doc_id, h0..h{k-1})
+    * — the persistable signature-index row shape. */
+  def portableSignatures(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val hashTable = sh.select("sh").distinct()
+      .select(col("sh") +: (0 until k).map(i => md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
+    val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
+    sh.join(hashTable.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band rows (doc_id, band, bh) of a portable signature frame — the
+    * probe key layout of the LSH index. */
+  private def portableBandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        md5(concat_ws("|", (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i")): _*)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   def minHashLshPairsPortable(
       docs: DataFrame,
       idCol: String,
@@ -258,30 +293,8 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val rows = k / bands
-    val sh = shingles(docs, idCol, textCol, n)
-    // hash each DISTINCT shingle once (k md5s per distinct shingle, not
-    // per (doc, shingle) occurrence — on corpora with shared vocabulary
-    // that is orders of magnitude less md5 work; this was the board's
-    // most expensive leg before), then join the k-column hash table back
-    // on the shingle key. Both sides exchange on sh; SHUFFLE_HASH for the
-    // same reason as ngramJaccardPairs — the derived distinct frame's
-    // size estimate would otherwise tempt a corpus-sized broadcast at
-    // scale. Results are bit-identical: same per-shingle hashes, same
-    // per-doc minima.
-    val hashTable = sh.select("sh").distinct()
-      .select(col("sh") +: (0 until k).map(i => md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
-    val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
-    val sigs = sh.join(hashTable.hint("shuffle_hash"), Seq("sh"))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until bands).map { bIdx =>
-      struct(
-        lit(bIdx).as("band"),
-        md5(concat_ws("|", (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i")): _*)).as("bh"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sigs = portableSignatures(docs, idCol, textCol, n, k)
+    val banded = portableBandRows(sigs, k, bands)
     val cand = banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bh"))
@@ -294,6 +307,64 @@ object Dedup {
       .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
       .select(col("id_a"), col("id_b"), simExpr.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup dedup of a NEW batch against a PERSISTED
+    * signature index — the daily-ingest shape at 100 TB: yesterday's
+    * corpus is represented ONLY by its (doc_id, h0..h{k-1}) signature
+    * table (plain parquet, [[portableSignatures]] row shape, ~k·33 bytes
+    * per historical document), so deduplicating today's batch never
+    * re-reads or re-shingles historical TEXT. Cost per run:
+    * signature-compute over the NEW batch only, a map-only band explode
+    * of both sides, one (band, bh) equi join — candidate generation
+    * shuffles signatures, never documents — and a signature join to
+    * estimate Jaccard on candidates.
+    *
+    * Returns (matches, admitted):
+    *  - matches: (new_id, idx_id, est_jaccard ≥ threshold) — every new
+    *    doc paired with the indexed docs it near-duplicates
+    *  - admitted: signature rows of new docs with NO match — the keep-
+    *    first dedup policy's index delta; append to the index parquet and
+    *    tomorrow's run sees today's survivors. (Callers wanting to index
+    *    everything regardless of matches can append `newSigs` instead —
+    *    recompute via [[portableSignatures]].)
+    *
+    * Incremental ≡ batch: signatures are per-document (md5 of
+    * seed|shingle, min per doc), so index-then-probe produces exactly the
+    * cross-batch subset of [[minHashLshPairsPortable]] over the union —
+    * Wave8Spec pins the equivalence and the parquet round-trip.
+    */
+  def incrementalNearDup(
+      index: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must divide into bands")
+    val newSigs = portableSignatures(newDocs, idCol, textCol, n, k)
+    val bNew = portableBandRows(newSigs, k, bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val bIdx = portableBandRows(index, k, bands)
+      .select(col("doc_id").as("idx_id"), col("band"), col("bh"))
+    val cand = bNew.join(bIdx, Seq("band", "bh"))
+      .select(col("new_id"), col("idx_id"))
+      .distinct()
+    val simExpr = (0 until k)
+      .map(i => (col("a." + s"h$i") === col("b." + s"h$i")).cast("int"))
+      .reduce(_ + _).cast("double") / k
+    val matches = cand
+      .join(newSigs.as("a"), col("new_id") === col("a.doc_id"))
+      .join(index.as("b"), col("idx_id") === col("b.doc_id"))
+      .select(col("new_id"), col("idx_id"), simExpr.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    val admitted = newSigs.join(
+      matches.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    (matches, admitted)
   }
 
   /** 64-bit SimHash per document: token hashes vote per bit position.

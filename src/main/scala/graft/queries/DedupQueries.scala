@@ -163,6 +163,24 @@ object DedupQueries {
         "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5
       )
     }),
+    "d18_incremental_neardup" -> ((s, d) => {
+      // the daily-ingest dedup shape: yesterday's corpus (doc_id ≤ median)
+      // exists ONLY as its persisted signature index; today's batch
+      // (doc_id > median) is deduplicated against it without re-reading
+      // historical text. Portable md5 signatures, so the index build +
+      // probe replays as DuckDB SQL end to end (signatures are
+      // per-document — recomputing them from the raw table in the oracle
+      // yields the same bits the persisted index holds). Median split on
+      // u10's O(1) broadcast max row.
+      val docs = Tables(s, d).documents.select("doc_id", "text")
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val t = docs.crossJoin(broadcast(mx))
+      val oldDocs = t.filter(col("doc_id") <= col("mx") / 2).select("doc_id", "text")
+      val newDocs = t.filter(col("doc_id") > col("mx") / 2).select("doc_id", "text")
+      val index = Dedup.portableSignatures(oldDocs, "doc_id", "text", n = 3, k = 32)
+      Dedup.incrementalNearDup(index, newDocs, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.5)._1
+    }),
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables(s, d).documents, "doc_id", "text")
     }),
@@ -694,6 +712,33 @@ object DedupQueries {
         |  JOIN hx b ON b.doc_id = c.id_b AND b.seed = a.seed
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "d18_incremental_neardup" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM docs),
+        |hx AS (
+        |  SELECT doc_id, s.i AS seed, min(md5(concat(s.i, '|', sh.sh))) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) s GROUP BY 1, 2),
+        |bh AS (
+        |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bhash
+        |  FROM hx GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS idx_id
+        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash, mx
+        |  WHERE x.doc_id > mx / 2 AND y.doc_id <= mx / 2),
+        |est AS (
+        |  SELECT c.new_id, c.idx_id,
+        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+        |  FROM cand c
+        |  JOIN hx a ON a.doc_id = c.new_id
+        |  JOIN hx b ON b.doc_id = c.idx_id AND b.seed = a.seed
+        |  GROUP BY 1, 2)
+        |SELECT new_id, idx_id, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
     "d3b_simhash_portable" -> d3bOracleSql,
     "d4_embedding_neardup" -> d4OracleSql(d4PlanesForOracle),
     "s2_ann_lsh" -> s2OracleSql,

@@ -113,6 +113,49 @@ class Wave8Spec extends SparkSpecBase {
     assert(BoundsRank.compute(Double.NaN, bounds) == bounds.length)
   }
 
+  // ---- incremental LSH dedup vs batch equivalence --------------------------
+
+  test("incrementalNearDup over a parquet round-tripped index == the cross-batch slice of batch LSH") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120).cache()
+    val mid = docs.agg(max("doc_id")).collect()(0).getLong(0) / 2
+    val oldDocs = docs.filter(col("doc_id") <= mid)
+    val newDocs = docs.filter(col("doc_id") > mid)
+
+    // yesterday's job: build + persist the signature index; today: re-read
+    val dir = "/tmp/graft_wave8_lsh_index"
+    Dedup.portableSignatures(oldDocs, "doc_id", "text", n = 3, k = 32)
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+
+    val (matches, admitted) = Dedup.incrementalNearDup(index, newDocs, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.5)
+    val inc = matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // batch LSH over the UNION, restricted to cross-batch pairs, must agree
+    val batch = Dedup.minHashLshPairsPortable(docs, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.5)
+      .filter((col("id_a") <= mid && col("id_b") > mid) ||
+        (col("id_b") <= mid && col("id_a") > mid))
+      .collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a > mid) (a, b, r.getDouble(2)) else (b, a, r.getDouble(2))
+      }.toSet
+    assert(inc == batch, s"incremental=${inc.size} batch=${batch.size}")
+
+    // admitted = exactly the unmatched new docs (the keep-first index delta)
+    val matchedNew = inc.map(_._1)
+    val admittedIds = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    val newIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admittedIds == newIds -- matchedNew)
+    // and admitted rows carry the full signature schema, appendable as-is
+    assert(admitted.columns.toSet == index.columns.toSet)
+    docs.unpersist()
+  }
+
   // ---- em_snapshots: every SCD2 merge path is exercised -------------------
 
   test("em_snapshots replay hits all four merge paths in each of the three snapshots") {
