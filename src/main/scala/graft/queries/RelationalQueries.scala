@@ -290,6 +290,32 @@ object RelationalQueries {
       )
     }),
 
+    "w8_gapfill_ffill" -> ((s, d) => {
+      // calendar resample + forward fill — the feature-store / sensor
+      // shape: per-user daily last observation (argmax by event_id, so
+      // determinism never depends on sub-micro timestamp ties), missing
+      // days materialized over each user's own [first,last] span via
+      // sequence+explode (the day universe is GENERATED per key — no
+      // global calendar broadcast, no cross join), value carried forward
+      // with last(ignoreNulls) over the key-partitioned day window.
+      // Every exchange keys on user_id[, day]; output is |users|×span
+      // rows, which is the operator's contract, not a blowup.
+      val daily = Tables(s, d).events
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          struct(col("event_id"), col("value")).as("obs"))
+        .groupBy("user_id", "day")
+        .agg(max(col("obs")).getField("value").as("v_day"))
+      val days = daily.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          last(col("v_day"), ignoreNulls = true).over(w).as("v_ff"),
+          col("v_day").isNotNull.cast("int").as("observed"))
+    }),
+
     // ---- O: sort / top-k ----------------------------------------------
     "o2_custom_sort_topk" -> ((s, d) => {
       val rank = priorityRank(col("o_orderpriority"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
@@ -625,6 +651,25 @@ object RelationalQueries {
         |lead(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+    "w8_gapfill_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |daily AS (SELECT user_id, day, value AS v_day FROM e WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |days AS (
+        |  SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (
+        |  SELECT days.user_id, days.day, daily.v_day
+        |  FROM days LEFT JOIN daily ON daily.user_id = days.user_id AND daily.day = days.day)
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        |  last_value(v_day IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
+        |  CASE WHEN v_day IS NULL THEN 0 ELSE 1 END AS observed
+        |FROM j""".stripMargin,
     "o2_custom_sort_topk" ->
       """SELECT o_orderkey,
         |CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
+import graft.operators.HeavyHitters
 
 /** Text-analysis operators over the `documents` table: token stats, quality
   * scoring, language-ID heuristic, fingerprinting, multimodal (binary)
@@ -115,6 +116,18 @@ object TextQueries {
           col("n_types"),
           round(col("top_cnt").cast("double") / col("n_tok"), 6).as("top_frac"),
           round(log(col("n_tok").cast("double")) - col("clc") / col("n_tok"), 6).as("entropy"))
+    }),
+    "t21_heavy_hitters" -> ((s, d) => {
+      // corpus-level frequent bigrams via the CMS candidate plan
+      // (operators/HeavyHitters): sketch shuffle bounded at depth×width
+      // rows per task, candidates probed map-side against the broadcast
+      // sketch, exact recount only of candidates — the n-gram long tail
+      // (94% of this corpus's bigram universe, billions of keys at
+      // 100 TB) never reaches a key-keyed exchange. Output is EXACTLY
+      // the naive groupBy-count ≥ 40 set, which is what the oracle runs.
+      val grams = Tables(s, d).documents
+        .select(explode(wordShinglesAll(col("text"), 2)).as("gram"))
+      HeavyHitters.frequentKeys(grams, "gram", minCount = 40L)
     }),
     "t12_normalize" -> ((s, d) => {
       // Unicode canonicalization (native codegen NormalizeText): NFC config
@@ -556,6 +569,14 @@ object TextQueries {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top2_frac,
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_frac
         |FROM c GROUP BY 1""".stripMargin,
+    "t21_heavy_hitters" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+        |  FROM d)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY 1 HAVING count(*) >= 40""".stripMargin,
     "t15_chunking" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (

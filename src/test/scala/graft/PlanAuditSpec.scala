@@ -198,6 +198,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "t19_lm_quality_filter" -> 7,
     "t1_token_stats" -> 0,
     "t20_token_entropy" -> 2,
+    "t21_heavy_hitters" -> 1,
     "t2_quality_score" -> 0,
     "t3_lang_id" -> 0,
     "t4_fingerprint_shingles" -> 0,
@@ -225,6 +226,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "w4_rows_frame_trailing" -> 1,
     "w5_lead_next" -> 1,
     "w7_ranking_suite" -> 1,
+    "w8_gapfill_ffill" -> 2,
     "x10_zorder_curve" -> 0,
     "x11_stratified_quota" -> 1,
     "x12_mixture_apply" -> 2,

@@ -156,6 +156,68 @@ class Wave8Spec extends SparkSpecBase {
     docs.unpersist()
   }
 
+  // ---- heavy hitters: CMS candidates + exact recount == naive ------------
+
+  test("frequentKeys == naive groupBy-count at every sketch size, including degenerate width=1") {
+    import graft.operators.HeavyHitters
+    val grams = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .repartition(7) // answer must not depend on partitioning
+      .cache()
+    val naive = grams.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 300)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    // width=1: EVERY key collides into one counter, est = total tokens —
+    // zero pruning, but the exact recount must still give the true set
+    for ((dep, w) <- Seq((3, 4096), (1, 64), (2, 1))) {
+      val got = HeavyHitters.frequentKeys(grams, "tok", minCount = 300L, depth = dep, width = w)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == naive, s"depth=$dep width=$w: got ${got.size} vs ${naive.size}")
+    }
+    grams.unpersist()
+  }
+
+  test("frequentKeys above the max count is empty, and guards reject bad params") {
+    import graft.operators.HeavyHitters
+    val keys = Seq("a", "a", "b").toDF("k")
+    assert(HeavyHitters.frequentKeys(keys, "k", minCount = 3L).isEmpty)
+    assert(HeavyHitters.frequentKeys(keys, "k", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 2L)))
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentKeys(keys, "k", minCount = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentKeys(keys, "k", minCount = 1L, depth = 0)
+    }
+  }
+
+  // ---- w8 gap-fill + forward-fill properties ------------------------------
+
+  test("gapfill emits each user's full day span, preserves observed values, fills gaps with the prior value") {
+    val out = graft.SparkEntry.queries("w8_gapfill_ffill")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val byUser = out.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // contiguous calendar span: n rows == days between first and last + 1
+      val lo = java.time.LocalDate.parse(sorted.head._2)
+      val hi = java.time.LocalDate.parse(sorted.last._2)
+      assert(sorted.length == java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1)
+      // first day of a span is an observation by construction
+      assert(sorted.head._4 == 1)
+      // forward-fill: every gap day carries the previous day's value
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur._4 == 0 => assert(cur._3 == prev._3)
+        case _ =>
+      }
+    }
+    // the fixture actually HAS gaps, or the fill assertions are vacuous
+    assert(out.exists(_._4 == 0))
+  }
+
   // ---- em_snapshots: every SCD2 merge path is exercised -------------------
 
   test("em_snapshots replay hits all four merge paths in each of the three snapshots") {
