@@ -389,6 +389,46 @@ object AdvancedQueries {
           round(corr(col("l_quantity"), col("l_extendedprice")), 8).as("corr_qty_price"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"))
     }),
+    "a30_groupwise_ols" -> ((s, d) => {
+      // per-key trend fitting (the feature-store "slope feature"): OLS of
+      // event value on day index, one per event_type — slope / intercept /
+      // R² / n via the linear-regression aggregate family. Single shuffle
+      // with map-side partial moments (the regr_* aggregates reduce to
+      // sums), so it scales exactly like a1. Rounded: the engines
+      // accumulate moments in different orders (a17 precedent).
+      val x = datediff(to_date(col("ts")), lit("2024-01-01")).cast("double")
+      Tables(s, d).events
+        .groupBy("event_type")
+        .agg(
+          round(regr_slope(col("value"), x), 6).as("slope"),
+          round(regr_intercept(col("value"), x), 6).as("intercept"),
+          round(regr_r2(col("value"), x), 6).as("r2"),
+          regr_count(col("value"), x).as("n"))
+    }),
+    "x17_negative_sampling" -> ((s, d) => {
+      // deterministic negative sampling for contrastive training: each
+      // anchor draws k=4 candidate ids via the portable md5 uniform
+      // (x1b's device) over the dense id range, keeps candidates whose
+      // label differs. Membership is a pure function of (anchor_id, slot)
+      // — stable across runs/partitionings AND SQL-replayable. Plan: one
+      // O(1) broadcast of the 1-row max-id frame (u10's device), a
+      // map-side k-way expansion, one id-keyed equi join — k·N rows
+      // shuffle, never a cross join.
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("label"))
+      val mx = emb.agg((max("vec_id") + 1L).as("n"))
+      val k = 4
+      val cand = emb.crossJoin(broadcast(mx))
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          explode(array((0 until k).map(lit): _*)).as("slot"), col("n"))
+        .withColumn("cand_id",
+          pmod(conv(substring(md5(concat(col("anchor_id").cast("string"),
+            lit("|"), col("slot").cast("string"))), 1, 8), 16, 10).cast("long"),
+            col("n")))
+      cand.join(emb.select(col("vec_id").as("cand_id"), col("label").as("neg_label")), Seq("cand_id"))
+        .filter(col("neg_label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("slot"), col("cand_id").as("neg_id"),
+          col("anchor_label"), col("neg_label"))
+    }),
     "t9_array_suite" -> ((s, d) => {
       // array-function surface over tokenized text: size, distinct size,
       // slice, join, contains, sorted first element
@@ -681,6 +721,23 @@ object AdvancedQueries {
     "a16_histogram" ->
       """SELECT CAST(least(floor(l_quantity / 10.0), 4) AS BIGINT) AS qty_bin,
         |count(*) AS cnt FROM lineitem GROUP BY 1""".stripMargin,
+    "a30_groupwise_ols" ->
+      """SELECT event_type,
+        |round(regr_slope(value, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)), 6) AS slope,
+        |round(regr_intercept(value, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)), 6) AS intercept,
+        |round(regr_r2(value, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)), 6) AS r2,
+        |regr_count(value, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "x17_negative_sampling" ->
+      """WITH mx AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+        |c AS (
+        |  SELECT e.vec_id AS anchor_id, e.label AS anchor_label, j.slot AS slot,
+        |    CAST(concat('0x', substr(md5(concat(e.vec_id, '|', j.slot)), 1, 8)) AS BIGINT) % mx.n AS cand_id
+        |  FROM embeddings e, (SELECT unnest(range(4)) AS slot) j, mx)
+        |SELECT c.anchor_id, CAST(c.slot AS INTEGER) AS slot, n.vec_id AS neg_id,
+        |  c.anchor_label, n.label AS neg_label
+        |FROM c JOIN embeddings n ON n.vec_id = c.cand_id
+        |WHERE n.label != c.anchor_label""".stripMargin,
     "a17_stats_suite" ->
       """SELECT l_returnflag,
         |round(stddev_samp(l_extendedprice), 4) AS sd_price,

@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "x6_ann_recall_report" -> "composes s1/s2: bounded query set both sides",
     "x6b_trained_ann_recall" -> "composes s1/s3: bounded query set both sides",
     "x6c_quantized_recall" -> "composes s1/s7: bounded query set both sides",
+    "x17_negative_sampling" -> "broadcast 1-row max(vec_id)+1 id-range bound (u10's device)",
     "x7_quantile_shards" -> "broadcast |shards| cut-point rows",
     "x7b_quantile_shards_approx" -> "broadcast |shards| cut-point rows"
   )
@@ -88,6 +89,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "a28_forecast_backtest" -> 3,
     "a29_cusum_changepoint" -> 2,
     "a2_daily_rollup" -> 1,
+    "a30_groupwise_ols" -> 1,
     "a3_privacy_rollup" -> 1,
     "a4_quality_union" -> 6,
     "a5_count_distinct" -> 2,
@@ -234,6 +236,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "x14_dataset_card" -> 2,
     "x15_purged_time_split" -> 2,
     "x16_dp_noisy_counts" -> 1,
+    "x17_negative_sampling" -> 1,
     "x1_hash_split" -> 1,
     "x1b_hash_split_portable" -> 1,
     "x2_sessionize_batch" -> 1,
