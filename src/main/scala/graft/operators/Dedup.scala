@@ -343,9 +343,23 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5
+  ): (DataFrame, DataFrame) =
+    incrementalNearDupFromSigs(
+      index, portableSignatures(newDocs, idCol, textCol, n, k), k, bands, threshold)
+
+  /** [[incrementalNearDup]] with the new batch's signatures ALREADY
+    * computed — the entry point when the caller has materialized them
+    * (e.g. st22 writes each micro-batch's signatures to parquet once, so
+    * the signature pipeline — the expensive md5-per-shingle stage — runs
+    * once per batch instead of once per downstream action). */
+  def incrementalNearDupFromSigs(
+      index: DataFrame,
+      newSigs: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
   ): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must divide into bands")
-    val newSigs = portableSignatures(newDocs, idCol, textCol, n, k)
     val bNew = portableBandRows(newSigs, k, bands)
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
     val bIdx = portableBandRows(index, k, bands)

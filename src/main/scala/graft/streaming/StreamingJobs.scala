@@ -961,4 +961,111 @@ object StreamingJobs {
         col("click_id"), col("click_ts_us"),
         (col("purchase_ts_us") - col("click_ts_us")).as("latency_us"))
   }
+
+  /** ST22: d18's incremental near-dup at INGEST time — the continuous
+    * arm of the daily-ingest dedup story. The signature index IS the
+    * state, and it lives in PARQUET, not the state store: each
+    * micro-batch computes its own portable MinHash signatures, LSH-probes
+    * the persisted index (`Dedup.incrementalNearDup` — band equi join,
+    * signatures move, text never does), appends its matches to the
+    * output, and appends its ADMITTED (unmatched) signatures to the
+    * index, so the next batch dedups against everything admitted before
+    * it. State-store footprint: zero. Index footprint: ~1 KB per
+    * admitted doc, on storage where a year of corpus fits.
+    *
+    * Batch boundaries are part of the semantics (docs in the same batch
+    * don't see each other — keep-ALL within a batch, keep-first across
+    * batches), so this harness pins them: documents are staged one FILE
+    * per logical batch (doc_id mod nBatches; repartition(1) is the
+    * fixture-staging seam, same class as st13's sentinel staging) and the
+    * file-source stream runs AvailableNow with maxFilesPerTrigger=1 in
+    * forced-mtime order. The admitted delta is written to a scratch dir
+    * and file-moved into the index so no job ever appends to a path it is
+    * simultaneously reading.
+    *
+    * The oracle replays the same three-stage recurrence in SQL: batch 0
+    * all admitted, batch 1 probed against batch 0's admits, batch 2
+    * probed against batch 0 ∪ admitted-batch-1. */
+  def streamingIncrementalNearDup(
+      spark: SparkSession,
+      sfDir: String,
+      nBatches: Int = 3
+  ): DataFrame = {
+    import graft.operators.Dedup
+    val docs = graft.core.Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
+    val base = s"/tmp/graft_st22_${counter.incrementAndGet()}"
+    // the counter restarts with the JVM — a stale run's checkpoint/index
+    // under the same name would corrupt batch accounting; start clean
+    if (new java.io.File(base).exists()) {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+    val inDir = s"$base/in"
+    val idxDir = s"$base/index"
+    val matchDir = s"$base/matches"
+    new java.io.File(inDir).mkdirs()
+
+    // ONE scan + ONE write job stages every batch: partitionBy(bt) after a
+    // repartition on bt leaves exactly one file per batch value (each
+    // (task, bt) pair writes one file, and every bt lands on one task) —
+    // the one-file-per-logical-batch harness seam without per-batch
+    // filtered rescans
+    val staged = s"$base/stage"
+    docs.withColumn("bt", pmod(col("doc_id"), lit(nBatches)))
+      .repartition(nBatches, col("bt"))
+      .write.partitionBy("bt").mode("overwrite").parquet(staged)
+    (0 until nBatches).foreach { i =>
+      val part = new java.io.File(s"$staged/bt=$i").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      val dst = new java.io.File(s"$inDir/batch_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // pinned, strictly increasing mtimes: the file source processes
+      // oldest-first, making batch order deterministic
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    // empty index with the signature schema, so batch 0 probes cleanly
+    Dedup.portableSignatures(docs.limit(0), "doc_id", "text", n = 3, k = 32)
+      .write.mode("overwrite").parquet(idxDir)
+    // empty matches frame with the output schema (no-match corpora return
+    // an empty-but-typed result instead of a missing dir)
+    spark.range(0).select(col("id").as("new_id"), col("id").as("idx_id"),
+      col("id").cast("double").as("est_jaccard"))
+      .write.mode("overwrite").parquet(matchDir)
+
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    withScopedShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val index = spark.read.parquet(idxDir)
+          // materialize this batch's signatures ONCE — every downstream
+          // action (match write, admit write) probes the parquet instead
+          // of re-running the md5-per-shingle pipeline
+          val sigsDir = s"$base/sigs_$batchId"
+          Dedup.portableSignatures(batch, "doc_id", "text", n = 3, k = 32)
+            .write.mode("overwrite").parquet(sigsDir)
+          val (matches, admitted) = Dedup.incrementalNearDupFromSigs(
+            index, spark.read.parquet(sigsDir), k = 32, bands = 8, threshold = 0.5)
+          matches.write.mode("append").parquet(matchDir)
+          // materialize the delta OFF the index path, then file-move in:
+          // never append to a path the same job is reading
+          val delta = s"$base/delta_$batchId"
+          admitted.write.mode("overwrite").parquet(delta)
+          new java.io.File(delta).listFiles()
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(s"$idxDir/delta_${batchId}_$i.parquet").toPath)
+            }
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.parquet(matchDir)
+  }
 }

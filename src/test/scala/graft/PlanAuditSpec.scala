@@ -183,6 +183,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "st19_stream_funnel" -> 3,
     "st20_stream_attribution" -> 0,
     "st21_stream_dp_release" -> 0,
+    "st22_stream_incremental_neardup" -> 0,
     "st5_stream_tumbling" -> 0,
     "st6_stream_sliding" -> 0,
     "st7_stream_join" -> 0,

@@ -218,6 +218,29 @@ class Wave8Spec extends SparkSpecBase {
     assert(out.exists(_._4 == 0))
   }
 
+  // ---- st22: the streamed index grows by ADMITTED docs only ---------------
+
+  test("streaming incremental near-dup: matched docs never enter the index, admitted ones do") {
+    // batches by doc_id mod 3 — A(0)∈b0; B(1),D(4)∈b1; C(2),E(5)∈b2.
+    // B==A  -> matched vs A, NOT admitted.
+    // C==A  -> must match against A ONLY: a (C,B) pair would prove the
+    //          matched B leaked into the index (keep-first violated).
+    // D unique -> admitted; E==D -> must match D: admitted batch-1 docs
+    //          ARE probed by batch 2.
+    val dir = "/tmp/graft_wave8_st22_fixture"
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.streaming.StreamingJobs.streamingIncrementalNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 0L, 1.0), (2L, 0L, 1.0), (5L, 4L, 1.0)))
+  }
+
   // ---- em_snapshots: every SCD2 merge path is exercised -------------------
 
   test("em_snapshots replay hits all four merge paths in each of the three snapshots") {
