@@ -146,6 +146,11 @@ object Graph {
     val ed = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)
+    // both readers of `e` (nodes, ed) are now eagerly materialized — its
+    // |E|-row blocks would otherwise stay pinned for the session,
+    // doubling the operator's resident footprint for no reader
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd
+    backingRdd(e).foreach(_.unpersist(false))
     val base = 15L * scale / 100L
 
     // Unlike connectedComponents (unbounded rounds, convergence check per
@@ -223,7 +228,6 @@ object Graph {
       isolated: Option[DataFrame] = None,
       isolatedCol: String = "node"
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
@@ -257,8 +261,13 @@ object Graph {
     isolated match {
       case None => communities
       case Some(n) =>
+        // every round's output node set equals allNodes by construction
+        // (dst-grouped rows ∪ the noIn carry-forward), so the anti-join
+        // probes the CHECKPOINTED node frame — probing `communities`
+        // would embed the n-round LP plan twice and execute every
+        // shuffle round a second time per action
         val extra = n.select(col(isolatedCol).cast("long").as("node")).distinct()
-          .join(communities.select("node"), Seq("node"), "left_anti")
+          .join(allNodes, Seq("node"), "left_anti")
           .withColumn("community", col("node"))
         communities.unionByName(extra)
     }

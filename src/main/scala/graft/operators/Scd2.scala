@@ -177,10 +177,12 @@ object Scd2 {
       .select(nRow(Seq(lit(runTs).cast("timestamp").as("valid_from"),
         lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))): _*)
 
+    // oRow/nRow define the exact output schema — the presence flags never
+    // reach any branch's select list
     closed
-      .unionByName(stillOpen.drop("__has_old", "__has_new"))
-      .unionByName(nowClosed.drop("__has_old", "__has_new"))
-      .unionByName(hardClosed.drop("__has_old", "__has_new"))
-      .unionByName(newOpen.drop("__has_old", "__has_new"))
+      .unionByName(stillOpen)
+      .unionByName(nowClosed)
+      .unionByName(hardClosed)
+      .unionByName(newOpen)
   }
 }

@@ -62,9 +62,15 @@ object BoundsRank {
 
   /** Count of bounds ≤ v. NaN → bounds.length (Spark's `b <= NaN` is
     * true for every b — NaN sorts greatest — and binarySearch's total
-    * order agrees, so no special case is needed). */
+    * order agrees, so no special case is needed). A -0.0 PROBE is
+    * canonicalized to +0.0 first: the `b <= v` filter this replaces uses
+    * primitive comparison (-0.0 == 0.0) while binarySearch's total order
+    * puts -0.0 BELOW +0.0, which would skip a 0.0 boundary. A -0.0
+    * boundary needs no such fix — total order ranks it below/equal to
+    * any zero probe, which is what primitive `<=` says too. */
   def compute(v: Double, bounds: Array[Double]): Int = {
-    val i = java.util.Arrays.binarySearch(bounds, v)
+    val key = if (v == 0.0d) 0.0d else v
+    val i = java.util.Arrays.binarySearch(bounds, key)
     if (i >= 0) i + 1 else -(i + 1)
   }
 }

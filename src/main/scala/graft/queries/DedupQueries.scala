@@ -104,6 +104,47 @@ object DedupQueries {
        |FROM s""".stripMargin
   }
 
+  /** The portable MinHash signature pipeline as a DuckDB CTE stack —
+    * docs→sh→hx→bh with the SAME constants the engine's
+    * `Dedup.portableSignatures` uses (3-gram shingles, k=32 md5 seeds,
+    * 8 bands of 4 rows). ONE definition feeds every oracle that replays
+    * signatures (d2b, d18, st22), so an engine-side parameter change
+    * cannot silently desynchronize a subset of them.
+    * @param docExtra optional (sqlExpr, name) projected in `docs` and
+    *   carried through sh/hx/bh (e.g. ("doc_id % 3", "bt")) */
+  private[queries] def minhashSigCtes(docExtra: Option[(String, String)] = None): String = {
+    val (proj, carry) = docExtra match {
+      case Some((e, name)) => (s", $e AS $name", s", $name")
+      case None            => ("", "")
+    }
+    val g2 = if (docExtra.isDefined) "1, 2, 3" else "1, 2"
+    s"""docs AS (
+       |  SELECT doc_id$proj, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id$carry, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 2, 1) + 1),
+       |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+       |  FROM docs),
+       |hx AS (
+       |  SELECT doc_id$carry, s.i AS seed, min(md5(concat(s.i, '|', sh.sh))) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) s GROUP BY $g2),
+       |bh AS (
+       |  SELECT doc_id$carry, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bhash
+       |  FROM hx GROUP BY $g2)""".stripMargin
+  }
+
+  /** Estimated-Jaccard CTE over a candidate-pair CTE: k-agreement of the
+    * shared `hx` signature table, named `estName`. */
+  private[queries] def minhashEstCte(
+      estName: String, candName: String, aCol: String, bCol: String): String =
+    s"""$estName AS (
+       |  SELECT c.$aCol, c.$bCol,
+       |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM $candName c
+       |  JOIN hx a ON a.doc_id = c.$aCol
+       |  JOIN hx b ON b.doc_id = c.$bCol AND b.seed = a.seed
+       |  GROUP BY 1, 2)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "u4_exact_dedup" -> ((s, d) => {
       Dedup.exactGroups(Tables(s, d).documents, "doc_id", "text")
@@ -688,57 +729,21 @@ object DedupQueries {
         |SELECT cluster_id, doc_id AS keep_doc_id, cluster_size
         |FROM ranked WHERE rn = 1""".stripMargin,
     "d2b_minhash_portable" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(w) - 2, 1) + 1),
-        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
-        |  FROM docs),
-        |hx AS (
-        |  SELECT doc_id, s.i AS seed, min(md5(concat(s.i, '|', sh.sh))) AS mh
-        |  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) s GROUP BY 1, 2),
-        |bh AS (
-        |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bhash
-        |  FROM hx GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
-        |est AS (
-        |  SELECT c.id_a, c.id_b,
-        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
-        |  FROM cand c
-        |  JOIN hx a ON a.doc_id = c.id_a
-        |  JOIN hx b ON b.doc_id = c.id_b AND b.seed = a.seed
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+      s"""WITH ${minhashSigCtes()},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         |${minhashEstCte("est", "cand", "id_a", "id_b")}
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
     "d18_incremental_neardup" ->
-      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
-        |docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(w) - 2, 1) + 1),
-        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
-        |  FROM docs),
-        |hx AS (
-        |  SELECT doc_id, s.i AS seed, min(md5(concat(s.i, '|', sh.sh))) AS mh
-        |  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) s GROUP BY 1, 2),
-        |bh AS (
-        |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bhash
-        |  FROM hx GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS idx_id
-        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash, mx
-        |  WHERE x.doc_id > mx / 2 AND y.doc_id <= mx / 2),
-        |est AS (
-        |  SELECT c.new_id, c.idx_id,
-        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
-        |  FROM cand c
-        |  JOIN hx a ON a.doc_id = c.new_id
-        |  JOIN hx b ON b.doc_id = c.idx_id AND b.seed = a.seed
-        |  GROUP BY 1, 2)
-        |SELECT new_id, idx_id, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |${minhashSigCtes()},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS idx_id
+         |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash, mx
+         |  WHERE x.doc_id > mx / 2 AND y.doc_id <= mx / 2),
+         |${minhashEstCte("est", "cand", "new_id", "idx_id")}
+         |SELECT new_id, idx_id, est_jaccard FROM est WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
     "d3b_simhash_portable" -> d3bOracleSql,
     "d4_embedding_neardup" -> d4OracleSql(d4PlanesForOracle),
     "s2_ann_lsh" -> s2OracleSql,

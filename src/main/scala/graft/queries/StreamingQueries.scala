@@ -241,50 +241,27 @@ object StreamingQueries {
     // (seed|shingle md5, min per doc), so recomputing them from the raw
     // table yields the same bits the streamed index holds.
     "st22_stream_incremental_neardup" ->
-      """WITH d0 AS (SELECT doc_id, doc_id % 3 AS bt, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, bt, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(w) - 2, 1) + 1),
-        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
-        |  FROM d0),
-        |hx AS (
-        |  SELECT doc_id, bt, s.i AS seed, min(md5(concat(s.i, '|', sh.sh))) AS mh
-        |  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) s GROUP BY 1, 2, 3),
-        |bh AS (
-        |  SELECT doc_id, bt, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bhash
-        |  FROM hx GROUP BY 1, 2, 3),
-        |c1 AS (
-        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS idx_id
-        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash
-        |  WHERE x.bt = 1 AND y.bt = 0),
-        |e1 AS (
-        |  SELECT c.new_id, c.idx_id,
-        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
-        |  FROM c1 c
-        |  JOIN hx a ON a.doc_id = c.new_id
-        |  JOIN hx b ON b.doc_id = c.idx_id AND b.seed = a.seed
-        |  GROUP BY 1, 2),
-        |m1 AS (SELECT * FROM e1 WHERE est_jaccard >= CAST(0.5 AS DOUBLE)),
-        |idx2 AS (
-        |  SELECT doc_id FROM d0 WHERE bt = 0
-        |  UNION ALL
-        |  SELECT doc_id FROM d0 WHERE bt = 1
-        |    AND doc_id NOT IN (SELECT new_id FROM m1)),
-        |c2 AS (
-        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS idx_id
-        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash
-        |  JOIN idx2 ON idx2.doc_id = y.doc_id
-        |  WHERE x.bt = 2),
-        |e2 AS (
-        |  SELECT c.new_id, c.idx_id,
-        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
-        |  FROM c2 c
-        |  JOIN hx a ON a.doc_id = c.new_id
-        |  JOIN hx b ON b.doc_id = c.idx_id AND b.seed = a.seed
-        |  GROUP BY 1, 2),
-        |m2 AS (SELECT * FROM e2 WHERE est_jaccard >= CAST(0.5 AS DOUBLE))
-        |SELECT new_id, idx_id, est_jaccard FROM m1
-        |UNION ALL
-        |SELECT new_id, idx_id, est_jaccard FROM m2""".stripMargin
+      s"""WITH ${DedupQueries.minhashSigCtes(Some(("doc_id % 3", "bt")))},
+         |c1 AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS idx_id
+         |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash
+         |  WHERE x.bt = 1 AND y.bt = 0),
+         |${DedupQueries.minhashEstCte("e1", "c1", "new_id", "idx_id")},
+         |m1 AS (SELECT * FROM e1 WHERE est_jaccard >= CAST(0.5 AS DOUBLE)),
+         |idx2 AS (
+         |  SELECT doc_id FROM docs WHERE bt = 0
+         |  UNION ALL
+         |  SELECT doc_id FROM docs WHERE bt = 1
+         |    AND doc_id NOT IN (SELECT new_id FROM m1)),
+         |c2 AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS idx_id
+         |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhash = y.bhash
+         |  JOIN idx2 ON idx2.doc_id = y.doc_id
+         |  WHERE x.bt = 2),
+         |${DedupQueries.minhashEstCte("e2", "c2", "new_id", "idx_id")},
+         |m2 AS (SELECT * FROM e2 WHERE est_jaccard >= CAST(0.5 AS DOUBLE))
+         |SELECT new_id, idx_id, est_jaccard FROM m1
+         |UNION ALL
+         |SELECT new_id, idx_id, est_jaccard FROM m2""".stripMargin
   )
 }

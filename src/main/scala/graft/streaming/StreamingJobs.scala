@@ -1015,13 +1015,19 @@ object StreamingJobs {
       .repartition(nBatches, col("bt"))
       .write.partitionBy("bt").mode("overwrite").parquet(staged)
     (0 until nBatches).foreach { i =>
-      val part = new java.io.File(s"$staged/bt=$i").listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
-      val dst = new java.io.File(s"$inDir/batch_$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // pinned, strictly increasing mtimes: the file source processes
-      // oldest-first, making batch order deterministic
-      dst.setLastModified(1700000000000L + i * 60000L)
+      // an empty residue class (fewer docs than batches, or an id gap)
+      // writes no bt=i directory — that logical batch simply never
+      // arrives, which is exactly the empty-batch semantics
+      val parts = Option(new java.io.File(s"$staged/bt=$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      parts.headOption.foreach { part =>
+        val dst = new java.io.File(s"$inDir/batch_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // pinned, strictly increasing mtimes: the file source processes
+        // oldest-first, making batch order deterministic
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
     }
     // empty index with the signature schema, so batch 0 probes cleanly
     Dedup.portableSignatures(docs.limit(0), "doc_id", "text", n = 3, k = 32)

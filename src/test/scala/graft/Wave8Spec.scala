@@ -111,6 +111,14 @@ class Wave8Spec extends SparkSpecBase {
       assert(BoundsRank.compute(v, bounds) == bounds.count(_ <= v))
     }
     assert(BoundsRank.compute(Double.NaN, bounds) == bounds.length)
+    // signed zeros: the primitive <= probe this replaces equates -0.0 and
+    // 0.0; binarySearch's total order does not — the probe key is
+    // canonicalized so a -0.0 probe still counts a +0.0 boundary (and a
+    // -0.0 boundary is counted by a +0.0 probe natively)
+    assert(BoundsRank.compute(-0.0, Array(0.0)) == 1)
+    assert(BoundsRank.compute(0.0, Array(-0.0)) == 1)
+    assert(BoundsRank.compute(-0.0, Array(-0.0)) == 1)
+    assert(BoundsRank.compute(-1.0, Array(-0.0, 1.0)) == 0)
   }
 
   // ---- incremental LSH dedup vs batch equivalence --------------------------
@@ -239,6 +247,13 @@ class Wave8Spec extends SparkSpecBase {
     val got = graft.streaming.StreamingJobs.streamingIncrementalNearDup(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 0L, 1.0), (2L, 0L, 1.0), (5L, 4L, 1.0)))
+
+    // nBatches=4 leaves residue class 3 empty (no id ≡ 3 mod 4): the
+    // missing batch must be a no-op, not a staging crash. New batching:
+    // b0={A,D} admitted, b1={B==A, E==D} both matched, b2={C==A} matched.
+    val got4 = graft.streaming.StreamingJobs.streamingIncrementalNearDup(spark, dir, nBatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got4 == Set((1L, 0L, 1.0), (2L, 0L, 1.0), (5L, 4L, 1.0)))
   }
 
   // ---- em_snapshots: every SCD2 merge path is exercised -------------------

@@ -19,7 +19,12 @@ import pandas as pd
 args = [a for a in sys.argv[1:]]
 json_out = None
 if "--json" in args:
-    i = args.index("--json"); json_out = args[i + 1]; del args[i:i + 2]
+    i = args.index("--json")
+    if i + 1 >= len(args):
+        sys.exit("usage: check_oracle.py <sfDir> <verifyOutDir> [--json <path>]")
+    json_out = args[i + 1]; del args[i:i + 2]
+if len(args) < 2:
+    sys.exit("usage: check_oracle.py <sfDir> <verifyOutDir> [--json <path>]")
 sfdir, outdir = args[0], args[1]
 results = {}
 
