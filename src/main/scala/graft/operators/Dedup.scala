@@ -269,14 +269,19 @@ object Dedup {
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Band rows (doc_id, band, bh) of a portable signature frame — the
-    * probe key layout of the LSH index. */
-  private def portableBandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** Band rows (doc_id, band, bh) of a signature frame — the probe key
+    * layout of the LSH index. `portable = true` hashes bands with
+    * md5-over-concat (SQL-replayable, string bh); `false` uses native
+    * xxhash64 (the fast-twin banding, long bh). The band hash only has to
+    * agree between the index and probe sides, so either works for
+    * [[incrementalNearDupFromSigs]] as long as both sides pick the same
+    * variant. */
+  private def bandRows(sigs: DataFrame, k: Int, bands: Int, portable: Boolean): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { bIdx =>
-      struct(
-        lit(bIdx).as("band"),
-        md5(concat_ws("|", (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i")): _*)).as("bh"))
+      val hs = (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i"))
+      val bh = if (portable) md5(concat_ws("|", hs: _*)).cast("string") else xxhash64(hs: _*).cast("string")
+      struct(lit(bIdx).as("band"), bh.as("bh"))
     }
     sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -294,7 +299,7 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val sigs = portableSignatures(docs, idCol, textCol, n, k)
-    val banded = portableBandRows(sigs, k, bands)
+    val banded = bandRows(sigs, k, bands, portable = true)
     val cand = banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bh"))
@@ -357,12 +362,13 @@ object Dedup {
       newSigs: DataFrame,
       k: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      portable: Boolean = true
   ): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must divide into bands")
-    val bNew = portableBandRows(newSigs, k, bands)
+    val bNew = bandRows(newSigs, k, bands, portable)
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
-    val bIdx = portableBandRows(index, k, bands)
+    val bIdx = bandRows(index, k, bands, portable)
       .select(col("doc_id").as("idx_id"), col("band"), col("bh"))
     val cand = bNew.join(bIdx, Seq("band", "bh"))
       .select(col("new_id"), col("idx_id"))

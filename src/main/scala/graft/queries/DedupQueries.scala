@@ -222,6 +222,22 @@ object DedupQueries {
       Dedup.incrementalNearDup(index, newDocs, "doc_id", "text",
         n = 3, k = 32, bands = 8, threshold = 0.5)._1
     }),
+    "d18b_incremental_fast" -> ((s, d) => {
+      // d18's production twin: identical index/probe recurrence on the
+      // xxhash64 signature path (half the hash cost of the md5 portable
+      // sigs; Spark-only, so rows-only — the d18 portable twin is the
+      // hash-green pin, and Wave8Spec pins fast-incremental == the
+      // cross-batch slice of fast-batch LSH)
+      val docs = Tables(s, d).documents.select("doc_id", "text")
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val t = docs.crossJoin(broadcast(mx))
+      val oldDocs = t.filter(col("doc_id") <= col("mx") / 2).select("doc_id", "text")
+      val newDocs = t.filter(col("doc_id") > col("mx") / 2).select("doc_id", "text")
+      val index = Dedup.minHashSignatures(oldDocs, "doc_id", "text", n = 3, k = 32)
+      val newSigs = Dedup.minHashSignatures(newDocs, "doc_id", "text", n = 3, k = 32)
+      Dedup.incrementalNearDupFromSigs(index, newSigs,
+        k = 32, bands = 8, threshold = 0.5, portable = false)._1
+    }),
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables(s, d).documents, "doc_id", "text")
     }),

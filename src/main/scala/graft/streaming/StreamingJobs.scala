@@ -1048,25 +1048,28 @@ object StreamingJobs {
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val index = spark.read.parquet(idxDir)
-          // materialize this batch's signatures ONCE — every downstream
-          // action (match write, admit write) probes the parquet instead
-          // of re-running the md5-per-shingle pipeline
-          val sigsDir = s"$base/sigs_$batchId"
-          Dedup.portableSignatures(batch, "doc_id", "text", n = 3, k = 32)
-            .write.mode("overwrite").parquet(sigsDir)
-          val (matches, admitted) = Dedup.incrementalNearDupFromSigs(
-            index, spark.read.parquet(sigsDir), k = 32, bands = 8, threshold = 0.5)
-          matches.write.mode("append").parquet(matchDir)
-          // materialize the delta OFF the index path, then file-move in:
-          // never append to a path the same job is reading
-          val delta = s"$base/delta_$batchId"
-          admitted.write.mode("overwrite").parquet(delta)
-          new java.io.File(delta).listFiles()
-            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-            .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.move(f.toPath,
-                new java.io.File(s"$idxDir/delta_${batchId}_$i.parquet").toPath)
-            }
+          // materialize this batch's signatures ONCE (cache + count) —
+          // every downstream action (match write, admit write) reads the
+          // cached blocks instead of re-running the md5-per-shingle
+          // pipeline, and no extra parquet round-trip is paid
+          val sigs = Dedup.portableSignatures(batch, "doc_id", "text", n = 3, k = 32)
+            .persist()
+          sigs.count()
+          try {
+            val (matches, admitted) = Dedup.incrementalNearDupFromSigs(
+              index, sigs, k = 32, bands = 8, threshold = 0.5)
+            matches.write.mode("append").parquet(matchDir)
+            // materialize the delta OFF the index path, then file-move in:
+            // never append to a path the same job is reading
+            val delta = s"$base/delta_$batchId"
+            admitted.write.mode("overwrite").parquet(delta)
+            new java.io.File(delta).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+              .zipWithIndex.foreach { case (f, i) =>
+                java.nio.file.Files.move(f.toPath,
+                  new java.io.File(s"$idxDir/delta_${batchId}_$i.parquet").toPath)
+              }
+          } finally sigs.unpersist()
         }
         .start()
       try q.processAllAvailable()

@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d9_semantic_decontamination" -> "broadcast distinct-collapsed bench embedding set",
     "d13_corpus_overlap" -> "source-pair signature matrix, |sources|^2 rows",
     "d18_incremental_neardup" -> "broadcast 1-row max(doc_id) median-split bound (u10's device)",
+    "d18b_incremental_fast" -> "broadcast 1-row max(doc_id) median-split bound (u10's device)",
     "d13b_corpus_overlap_fast" -> "source-pair signature matrix, |sources|^2 rows",
     "s1_knn_bruteforce" -> "broadcast bounded query set; brute force is |q|x|corpus| by definition",
     "s11_mips_topk" -> "broadcast bounded query set; brute MIPS is |q|x|corpus| by definition",
@@ -108,6 +109,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d16_boilerplate" -> 3,
     "d17_fuzzy_join" -> 1,
     "d18_incremental_neardup" -> 7,
+    "d18b_incremental_fast" -> 3,
     "d1_ngram_jaccard" -> 4,
     "d2_minhash_lsh" -> 1,
     "d2b_minhash_portable" -> 3,

@@ -37,6 +37,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     // driver-side rows-only downgrade next round.
     val documented = Set(
       "a5b_approx_distinct", "a25b_rolling_actives_hll", "d2_minhash_lsh",
+      "d18b_incremental_fast",
       "d3_simhash", "d13b_corpus_overlap_fast", "t5_rolling_fingerprint",
       "t13_bpe_learned", "t14_compression_ratio",
       "st17_stream_latency_quantiles", "x1_hash_split",

@@ -164,6 +164,28 @@ class Wave8Spec extends SparkSpecBase {
     docs.unpersist()
   }
 
+  test("fast (xxhash64) incremental near-dup == the cross-batch slice of fast batch LSH") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120).cache()
+    val mid = docs.agg(max("doc_id")).collect()(0).getLong(0) / 2
+    val oldSigs = Dedup.minHashSignatures(docs.filter(col("doc_id") <= mid), "doc_id", "text", 3, 32)
+    val newSigs = Dedup.minHashSignatures(docs.filter(col("doc_id") > mid), "doc_id", "text", 3, 32)
+    val inc = Dedup.incrementalNearDupFromSigs(oldSigs, newSigs, 32, 8, 0.5, portable = false)
+      ._1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .filter((col("id_a") <= mid && col("id_b") > mid) ||
+        (col("id_b") <= mid && col("id_a") > mid))
+      .collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a > mid) (a, b, r.getDouble(2)) else (b, a, r.getDouble(2))
+      }.toSet
+    assert(inc == batch, s"incremental=${inc.size} batch=${batch.size}")
+    assert(inc.nonEmpty)
+    docs.unpersist()
+  }
+
   // ---- heavy hitters: CMS candidates + exact recount == naive ------------
 
   test("frequentKeys == naive groupBy-count at every sketch size, including degenerate width=1") {
