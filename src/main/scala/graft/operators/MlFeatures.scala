@@ -61,4 +61,78 @@ object MlFeatures {
     val importances = featureCols.zip(model.featureImportances.toArray).sortBy(-_._2)
     TrainResult(acc, importances)
   }
+
+  /** The reference's agricultural risk-score model
+    * (assets/ml_assets.py:340-410, feature construction :119-141)
+    * re-expressed: daily station rollup (avg temp/humidity, total
+    * precip), drought indicator = precip below its 20th percentile AND
+    * temp above its 80th (pandas linear-interpolation quantiles ==
+    * `percentile()`), per-metric z-scores on the pandas SAMPLE std
+    * (precip/humidity inverted — low is risky), clipped ±3; composite
+    * 0.4·t + 0.4·p + 0.2·h + 2·drought clipped to [0,10]; right-closed
+    * pd.cut categories ((0,2]=LOW … (8,10]=EXTREME — a score of exactly
+    * 0 falls outside every bin and yields null, faithfully); seasonal
+    * month multiplier; adjusted = clip(score·mult, 0, 10).
+    *
+    * Scale shape: the daily frame is one A8-class rollup; ALL model
+    * statistics ride ONE 1-row aggregate broadcast back over it (the
+    * scalar-subquery shape), so everything after the rollup is map-side.
+    * Outputs rounded 6 dp — the engines accumulate moments in different
+    * orders (a17 precedent). */
+  def agriculturalRiskScores(stgCoag: DataFrame): DataFrame = {
+    def clip(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      least(greatest(c, lit(lo)), lit(hi))
+    // decimal-exact daily rollup (EmFunctions davg/dsum device): the
+    // observation count per day grows with the station axis, and a plain
+    // double avg() drifts past the 6-dp rounding boundary at ×10 scale
+    val daily = stgCoag
+      .groupBy(col("observation_date").as("event_date"))
+      .agg(
+        EmFunctions.davg(col("temperature_celsius")).as("avg_temperature"),
+        EmFunctions.davg(col("relative_humidity_percent")).as("avg_humidity"),
+        EmFunctions.dsum(col("precipitation_mm")).cast("double").as("total_precipitation"))
+    val stats = daily.agg(
+      avg("avg_temperature").as("t_mean"), stddev_samp("avg_temperature").as("t_std"),
+      avg("total_precipitation").as("p_mean"), stddev_samp("total_precipitation").as("p_std"),
+      avg("avg_humidity").as("h_mean"), stddev_samp("avg_humidity").as("h_std"),
+      expr("percentile(total_precipitation, 0.2)").as("p_q20"),
+      expr("percentile(avg_temperature, 0.8)").as("t_q80"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("drought_indicator",
+        (col("total_precipitation") < col("p_q20") &&
+          col("avg_temperature") > col("t_q80")).cast("int"))
+      .withColumn("temperature_risk",
+        clip((col("avg_temperature") - col("t_mean")) / col("t_std"), -3, 3))
+      .withColumn("precipitation_risk",
+        clip((col("p_mean") - col("total_precipitation")) / col("p_std"), -3, 3))
+      .withColumn("humidity_risk",
+        clip((col("h_mean") - col("avg_humidity")) / col("h_std"), -3, 3))
+      .withColumn("agricultural_risk_score", clip(
+        col("temperature_risk") * 0.4 + col("precipitation_risk") * 0.4 +
+          col("humidity_risk") * 0.2 + col("drought_indicator") * 2.0, 0, 10))
+      .withColumn("risk_category",
+        when(col("agricultural_risk_score") > 8, "EXTREME")
+          .when(col("agricultural_risk_score") > 6, "SEVERE")
+          .when(col("agricultural_risk_score") > 4, "HIGH")
+          .when(col("agricultural_risk_score") > 2, "MODERATE")
+          .when(col("agricultural_risk_score") > 0, "LOW"))
+      .withColumn("seasonal_multiplier", element_at(
+        typedLit(Seq(0.5, 0.5, 0.7, 1.0, 1.2, 1.5, 1.5, 1.3, 1.0, 0.8, 0.6, 0.5)),
+        month(col("event_date"))))
+      .withColumn("adjusted_risk_score",
+        clip(col("agricultural_risk_score") * col("seasonal_multiplier"), 0, 10))
+      .select(
+        col("event_date"),
+        round(col("avg_temperature"), 6).as("avg_temperature"),
+        round(col("avg_humidity"), 6).as("avg_humidity"),
+        round(col("total_precipitation"), 6).as("total_precipitation"),
+        col("drought_indicator"),
+        round(col("temperature_risk"), 6).as("temperature_risk"),
+        round(col("precipitation_risk"), 6).as("precipitation_risk"),
+        round(col("humidity_risk"), 6).as("humidity_risk"),
+        round(col("agricultural_risk_score"), 6).as("agricultural_risk_score"),
+        col("risk_category"),
+        col("seasonal_multiplier"),
+        round(col("adjusted_risk_score"), 6).as("adjusted_risk_score"))
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.em.{Fixtures, Marts, PublicLayer, SeedData, Staging}
+import graft.operators.MlFeatures
 
 /** End-to-end DuckDB-oracled EM model layer: the staging → marts → public
   * DAG (the core parity target, reference dbt models
@@ -256,6 +257,17 @@ object EmModelQueries {
     "em_public_ag" -> ((s, d) => {
       ensureFixtures(s, d)
       PublicLayer.publicAgriculturalData(stgUsda(s), AsOf)
+    }),
+
+    "em_ag_risk" -> ((s, d) => {
+      // the agricultural_risk_scores ML asset (ml_assets.py:340-410):
+      // daily CoAgMet rollup -> drought quantile indicator -> clipped
+      // z-score composite -> right-closed pd.cut categories -> seasonal
+      // month multiplier. One 1-row stats broadcast; map-side after.
+      ensureFixtures(s, d)
+      val r = MlFeatures.agriculturalRiskScores(stgCoag(s))
+      r.select(fmtD(col("event_date")).as("event_date") +:
+        r.columns.filterNot(_ == "event_date").map(col): _*)
     }),
 
     "em_public_alerts" -> ((s, d) => {
@@ -844,6 +856,62 @@ object EmModelQueries {
          |  '$RunTsStr' AS api_hour_bucket
          |FROM pd""".stripMargin,
 
+    "em_ag_risk" ->
+      s"""WITH $sqlStgCoag,
+         |daily AS (
+         |  SELECT observation_date AS event_date,
+         |    CAST(sum(CAST(temperature_celsius AS DECIMAL(18,2))) AS DOUBLE)
+         |      / count(temperature_celsius) AS avg_temperature,
+         |    CAST(sum(CAST(relative_humidity_percent AS DECIMAL(18,2))) AS DOUBLE)
+         |      / count(relative_humidity_percent) AS avg_humidity,
+         |    CAST(sum(CAST(precipitation_mm AS DECIMAL(18,2))) AS DOUBLE) AS total_precipitation
+         |  FROM stg_coag GROUP BY 1),
+         |stats AS (
+         |  SELECT avg(avg_temperature) AS t_mean, stddev_samp(avg_temperature) AS t_std,
+         |    avg(total_precipitation) AS p_mean, stddev_samp(total_precipitation) AS p_std,
+         |    avg(avg_humidity) AS h_mean, stddev_samp(avg_humidity) AS h_std,
+         |    quantile_cont(total_precipitation, 0.2) AS p_q20,
+         |    quantile_cont(avg_temperature, 0.8) AS t_q80
+         |  FROM daily),
+         |z AS (
+         |  SELECT d.*,
+         |    CAST(d.total_precipitation < s.p_q20 AND d.avg_temperature > s.t_q80 AS INTEGER)
+         |      AS drought_indicator,
+         |    least(greatest((d.avg_temperature - s.t_mean) / s.t_std, -3), 3) AS temperature_risk,
+         |    least(greatest((s.p_mean - d.total_precipitation) / s.p_std, -3), 3) AS precipitation_risk,
+         |    least(greatest((s.h_mean - d.avg_humidity) / s.h_std, -3), 3) AS humidity_risk
+         |  FROM daily d CROSS JOIN stats s),
+         |c AS (
+         |  SELECT *, least(greatest(
+         |    temperature_risk * 0.4 + precipitation_risk * 0.4 + humidity_risk * 0.2
+         |      + drought_indicator * 2.0, 0), 10) AS agricultural_risk_score
+         |  FROM z),
+         |m AS (
+         |  SELECT *,
+         |    CASE WHEN agricultural_risk_score > 8 THEN 'EXTREME'
+         |         WHEN agricultural_risk_score > 6 THEN 'SEVERE'
+         |         WHEN agricultural_risk_score > 4 THEN 'HIGH'
+         |         WHEN agricultural_risk_score > 2 THEN 'MODERATE'
+         |         WHEN agricultural_risk_score > 0 THEN 'LOW' END AS risk_category,
+         |    CASE month(event_date)
+         |      WHEN 1 THEN 0.5 WHEN 2 THEN 0.5 WHEN 3 THEN 0.7 WHEN 4 THEN 1.0
+         |      WHEN 5 THEN 1.2 WHEN 6 THEN 1.5 WHEN 7 THEN 1.5 WHEN 8 THEN 1.3
+         |      WHEN 9 THEN 1.0 WHEN 10 THEN 0.8 WHEN 11 THEN 0.6 WHEN 12 THEN 0.5
+         |    END AS seasonal_multiplier
+         |  FROM c)
+         |SELECT strftime(event_date, '%Y-%m-%d') AS event_date,
+         |  round(avg_temperature, 6) AS avg_temperature,
+         |  round(avg_humidity, 6) AS avg_humidity,
+         |  round(total_precipitation, 6) AS total_precipitation,
+         |  drought_indicator,
+         |  round(temperature_risk, 6) AS temperature_risk,
+         |  round(precipitation_risk, 6) AS precipitation_risk,
+         |  round(humidity_risk, 6) AS humidity_risk,
+         |  round(agricultural_risk_score, 6) AS agricultural_risk_score,
+         |  risk_category, seasonal_multiplier,
+         |  round(least(greatest(agricultural_risk_score * seasonal_multiplier, 0), 10), 6)
+         |    AS adjusted_risk_score
+         |FROM m""".stripMargin,
     "em_public_ag" ->
       s"""WITH $sqlStgUsda,
          |g AS (
