@@ -79,12 +79,37 @@ object MlFeatures {
     * scalar-subquery shape), so everything after the rollup is map-side.
     * Outputs rounded 6 dp — the engines accumulate moments in different
     * orders (a17 precedent). */
+  /** Daily agricultural feature frame (ml_assets.py:119-141): decimal-
+    * exact per-date rollup of the CoAgMet staging (davg/dsum — the ×10
+    * station axis drifts a plain double avg past 6 dp) plus the drought
+    * indicator (precip below its 20th percentile AND temp above its
+    * 80th; pandas linear-interpolation quantiles == `percentile()`).
+    * The quantile pair rides a broadcast 1-row aggregate. Shared by the
+    * risk-score model and the prediction-feature frame. */
+  def agDailyFeatures(stgCoag: DataFrame): DataFrame = {
+    val daily = stgCoag
+      .groupBy(col("observation_date").as("event_date"))
+      .agg(
+        EmFunctions.davg(col("temperature_celsius")).as("avg_temperature"),
+        EmFunctions.davg(col("relative_humidity_percent")).as("avg_humidity"),
+        EmFunctions.dsum(col("precipitation_mm")).cast("double").as("total_precipitation"))
+    val q = daily.agg(
+      expr("percentile(total_precipitation, 0.2)").as("p_q20"),
+      expr("percentile(avg_temperature, 0.8)").as("t_q80"))
+    daily.crossJoin(broadcast(q))
+      .withColumn("drought_indicator",
+        (col("total_precipitation") < col("p_q20") &&
+          col("avg_temperature") > col("t_q80")).cast("int"))
+      .drop("p_q20", "t_q80")
+  }
+
   def agriculturalRiskScores(stgCoag: DataFrame): DataFrame = {
     def clip(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
       least(greatest(c, lit(lo)), lit(hi))
-    // decimal-exact daily rollup (EmFunctions davg/dsum device): the
-    // observation count per day grows with the station axis, and a plain
-    // double avg() drifts past the 6-dp rounding boundary at ×10 scale
+    // same daily rollup as agDailyFeatures, but ALL model statistics —
+    // moments AND quantiles — ride ONE 1-row aggregate, so the plan
+    // stays at its 2-exchange budget (sharing the drought-annotated
+    // helper frame would chain a second global aggregate over it)
     val daily = stgCoag
       .groupBy(col("observation_date").as("event_date"))
       .agg(
@@ -134,5 +159,85 @@ object MlFeatures {
         col("risk_category"),
         col("seasonal_multiplier"),
         round(col("adjusted_risk_score"), 6).as("adjusted_risk_score"))
+  }
+
+  /** The reference's disaster-prediction feature frame
+    * (ml_assets.py:47-165) over the unified events mart: temporal/season
+    * flags, the per-source trailing activity windows, the monthly
+    * regional frequency merge, the daily weather-alert summary merge, the
+    * agricultural daily merge (zero-filled like the pandas fillna(0)),
+    * and the two training labels (next-event-within-7-days, next-event
+    * severity — the latter left null like the reference, which dropna()s
+    * it for the regression target).
+    *
+    * Deviations, documented: (a) severity_score is the reference's two
+    * published maps (processed_data.py:70-76 incident types for
+    * disasters; the Extreme/Severe/Moderate/Minor alert map re-keyed to
+    * the mart's CRITICAL/HIGH risk levels, since the mart keeps only
+    * HIGH/CRITICAL alerts); (b) pandas' time-based rolling counts ties
+    * POSITIONALLY (unstable under its own sort), so events_last_30_days
+    * uses the deterministic value-based frame — all same-day events
+    * count, self subtracted; (c) the misnamed avg_severity_90_days is,
+    * faithfully, the reference's 5-ROW trailing mean shifted by one,
+    * with ties broken by event_id.
+    *
+    * Scale shape: three key-partitioned windows (source), three equi
+    * joins on (source, month) / date / date — no broadcast of anything
+    * unbounded; everything else is map-side. */
+  def disasterPredictionFeatures(events: DataFrame, agDaily: DataFrame): DataFrame = {
+    val sub = upper(col("event_subtype"))
+    val sev = when(col("event_source") === "DISASTER",
+        when(sub.isin("HURRICANE", "MAJOR DISASTER", "EARTHQUAKE", "VOLCANIC ERUPTION", "TSUNAMI"), 4)
+          .when(sub.isin("TORNADO", "FLOOD", "FIRE"), 3)
+          .when(sub.isin("SEVERE STORM", "WINTER STORM", "DROUGHT"), 2)
+          .otherwise(1))
+      .otherwise(when(col("risk_level") === "CRITICAL", 4).otherwise(3))
+      .cast("int")
+    val e = events
+      .select(col("event_id"), col("event_type").as("event_source"),
+        col("event_date"), col("event_subtype"), col("risk_level"))
+      .withColumn("severity_score", sev)
+
+    val bySrc = Window.partitionBy("event_source")
+    val w30 = bySrc
+      .orderBy(datediff(col("event_date"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-29, 0)
+    val ordered = bySrc.orderBy(col("event_date"), col("event_id"))
+    val rows5 = ordered.rowsBetween(-5, -1)
+
+    val monthly = e
+      .groupBy(col("event_source"), trunc(col("event_date"), "month").as("month_period"))
+      .agg(count(lit(1)).as("monthly_event_count"))
+    val weatherDaily = e.filter(col("event_source") === "WEATHER_ALERT")
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("daily_weather_alerts"),
+        avg(col("severity_score")).as("avg_weather_severity"))
+
+    e.withColumn("year", year(col("event_date")))
+      .withColumn("month", month(col("event_date")))
+      .withColumn("day_of_year", dayofyear(col("event_date")))
+      .withColumn("quarter", quarter(col("event_date")))
+      .withColumn("is_hurricane_season", (col("month") >= 6 && col("month") <= 11).cast("int"))
+      .withColumn("is_fire_season", (col("month") >= 5 && col("month") <= 10).cast("int"))
+      .withColumn("is_winter", (col("month") <= 2 || col("month") === 12).cast("int"))
+      .withColumn("events_last_30_days", count(lit(1)).over(w30) - 1)
+      .withColumn("avg_severity_90_days", avg(col("severity_score")).over(rows5))
+      .withColumn("month_period", trunc(col("event_date"), "month"))
+      .join(monthly, Seq("event_source", "month_period"))
+      .drop("month_period")
+      .join(weatherDaily, Seq("event_date"), "left")
+      .join(agDaily, Seq("event_date"), "left")
+      .withColumn("daily_weather_alerts", coalesce(col("daily_weather_alerts"), lit(0L)))
+      .withColumn("avg_weather_severity", coalesce(col("avg_weather_severity"), lit(0.0)))
+      .withColumn("avg_temperature", coalesce(col("avg_temperature"), lit(0.0)))
+      .withColumn("avg_humidity", coalesce(col("avg_humidity"), lit(0.0)))
+      .withColumn("total_precipitation", coalesce(col("total_precipitation"), lit(0.0)))
+      .withColumn("drought_indicator", coalesce(col("drought_indicator"), lit(0)))
+      .withColumn("next_event_7_days", coalesce(
+        (datediff(lead(col("event_date"), 1).over(ordered), col("event_date")) <= 7).cast("int"),
+        lit(0)))
+      .withColumn("next_event_severity",
+        lead(col("severity_score"), 1).over(ordered).cast("double"))
+      .drop("event_subtype", "risk_level")
   }
 }

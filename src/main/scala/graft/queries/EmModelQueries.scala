@@ -270,6 +270,17 @@ object EmModelQueries {
         r.columns.filterNot(_ == "event_date").map(col): _*)
     }),
 
+    "em_prediction_features" -> ((s, d) => {
+      // the disaster_prediction_features ML asset (ml_assets.py:47-165):
+      // temporal/season flags, per-source trailing windows, monthly
+      // frequency + daily weather + agricultural merges, training labels
+      ensureFixtures(s, d)
+      val f = MlFeatures.disasterPredictionFeatures(
+        events(s), MlFeatures.agDailyFeatures(stgCoag(s)))
+      f.select(fmtD(col("event_date")).as("event_date") +:
+        f.columns.filterNot(_ == "event_date").map(col): _*)
+    }),
+
     "em_public_alerts" -> ((s, d) => {
       ensureFixtures(s, d)
       PublicLayer.publicWeatherAlerts(stgNoaa(s), AsOf, RunTs).select(
@@ -856,6 +867,83 @@ object EmModelQueries {
          |  '$RunTsStr' AS api_hour_bucket
          |FROM pd""".stripMargin,
 
+    "em_prediction_features" ->
+      s"""WITH $sqlSeed,
+         |$sqlStgFema,
+         |$sqlStgNoaa,
+         |$sqlEvents,
+         |$sqlStgCoag,
+         |sv AS (
+         |  SELECT event_id, event_type AS event_source, event_date,
+         |    CAST(CASE WHEN event_type = 'DISASTER' THEN
+         |        CASE WHEN event_subtype IN ('HURRICANE','MAJOR DISASTER','EARTHQUAKE','VOLCANIC ERUPTION','TSUNAMI') THEN 4
+         |             WHEN event_subtype IN ('TORNADO','FLOOD','FIRE') THEN 3
+         |             WHEN event_subtype IN ('SEVERE STORM','WINTER STORM','DROUGHT') THEN 2
+         |             ELSE 1 END
+         |      ELSE CASE WHEN risk_level = 'CRITICAL' THEN 4 ELSE 3 END END AS INTEGER)
+         |      AS severity_score
+         |  FROM ev),
+         |agd AS (
+         |  SELECT observation_date AS event_date,
+         |    CAST(sum(CAST(temperature_celsius AS DECIMAL(18,2))) AS DOUBLE)
+         |      / count(temperature_celsius) AS avg_temperature,
+         |    CAST(sum(CAST(relative_humidity_percent AS DECIMAL(18,2))) AS DOUBLE)
+         |      / count(relative_humidity_percent) AS avg_humidity,
+         |    CAST(sum(CAST(precipitation_mm AS DECIMAL(18,2))) AS DOUBLE) AS total_precipitation
+         |  FROM stg_coag GROUP BY 1),
+         |agq AS (SELECT quantile_cont(total_precipitation, 0.2) AS p_q20,
+         |               quantile_cont(avg_temperature, 0.8) AS t_q80 FROM agd),
+         |ag AS (
+         |  SELECT d.*, CAST(d.total_precipitation < q.p_q20 AND d.avg_temperature > q.t_q80
+         |    AS INTEGER) AS drought_indicator
+         |  FROM agd d CROSS JOIN agq q),
+         |monthly AS (
+         |  SELECT event_source, date_trunc('month', event_date) AS mp, count(*) AS monthly_event_count
+         |  FROM sv GROUP BY 1, 2),
+         |wd AS (
+         |  SELECT event_date, count(*) AS daily_weather_alerts,
+         |    avg(severity_score) AS avg_weather_severity
+         |  FROM sv WHERE event_source = 'WEATHER_ALERT' GROUP BY 1),
+         |f AS (
+         |  SELECT s.*,
+         |    CAST(year(s.event_date) AS INTEGER) AS year,
+         |    CAST(month(s.event_date) AS INTEGER) AS month,
+         |    CAST(dayofyear(s.event_date) AS INTEGER) AS day_of_year,
+         |    CAST(quarter(s.event_date) AS INTEGER) AS quarter,
+         |    CAST(month(s.event_date) BETWEEN 6 AND 11 AS INTEGER) AS is_hurricane_season,
+         |    CAST(month(s.event_date) BETWEEN 5 AND 10 AS INTEGER) AS is_fire_season,
+         |    CAST(month(s.event_date) <= 2 OR month(s.event_date) = 12 AS INTEGER) AS is_winter,
+         |    count(*) OVER (PARTITION BY s.event_source
+         |      ORDER BY date_diff('day', DATE '1970-01-01', s.event_date)
+         |      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) - 1 AS events_last_30_days,
+         |    avg(s.severity_score) OVER (PARTITION BY s.event_source
+         |      ORDER BY s.event_date, s.event_id
+         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS avg_severity_90_days,
+         |    lead(s.event_date) OVER (PARTITION BY s.event_source
+         |      ORDER BY s.event_date, s.event_id) AS nd,
+         |    lead(s.severity_score) OVER (PARTITION BY s.event_source
+         |      ORDER BY s.event_date, s.event_id) AS ns
+         |  FROM sv s)
+         |SELECT strftime(f.event_date, '%Y-%m-%d') AS event_date,
+         |  f.event_id, f.event_source, f.severity_score,
+         |  f.year, f.month, f.day_of_year, f.quarter,
+         |  f.is_hurricane_season, f.is_fire_season, f.is_winter,
+         |  f.events_last_30_days, f.avg_severity_90_days,
+         |  m.monthly_event_count,
+         |  coalesce(w.daily_weather_alerts, 0) AS daily_weather_alerts,
+         |  coalesce(w.avg_weather_severity, CAST(0 AS DOUBLE)) AS avg_weather_severity,
+         |  coalesce(a.avg_temperature, CAST(0 AS DOUBLE)) AS avg_temperature,
+         |  coalesce(a.avg_humidity, CAST(0 AS DOUBLE)) AS avg_humidity,
+         |  coalesce(a.total_precipitation, CAST(0 AS DOUBLE)) AS total_precipitation,
+         |  coalesce(a.drought_indicator, 0) AS drought_indicator,
+         |  coalesce(CAST(date_diff('day', f.event_date, f.nd) <= 7 AS INTEGER), 0)
+         |    AS next_event_7_days,
+         |  CAST(f.ns AS DOUBLE) AS next_event_severity
+         |FROM f
+         |JOIN monthly m ON m.event_source = f.event_source
+         |  AND m.mp = date_trunc('month', f.event_date)
+         |LEFT JOIN wd w ON w.event_date = f.event_date
+         |LEFT JOIN ag a ON a.event_date = f.event_date""".stripMargin,
     "em_ag_risk" ->
       s"""WITH $sqlStgCoag,
          |daily AS (

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d18b_incremental_fast" -> "broadcast 1-row max(doc_id) median-split bound (u10's device)",
     "d13b_corpus_overlap_fast" -> "source-pair signature matrix, |sources|^2 rows",
     "em_ag_risk" -> "broadcast 1-row model-statistics frame (means/stds/quantiles)",
+    "em_prediction_features" -> "broadcast 1-row ag quantile frame (agDailyFeatures device)",
     "s1_knn_bruteforce" -> "broadcast bounded query set; brute force is |q|x|corpus| by definition",
     "s11_mips_topk" -> "broadcast bounded query set; brute MIPS is |q|x|corpus| by definition",
     "s8_bm25_topk" -> "broadcast 1-row corpus stats frame (N, avgdl)",
@@ -126,6 +127,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d9_semantic_decontamination" -> 1,
     "em_ag_summary" -> 3,
     "em_ag_risk" -> 2,
+    "em_prediction_features" -> 6,
     "em_analytics" -> 3,
     "em_api_performance" -> 9,
     "em_events" -> 0,
