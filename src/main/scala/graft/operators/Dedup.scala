@@ -239,15 +239,6 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Oracle-portable MinHash + LSH: identical banding pipeline to
-    * [[minHashLshPairs]], but the k "permutations" are md5 hex digests of
-    * `"<seed>|<shingle>"` min-selected LEXICOGRAPHICALLY — md5 and string
-    * min/compare behave identically in Spark and in ANSI-SQL engines, so
-    * the full signature → band → candidate → estimate pipeline is
-    * replayable as plain SQL and the driver can hash-check it end to end
-    * (xxhash64, used by the fast variant, exists only in Spark).
-    * ~2× the hash cost of the xxhash64 variant — the portability tax; use
-    * minHashLshPairs in production, this one to validate it. */
   /** Oracle-portable MinHash signatures: the k "permutations" are md5 hex
     * digests of `"<seed>|<shingle>"` min-selected LEXICOGRAPHICALLY. Each
     * DISTINCT shingle is hashed once (k md5s per distinct shingle, not per
@@ -288,6 +279,15 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Oracle-portable MinHash + LSH: identical banding pipeline to
+    * [[minHashLshPairs]], but the k "permutations" are md5 hex digests of
+    * `"<seed>|<shingle>"` min-selected LEXICOGRAPHICALLY — md5 and string
+    * min/compare behave identically in Spark and in ANSI-SQL engines, so
+    * the full signature → band → candidate → estimate pipeline is
+    * replayable as plain SQL and the driver can hash-check it end to end
+    * (xxhash64, used by the fast variant, exists only in Spark).
+    * ~2× the hash cost of the xxhash64 variant — the portability tax; use
+    * minHashLshPairs in production, this one to validate it. */
   def minHashLshPairsPortable(
       docs: DataFrame,
       idCol: String,
@@ -385,6 +385,42 @@ object Dedup {
       matches.select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     (matches, admitted)
+  }
+
+  /** Compaction pass for a persisted signature index (the [[incrementalNearDup]]
+    * / st22 parquet table): every admitted batch file-moves one delta file
+    * in, so thousands of micro-batches leave thousands of small files —
+    * the classic streaming-table ailment (footer-per-file opens dominate
+    * the probe scan long before data volume does). When the directory
+    * holds more than `maxFiles` parquet files, rewrite it to
+    * ceil(bytes / targetBytes) files via the S16 writer's temp-dir +
+    * atomic-rename device ([[graft.sources.Writers.compact]]); below the
+    * threshold it is a metadata-only no-op, so callers can run it every N
+    * batches (or on a timer) without thinking. Signature rows are
+    * key-unique and order-free, so a rewrite is probe-identical by
+    * construction — Wave9Spec pins N deltas compacting to one file with
+    * byte-identical match results. Returns true when a rewrite happened.
+    *
+    * Cadence guidance: compact OUTSIDE the foreachBatch loop (the index
+    * path must not be rewritten while a probe job is reading it — the
+    * same never-append-to-a-read-path rule the delta file-move exists
+    * for); for AvailableNow/batch ingest, after the stream drains; for a
+    * continuous stream, between micro-batches from the driver thread,
+    * e.g. every ~64 admitted deltas. */
+  def compactSignatureIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      maxFiles: Int = 16,
+      targetBytes: Long = 128L * 1024 * 1024
+  ): Boolean = {
+    val files = Option(new java.io.File(indexDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    if (files.length <= maxFiles) false
+    else {
+      val nOut = math.max(1, math.ceil(files.map(_.length).sum.toDouble / targetBytes).toInt)
+      graft.sources.Writers.compact(spark, indexDir, nOut)
+      true
+    }
   }
 
   /** 64-bit SimHash per document: token hashes vote per bit position.

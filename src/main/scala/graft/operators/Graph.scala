@@ -95,6 +95,29 @@ object Graph {
     labels.unionByName(isolated)
   }
 
+  /** Edge-list-only connected components — API symmetry with
+    * [[labelPropagation]]'s optional `isolated`: without it the result
+    * covers exactly the edge-touched nodes (a node that appears in no
+    * pair can't appear in an edge list, so callers who need the full
+    * universe must say so); with it, nodes present in `isolated` but
+    * absent from the edge list are unioned back as their own singleton
+    * components, so downstream joins see the whole corpus instead of a
+    * silently shrunken one. */
+  def connectedComponentsFromEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25,
+      isolated: Option[DataFrame] = None,
+      isolatedCol: String = "id"
+  ): DataFrame = {
+    // the nodes-frame variant unions back (nodes ∖ edge-touched); an empty
+    // universe makes that union a no-op, and Some(n) reproduces it exactly
+    val universe = isolated.getOrElse(
+      edges.select(col(srcCol).as(isolatedCol)).limit(0))
+    connectedComponents(universe, edges, isolatedCol, srcCol, dstCol, maxIter)
+  }
+
   /** PageRank with INTEGER arithmetic — damping 0.85, fixed iteration
     * count, every quantity a BIGINT in units of `scale` (= 1.0). Using
     * floor division (`div`) for both the per-edge contribution
@@ -109,9 +132,20 @@ object Graph {
     * aggregation, one left join back onto the node set — all
     * key-partitioned, nothing proportional to |V|², lineage truncated
     * per round exactly like [[connectedComponents]]. Dangling nodes
-    * (no out-edges) simply stop contributing — the standard
-    * simplification; callers who need mass conservation can add the
-    * dangling-sum redistribution as one extra 1-row aggregate.
+    * (no out-edges) simply stop contributing by default — the standard
+    * simplification; `redistributeDangling = true` instead spreads their
+    * rank mass uniformly each round (the canonical teleport-to-all
+    * treatment): one extra 1-row aggregate per round — the dangling-rank
+    * sum, floor-divided by |V| into an integer per-node share that joins
+    * the damped term — broadcast back over the node set. The share is
+    * identical for every node and integer sums commute, so the variant
+    * stays order-independent and hash-exact. Because each round then
+    * reads the previous ranks TWICE (contributions + dangling sum), the
+    * rank frame is checkpointed per round (the [[connectedComponents]]
+    * device) instead of composing lazily — redistribution trades the
+    * single-job plan for mass conservation: total rank stays within
+    * 2·|V| floor-loss units of |V|·scale per round instead of bleeding
+    * the full dangling mass (Wave9Spec pins both properties).
     *
     * Overflow headroom: the largest intermediate is 85 × Σ contributions
     * into one node, bounded by 85 · |V| · scale (total rank mass never
@@ -129,7 +163,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int = 5,
-      scale: Long = 1000000000L
+      scale: Long = 1000000000L,
+      redistributeDangling: Boolean = false
   ): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -161,23 +196,66 @@ object Graph {
     // For large iteration counts (>~10) a periodic checkpoint would bound
     // plan growth; at the analytic 5-20 range this is measurably faster
     // (no 5x blocking materialization of the |V|-row rank frame).
-    var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iterations) {
-      val contrib = ed
-        .join(ranks, ed("src") === ranks("node"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy("dst")
-        .agg(sum(col("c")).as("contrib"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(
-          col("node"),
-          expr(s"${base}L + (85 * coalesce(contrib, 0L)) div 100").as("rank"))
+    if (!redistributeDangling) {
+      var ranks = nodes.withColumn("rank", lit(scale))
+      for (_ <- 1 to iterations) {
+        val contrib = ed
+          .join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("rank div outdeg").as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c")).as("contrib"))
+        ranks = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(
+            col("node"),
+            expr(s"${base}L + (85 * coalesce(contrib, 0L)) div 100").as("rank"))
+      }
+      // ed/nodes checkpoint blocks MUST stay persisted: the returned lazy
+      // plan re-reads both on every action (they are the loop's shared
+      // inputs).
+      ranks
+    } else {
+      // dangling node set (no out-edges) is static: checkpoint once
+      val dangling = nodes
+        .join(ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      // |V| as a plain long: nodes is already materialized, the count is a
+      // cheap cached-block job; max(,1) keeps the share's floor division
+      // defined on a degenerate empty edge list (every frame is empty then)
+      val nV = math.max(nodes.count(), 1L)
+      // each round reads the previous ranks twice (contrib + dangling
+      // sum): without a per-round checkpoint the lazy plan would double
+      // per iteration (2^rounds subplan executions)
+      var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+      var prevCp = ranks
+      for (_ <- 1 to iterations) {
+        // total dangling mass this round -> identical integer share per
+        // node; 1-row frame, broadcast into the rank update
+        val dShare = ranks
+          .join(dangling, Seq("node"))
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+          .select(expr(s"dsum div ${nV}L").as("dshare"))
+        val contrib = ed
+          .join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("rank div outdeg").as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c")).as("contrib"))
+        ranks = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(broadcast(dShare))
+          .select(
+            col("node"),
+            expr(s"${base}L + (85 * (coalesce(contrib, 0L) + dshare)) div 100").as("rank"))
+          .localCheckpoint(true)
+        backingRdd(prevCp).foreach(_.unpersist(false))
+        prevCp = ranks
+      }
+      // unlike the lazy path, every round was materialized, so the shared
+      // inputs are no longer read by the returned frame — release them;
+      // the final round's checkpoint backs the result and stays persisted
+      Seq(nodes, ed, dangling).foreach(backingRdd(_).foreach(_.unpersist(false)))
+      ranks
     }
-    // ed/nodes checkpoint blocks MUST stay persisted: the returned lazy
-    // plan re-reads both on every action (they are the loop's shared
-    // inputs).
-    ranks
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) for community

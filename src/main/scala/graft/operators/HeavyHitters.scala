@@ -45,7 +45,14 @@ object HeavyHitters {
     * `keys` is a one-column-of-interest frame; extra columns are ignored.
     * `depth × width` bounds both the sketch shuffle and the broadcast
     * (default 3×4096 = 12k counters ≈ 200 KB). Smaller widths only cost
-    * extra collision candidates in step 3, never correctness. */
+    * extra collision candidates in step 3, never correctness —
+    * `depth × width` is capped at [[MaxCounters]] because the counters
+    * embed as plan LITERALS: a 3×1M sketch would inflate the plan and its
+    * generated code by tens of MB before any data flows. Don't widen the
+    * sketch to chase precision — raise `minCount` (fewer collision
+    * candidates reach the exact recount) or add a depth row instead. */
+  val MaxCounters: Long = 65536L
+
   def frequentKeys(
       keys: DataFrame,
       keyCol: String,
@@ -54,6 +61,10 @@ object HeavyHitters {
       width: Int = 4096
   ): DataFrame = {
     require(depth >= 1 && width >= 1, "depth and width must be positive")
+    require(depth.toLong * width <= MaxCounters,
+      s"depth*width = ${depth.toLong * width} exceeds $MaxCounters: the sketch embeds as plan " +
+        "literals, so oversizing it inflates the plan/codegen by megabytes — raise minCount " +
+        "(collision candidates are filtered exactly in the recount) instead of widening")
     require(minCount >= 1, "minCount must be positive")
     val k = col(keyCol)
 

@@ -61,20 +61,24 @@ object IntervalJoin {
     * ×10 data on the same workload.
     *
     * GUARD (default ON, the d1-maxDf spirit): `maxPairsPerBucket` caps
-    * the per-day pair product. A day bucket whose |left-day| ×
-    * |right-day| census exceeds the cap is DROPPED from the join —
-    * pairs whose only shared days are degenerate are lost, exactly like
-    * maxDf drops stop-gram postings — so one hot day (a global outage,
-    * a batch-dated backfill) can't re-create the quadratic shape this
-    * operator's own doc warns about. The census is part of the SAME
-    * lazy plan (two day-grain aggregates + a broadcast-size allowed-day
-    * join), no extra action. Pass `Long.MaxValue` to explicitly accept
-    * unbounded per-bucket products on trusted-small inputs.
+    * the per-day pair product via a day-grain census of both sides (one
+    * bounded row per active calendar day, part of the SAME lazy plan —
+    * no extra action). By default a bucket over the cap FAILS THE JOB
+    * with the offending day and its pair product in the error — a hot
+    * day (a global outage, a batch-dated backfill) surfaces loudly
+    * instead of re-creating the quadratic shape this operator's own doc
+    * warns about. Callers who prefer lossy completion pass
+    * `dropOverflowBuckets = true`: the over-cap day is then dropped from
+    * the join — pairs whose only shared days are degenerate are lost,
+    * exactly like maxDf drops stop-gram postings — an explicit opt-in so
+    * nobody gets a silently incomplete pair list. Pass `Long.MaxValue`
+    * to accept unbounded per-bucket products on trusted-small inputs.
     */
   def overlapByDay(
       left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
-      maxPairsPerBucket: Long = 10000000L
+      maxPairsPerBucket: Long = 10000000L,
+      dropOverflowBuckets: Boolean = false
   ): DataFrame = {
     val l = left.withColumn("__day",
       explode(sequence(to_date(col(lStart)), to_date(col(lEnd)))))
@@ -83,15 +87,36 @@ object IntervalJoin {
     val (lg, rg) =
       if (maxPairsPerBucket == Long.MaxValue) (l, r)
       else {
-        // day-grain census of both sides -> allowed days (bounded: one row
-        // per calendar day with activity), semi-joined onto each side
+        // day-grain census of both sides (bounded: one row per calendar
+        // day with activity)
         val lc = l.groupBy("__day").agg(count(lit(1)).as("__ln"))
         val rc = r.groupBy("__day").agg(count(lit(1)).as("__rn"))
-        val allowed = lc.join(rc, Seq("__day"))
-          .filter(col("__ln") * col("__rn") <= maxPairsPerBucket)
-          .select("__day")
-        (l.join(broadcast(allowed), Seq("__day"), "left_semi"),
-          r.join(broadcast(allowed), Seq("__day"), "left_semi"))
+        val census = lc.join(rc, Seq("__day"))
+          .withColumn("__pairs", col("__ln") * col("__rn"))
+        if (dropOverflowBuckets) {
+          val allowed = census
+            .filter(col("__pairs") <= maxPairsPerBucket)
+            .select("__day")
+          (l.join(broadcast(allowed), Seq("__day"), "left_semi"),
+            r.join(broadcast(allowed), Seq("__day"), "left_semi"))
+        } else {
+          // fail-loudly path: the (tiny) over-cap day list broadcasts onto
+          // the left side; assert_true yields null for every clean row
+          // (filter keeps all) and raises with the day + product on the
+          // first row of an overflowing bucket — lazy, no extra action
+          val over = census
+            .filter(col("__pairs") > maxPairsPerBucket)
+            .select(col("__day"), col("__pairs"))
+          val lChecked = l.join(broadcast(over), Seq("__day"), "left")
+            .filter(assert_true(col("__pairs").isNull,
+              concat(lit("overlapByDay: day bucket "), col("__day").cast("string"),
+                lit(" has |left|x|right| = "), col("__pairs").cast("string"),
+                lit(s" candidate pairs > maxPairsPerBucket = $maxPairsPerBucket; "),
+                lit("raise the cap, pre-filter the hot day, or opt into lossy "),
+                lit("dropOverflowBuckets = true"))).isNull)
+            .drop("__pairs")
+          (lChecked, r)
+        }
       }
     lg.join(rg, Seq("__day"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))

@@ -62,23 +62,6 @@ object MlFeatures {
     TrainResult(acc, importances)
   }
 
-  /** The reference's agricultural risk-score model
-    * (assets/ml_assets.py:340-410, feature construction :119-141)
-    * re-expressed: daily station rollup (avg temp/humidity, total
-    * precip), drought indicator = precip below its 20th percentile AND
-    * temp above its 80th (pandas linear-interpolation quantiles ==
-    * `percentile()`), per-metric z-scores on the pandas SAMPLE std
-    * (precip/humidity inverted — low is risky), clipped ±3; composite
-    * 0.4·t + 0.4·p + 0.2·h + 2·drought clipped to [0,10]; right-closed
-    * pd.cut categories ((0,2]=LOW … (8,10]=EXTREME — a score of exactly
-    * 0 falls outside every bin and yields null, faithfully); seasonal
-    * month multiplier; adjusted = clip(score·mult, 0, 10).
-    *
-    * Scale shape: the daily frame is one A8-class rollup; ALL model
-    * statistics ride ONE 1-row aggregate broadcast back over it (the
-    * scalar-subquery shape), so everything after the rollup is map-side.
-    * Outputs rounded 6 dp — the engines accumulate moments in different
-    * orders (a17 precedent). */
   /** Daily agricultural feature frame (ml_assets.py:119-141): decimal-
     * exact per-date rollup of the CoAgMet staging (davg/dsum — the ×10
     * station axis drifts a plain double avg past 6 dp) plus the drought
@@ -103,6 +86,23 @@ object MlFeatures {
       .drop("p_q20", "t_q80")
   }
 
+  /** The reference's agricultural risk-score model
+    * (assets/ml_assets.py:340-410, feature construction :119-141)
+    * re-expressed: daily station rollup (avg temp/humidity, total
+    * precip), drought indicator = precip below its 20th percentile AND
+    * temp above its 80th (pandas linear-interpolation quantiles ==
+    * `percentile()`), per-metric z-scores on the pandas SAMPLE std
+    * (precip/humidity inverted — low is risky), clipped ±3; composite
+    * 0.4·t + 0.4·p + 0.2·h + 2·drought clipped to [0,10]; right-closed
+    * pd.cut categories ((0,2]=LOW … (8,10]=EXTREME — a score of exactly
+    * 0 falls outside every bin and yields null, faithfully); seasonal
+    * month multiplier; adjusted = clip(score·mult, 0, 10).
+    *
+    * Scale shape: the daily frame is one A8-class rollup; ALL model
+    * statistics ride ONE 1-row aggregate broadcast back over it (the
+    * scalar-subquery shape), so everything after the rollup is map-side.
+    * Outputs rounded 6 dp — the engines accumulate moments in different
+    * orders (a17 precedent). */
   def agriculturalRiskScores(stgCoag: DataFrame): DataFrame = {
     def clip(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
       least(greatest(c, lit(lo)), lit(hi))

@@ -35,7 +35,10 @@ object Scd2 {
     *   new row's updatedAt; a new open row is appended
     * - new keys: appended open
     * - keys absent from the batch: closed at `deleteTs` when
-    *   `invalidateHardDeletes` (dbt's invalidate_hard_deletes=True)
+    *   `invalidateHardDeletes` (dbt's invalidate_hard_deletes=True);
+    *   `deleteTs` is REQUIRED with that flag — stamping a hard-closed row
+    *   `valid_to = NULL` would make it indistinguishable from an open row
+    *   under the "null = open" history contract
     * - already-closed history rows pass through untouched
     *
     * KEY CONTRACT (both strategies): key columns must be NON-NULL and the
@@ -54,6 +57,10 @@ object Scd2 {
       invalidateHardDeletes: Boolean = false,
       deleteTs: Option[java.sql.Timestamp] = None
   ): DataFrame = {
+    require(!invalidateHardDeletes || deleteTs.nonEmpty,
+      "invalidateHardDeletes requires deleteTs: a hard-closed row with valid_to = NULL " +
+        "is indistinguishable from an open row (null = open is the history contract); " +
+        "pass the snapshot run time")
     val bizCols = history.columns.filterNot(Seq("valid_from", "valid_to", "is_current").contains)
 
     // latest record per key within the batch (idempotent re-ingest, S15)
@@ -129,7 +136,12 @@ object Scd2 {
     *
     * The batch must be one row per key (pre-collapse upstream — there is
     * no updated_at to pick "latest" by, so this operator refuses to guess
-    * and instead keys the full-outer join directly).
+    * and instead keys the full-outer join directly). NOTE the contract is
+    * the caller's to uphold by default: a duplicate-keyed batch fans out
+    * through the full-outer join into duplicate open/closed history rows.
+    * `requireUniqueKeys = true` adds a lazy in-plan assertion (one window
+    * count over the batch keys — an extra exchange, hence opt-in) that
+    * fails the job on the first duplicate instead.
     */
   def mergeCheckCols(
       history: DataFrame,
@@ -137,9 +149,24 @@ object Scd2 {
       keys: Seq[String],
       checkCols: Seq[String],
       runTs: java.sql.Timestamp,
-      invalidateHardDeletes: Boolean = false
+      invalidateHardDeletes: Boolean = false,
+      requireUniqueKeys: Boolean = false
   ): DataFrame = {
     require(checkCols.nonEmpty, "check strategy needs at least one check column")
+    val checkedBatch =
+      if (!requireUniqueKeys) batch
+      else {
+        // assert_true returns null when the predicate holds, so the filter
+        // keeps every row of a well-formed batch and throws on the first
+        // key seen twice — no extra action, the check rides the merge plan
+        val msg = concat(lit("mergeCheckCols: batch has multiple rows for key ("),
+          concat_ws(", ", keys.map(k => col(k).cast("string")): _*),
+          lit(") — check strategy has no updated_at to pick a latest by; collapse upstream"))
+        batch
+          .withColumn("__kc", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+          .filter(assert_true(col("__kc") === 1, msg).isNull)
+          .drop("__kc")
+      }
     val bizCols = history.columns.filterNot(Seq("valid_from", "valid_to", "is_current").contains)
 
     val closed = history.filter(!col("is_current"))
@@ -148,7 +175,7 @@ object Scd2 {
     // presence flags survive the coalescing using-join (the merge()
     // device uses updatedAt; check strategy has none, so tag explicitly)
     val joined = open.withColumn("__has_old", lit(true)).as("o")
-      .join(batch.withColumn("__has_new", lit(true)).as("n"), keys, "full_outer")
+      .join(checkedBatch.withColumn("__has_new", lit(true)).as("n"), keys, "full_outer")
     val hasOld = col("o.__has_old").isNotNull
     val hasNew = col("n.__has_new").isNotNull
     // null-safe inequality on any check column = dbt's row-changed test

@@ -351,6 +351,26 @@ object EventGraphQueries {
         .select(col("node"),
           when(col("node") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
           col("rank"))
+    }),
+
+    "g1b_pagerank_dangling" -> ((s, d) => {
+      // the DIRECTED customer->supplier trade graph: suppliers receive
+      // but never emit edges, so they are all dangling — the workload the
+      // redistribution variant exists for. Their pooled rank mass is
+      // floor-shared back to every node each round (integer-exact, one
+      // 1-row broadcast per round); the oracle replays the same unrolled
+      // recurrence including the per-round dangling-sum CTE.
+      val t = Tables(s, d)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.pageRankInt(edges, "src", "dst", iterations = 5, scale = 1000000000L,
+        redistributeDangling = true)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+          col("rank"))
     })
   )
 
@@ -376,6 +396,41 @@ object EventGraphQueries {
        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+       |$iters
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  rank
+       |FROM r$iterations""".stripMargin
+  }
+
+  /** DuckDB replay of the dangling-redistribution PageRank on the DIRECTED
+    * customer->supplier graph: per round a 1-row dangling-sum CTE is
+    * floor-shared over |V| and added to the damped term — the same integer
+    * recurrence as [[Graph.pageRankInt]] with `redistributeDangling`. */
+  private def pageRankDanglingOracleSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""d$k AS (
+         |  SELECT CAST(COALESCE(sum(r.rank), 0) // (SELECT n FROM nv) AS BIGINT) AS share
+         |  FROM r${k - 1} r JOIN dang ON r.node = dang.node),
+         |r$k AS (
+         |  SELECT n.node,
+         |    CAST(150000000 + ((85 * (COALESCE(s.contrib, 0) + (SELECT share FROM d$k))) // 100) AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank // g.outdeg) AS BIGINT) AS contrib
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON e.src = r.node
+         |    JOIN deg g ON e.src = g.src
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |dang AS (SELECT n.node FROM nodes n LEFT JOIN deg g ON n.node = g.src
+       |         WHERE g.src IS NULL),
+       |nv AS (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
        |$iters
        |SELECT node,
@@ -605,6 +660,7 @@ object EventGraphQueries {
         |FROM pb a JOIN pb b
         |  ON a.noun = b.noun AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
-    "g1_pagerank" -> pageRankOracleSql(5)
+    "g1_pagerank" -> pageRankOracleSql(5),
+    "g1b_pagerank_dangling" -> pageRankDanglingOracleSql(5)
   )
 }

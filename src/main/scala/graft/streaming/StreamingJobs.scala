@@ -993,7 +993,12 @@ object StreamingJobs {
   ): DataFrame = {
     import graft.operators.Dedup
     val docs = graft.core.Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
-    val base = s"/tmp/graft_st22_${counter.incrementAndGet()}"
+    // pid in the path: the counter restarts with every JVM, so two
+    // concurrent processes (parallel test + bench runs) would otherwise
+    // collide on the same staging dir and delete each other's live
+    // checkpoint/index mid-run
+    val base =
+      s"/tmp/graft_st22_${ProcessHandle.current().pid()}_${counter.incrementAndGet()}"
     // the counter restarts with the JVM — a stale run's checkpoint/index
     // under the same name would corrupt batch accounting; start clean
     if (new java.io.File(base).exists()) {
@@ -1075,6 +1080,12 @@ object StreamingJobs {
       try q.processAllAvailable()
       finally q.stop()
     }
+    // post-drain compaction point: a long-running ingest accumulates one
+    // small parquet file per admitted batch; once the count clears the
+    // threshold this rewrites the index to size-targeted files (atomic
+    // rename, probe-identical — Dedup.compactSignatureIndex doc). Under
+    // the threshold, as here, it's a directory-listing no-op.
+    Dedup.compactSignatureIndex(spark, idxDir)
     spark.read.parquet(matchDir)
   }
 }

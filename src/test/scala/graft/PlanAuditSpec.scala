@@ -142,6 +142,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "em_usage_metrics" -> 2,
     "em_weather_impacts" -> 2,
     "g1_pagerank" -> 5,
+    // 0 = the redistribute path materializes every round eagerly (per-round
+    // localCheckpoint — ranks is read twice per round), so the returned
+    // frame is a checkpoint scan; its shuffles run at construction
+    "g1b_pagerank_dangling" -> 0,
     "g2_label_propagation" -> 14,
     "j10_json_extract" -> 0,
     "j11_overlap_join" -> 3,

@@ -61,10 +61,21 @@ class Wave8Spec extends SparkSpecBase {
       .toDF("rid", "r_start", "r_end")
 
     val guarded = IntervalJoin.overlapByDay(l, "l_start", "l_end", r, "r_start", "r_end",
-      maxPairsPerBucket = 100L)
+      maxPairsPerBucket = 100L, dropOverflowBuckets = true)
       .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
-    // the 900-pair day is dropped; the quiet day survives
+    // with the explicit lossy opt-in the 900-pair day is dropped; the
+    // quiet day survives
     assert(guarded == Seq((99L, 999L)))
+
+    // default = fail loudly: an over-cap bucket raises with the day and
+    // its pair product instead of silently truncating the pair list
+    val err = intercept[Exception] {
+      IntervalJoin.overlapByDay(l, "l_start", "l_end", r, "r_start", "r_end",
+        maxPairsPerBucket = 100L).count()
+    }
+    val msg = Option(err.getMessage).getOrElse("") +
+      Option(err.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxPairsPerBucket") && msg.contains("2024-01-01"))
 
     val unguarded = IntervalJoin.overlapByDay(l, "l_start", "l_end", r, "r_start", "r_end",
       maxPairsPerBucket = Long.MaxValue)

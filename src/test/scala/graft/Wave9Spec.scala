@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, HeavyHitters, Scd2}
+
+/** Round-8 armor wave: PageRank dangling-mass redistribution (mass
+  * conservation + oracle-shape determinism), connectedComponentsFromEdges
+  * API symmetry, the Scd2 hard-delete deleteTs contract, the
+  * mergeCheckCols unique-key guard, the HeavyHitters sketch-size bound,
+  * and signature-index compaction probe-identity.
+  */
+class Wave9Spec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // ---- PageRank dangling-mass redistribution ------------------------------
+
+  // chain 1->2->3 (3 dangling) and 4->5 (5 dangling): without
+  // redistribution the sinks' mass bleeds out of the system every round
+  private val danglingEdges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+
+  test("pageRankInt with redistribution conserves total rank mass; without, it bleeds") {
+    val scale = 1000000000L
+    val n = 5L
+    val iters = 5
+    val withR = Graph.pageRankInt(danglingEdges, "src", "dst", iters, scale,
+      redistributeDangling = true)
+    val without = Graph.pageRankInt(danglingEdges, "src", "dst", iters, scale)
+    val totalWith = withR.agg(sum("rank")).as[Long].head()
+    val totalWithout = without.agg(sum("rank")).as[Long].head()
+    // conservation up to integer floor losses: each round loses < 1 unit
+    // per edge (contribution div) + |V| (share div) + |V| (damping div)
+    // out of n*scale = 5e9 — assert a generous absolute envelope that a
+    // bleeding variant misses by eight orders of magnitude
+    val floorLossBound = iters.toLong * (danglingEdges.count() + 2 * n)
+    assert(math.abs(totalWith - n * scale) <= math.max(floorLossBound, 1000L),
+      s"redistributed total $totalWith drifted from ${n * scale}")
+    // the standard simplification visibly loses the dangling mass
+    assert(totalWithout < n * scale - scale / 2,
+      s"non-redistributed total $totalWithout unexpectedly conserved mass")
+    assert(totalWith > totalWithout)
+  }
+
+  test("pageRankInt redistribution is deterministic across partitionings") {
+    val a = Graph.pageRankInt(danglingEdges, "src", "dst", 4, redistributeDangling = true)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRankInt(danglingEdges.repartition(7), "src", "dst", 4,
+      redistributeDangling = true)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- connectedComponentsFromEdges ----------------------------------------
+
+  test("connectedComponentsFromEdges covers exactly the edge-touched nodes by default") {
+    val edges = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.connectedComponentsFromEdges(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("connectedComponentsFromEdges unions isolated nodes back as singletons") {
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val universe = Seq(1L, 2L, 9L, 10L).toDF("doc_id")
+    val got = Graph.connectedComponentsFromEdges(edges, "a", "b",
+      isolated = Some(universe), isolatedCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L, 10L -> 10L))
+    // and agrees with the node-universe variant it delegates to
+    val viaNodes = Graph.connectedComponents(universe, edges, "doc_id", "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == viaNodes)
+  }
+
+  // ---- Scd2 hard-delete deleteTs contract ----------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("Scd2.merge refuses invalidateHardDeletes without a deleteTs") {
+    val hist = Scd2.init(
+      Seq(("k1", "v1", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at"),
+      "updated_at")
+    val batch = Seq(("k2", "v2", ts("2024-02-01 00:00:00"))).toDF("k", "v", "updated_at")
+    val err = intercept[IllegalArgumentException] {
+      Scd2.merge(hist, batch, Seq("k"), "updated_at", invalidateHardDeletes = true)
+    }
+    assert(err.getMessage.contains("deleteTs"))
+    // with the timestamp the vanished key closes AT that timestamp — no
+    // closed row can carry the open-row marker valid_to = NULL
+    val merged = Scd2.merge(hist, batch, Seq("k"), "updated_at",
+      invalidateHardDeletes = true, deleteTs = Some(ts("2024-02-01 00:00:00")))
+    val closedNull = merged
+      .filter(!col("is_current") && col("valid_to").isNull)
+    assert(closedNull.count() == 0)
+  }
+
+  // ---- mergeCheckCols unique-key guard --------------------------------------
+
+  test("mergeCheckCols requireUniqueKeys fails on a duplicate-keyed batch, passes a clean one") {
+    val runTs = ts("2024-03-01 00:00:00")
+    val hist = Scd2.initAt(Seq(("k1", "sev1")).toDF("k", "severity"), ts("2024-01-01 00:00:00"))
+    val dup = Seq(("k1", "a"), ("k1", "b")).toDF("k", "severity")
+    val err = intercept[Exception] {
+      Scd2.mergeCheckCols(hist, dup, Seq("k"), Seq("severity"), runTs,
+        requireUniqueKeys = true).count()
+    }
+    val msg = Option(err.getMessage).getOrElse("") +
+      Option(err.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("multiple rows"))
+
+    val clean = Seq(("k1", "sev2")).toDF("k", "severity")
+    val merged = Scd2.mergeCheckCols(hist, clean, Seq("k"), Seq("severity"), runTs,
+      requireUniqueKeys = true)
+    assert(merged.filter(col("is_current")).count() == 1)
+    assert(merged.count() == 2) // closed sev1 + open sev2
+  }
+
+  // ---- HeavyHitters sketch-size bound ---------------------------------------
+
+  test("frequentKeys rejects a sketch wider than the plan-literal bound") {
+    val keys = Seq("a", "b").toDF("k")
+    val err = intercept[IllegalArgumentException] {
+      HeavyHitters.frequentKeys(keys, "k", minCount = 2, depth = 3, width = 1000000)
+    }
+    assert(err.getMessage.contains("minCount"))
+    // the default geometry still works end to end
+    val got = HeavyHitters.frequentKeys(
+      (Seq.fill(5)("hot") ++ Seq("cold")).toDF("k"), "k", minCount = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hot", 5L)))
+  }
+
+  // ---- signature-index compaction -------------------------------------------
+
+  test("compactSignatureIndex folds N delta files into one; probe results byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_compact").toFile
+    val idxDir = s"${dir.getAbsolutePath}/index"
+    // base index + 5 per-batch deltas, each landing as its own file(s) —
+    // the shape a long-running st22 ingest accumulates
+    val corpus = (0 until 18).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta doc$i tail${i % 6} x${i % 3}")
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.portableSignatures(corpus, "doc_id", "text", n = 3, k = 16)
+    sigs.filter(col("doc_id") < 3).coalesce(1).write.parquet(idxDir)
+    (1 to 5).foreach { b =>
+      val delta = s"${dir.getAbsolutePath}/delta_$b"
+      sigs.filter(col("doc_id") >= b * 3 && col("doc_id") < (b + 1) * 3)
+        .coalesce(1).write.parquet(delta)
+      new java.io.File(delta).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(s"$idxDir/delta_${b}_$i.parquet").toPath)
+        }
+    }
+    def files() = new java.io.File(idxDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files().length == 6)
+
+    val probe = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta doc2 tail2 x2"))
+      .toDF("doc_id", "text")
+    def probeResults() = {
+      val (matches, _) = Dedup.incrementalNearDup(
+        spark.read.parquet(idxDir), probe, "doc_id", "text", n = 3, k = 16, bands = 4)
+      matches.orderBy("idx_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val before = probeResults()
+    assert(before.nonEmpty, "fixture should produce at least one near-dup match")
+
+    // below threshold: no-op
+    assert(!Dedup.compactSignatureIndex(spark, idxDir, maxFiles = 16))
+    assert(files().length == 6)
+    // above threshold: one size-targeted file, identical probe results
+    assert(Dedup.compactSignatureIndex(spark, idxDir, maxFiles = 4))
+    assert(files().length == 1)
+    assert(probeResults() == before)
+  }
+}
