@@ -60,6 +60,29 @@ object Bench {
     val retryCeiling = sys.env.get("SPARK_GRAFT_BENCH_RETRY_SEC").flatMap(_.toDoubleOption)
       .getOrElse(if (cold) 0.0 else 2.0)
     val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES").flatMap(_.toIntOption).getOrElse(1)
+    // Per-class ceilings: a flat 2 s ceiling re-runs the same ~10
+    // known-heavy legs (g1/g2/st22/em_snapshots/...) every official run —
+    // ~30 s of wasted third passes that can't change the outcome. The
+    // committed ref file (tools/gen_bench_ref.sh: one Bench run at
+    // sf0.01) records each query's small-scale cost; a query's ceiling is
+    // max(base, 4x its sf0.01 time), so map-only queries keep the 1-2 s
+    // expectation while a leg that costs 2 s at sf0.01 only retries above
+    // 8 s — a genuine outlier, not its own steady state. Queries missing
+    // from the ref (new this round) fall back to the flat base ceiling.
+    val ceilingRefPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_CEILING_REF", "tools/bench_ref_sf0.01.json")
+    val refTimes: Map[String, Double] = {
+      val f = new java.io.File(ceilingRefPath)
+      if (retryCeiling <= 0 || !f.isFile) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // flat {"name":sec,...} map written by gen_bench_ref.sh
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    def ceilingFor(name: String): Double =
+      refTimes.get(name).map(t => math.max(retryCeiling, 4.0 * t)).getOrElse(retryCeiling)
     val results = ordered.grouped(blockSize).toSeq.flatMap { block =>
       val spark = graft.core.SparkSessionFactory.local("graft-bench")
       if (!cold) {
@@ -113,7 +136,8 @@ object Bench {
           case _ => -1.0
         }
         var retries = 0
-        while (retryCeiling > 0 && best > retryCeiling && retries < maxRetries) {
+        val ceiling = ceilingFor(name)
+        while (retryCeiling > 0 && best > ceiling && retries < maxRetries) {
           retries += 1
           val (t, ok) = onePass()
           if (ok && t < best) best = t
@@ -142,16 +166,25 @@ object Bench {
       else twinEntries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retried = results.collect { case (k, _, r) if r > 0 => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
+    // per-class ceilings actually raised above the flat base — the sf0.01
+    // reference costs behind them live in the committed ref file
+    val raised = results.map(_._1).filter(n => ceilingFor(n) > retryCeiling).sorted
+      .map(n => s"\"" + n + "\":" + fmt(ceilingFor(n), 2)).mkString("{", ",", "}")
+    val refTag = if (refTimes.isEmpty) "null" else s""""$ceilingRefPath""""
     val env = s""""sf":"$sfDir","cores":$cores,"load_avg_1m":$load,"cold":$cold,""" +
       s""""recycle_every":$blockSize,"passes":$passes,"retry_ceiling_sec":$retryCeiling,""" +
+      s""""ceiling_ref":$refTag,""" +
       s""""retries":$retried,"n_failed":$nFailed,"twins_excluded":$excluded"""
+    // the raised-ceiling map rides the FULL line only — the compact final
+    // line must stay inside the driver's bounded stdout tail
+    val envFull = s""""ceilings_raised":$raised,""" + env
     // full per-query record first (for the build log / BASELINE.md), then a
     // compact summary as the LAST line: the driver's artifact keeps a
     // bounded tail of stdout, and the ~4 KB full line overflows it (round-3
     // artifacts truncated mid-line and failed to parse). The final line is
     // sized to always fit the tail window whole, so the official artifact
     // is self-contained: total + count + the slowest legs, parseable.
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,$env}""")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,$envFull}""")
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.length},"slowest":$slowest,$env}""")
