@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // NEGATIVE CONTROLS for the scale gate (tools/scale_leg.sh), opt-in via
+  // SPARK_GRAFT_BENCH_EXTRA — never part of SparkEntry.queries, never
+  // verified, never in the official board total. toy_quadratic is the
+  // shape every operator on the board exists to avoid: an uncapped
+  // within-group self-join whose pair product grows as the SQUARE of the
+  // corpus, so the x10 documents fixture must blow past the gate's ratio
+  // ceiling — proving the gate catches a planted regression (the d4 x76 /
+  // j11 x16.9 class) rather than vacuously passing.
+  private val extraQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "toy_quadratic" -> { (s, dir) =>
+        import org.apache.spark.sql.functions._
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val b = d.select(col("doc_id").as("bid"), col("lang"), col("n_chars").as("bn"))
+        d.join(b, Seq("lang"))
+          .where(col("doc_id") < col("bid") && abs(col("n_chars") - col("bn")) <= lit(5))
+          .groupBy("lang").agg(count(lit(1)).as("pairs"))
+      }
+    )
   // Force EVERY output column of the final plan: Dataset.count() lets
   // Catalyst prune the measured computation for pure projections (count
   // needs no columns, so a quality-score pass over 10x data timed flat),
@@ -30,7 +50,10 @@ object Bench {
     val twinEntries =
       Set("t5b_rolling_fingerprint_portable", "d2b_minhash_portable", "d13_corpus_overlap")
     val twins = sys.env.get("SPARK_GRAFT_BENCH_TWINS").contains("1")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val pool = SparkEntry.queries ++ extraQueries.view.filterKeys(extra.contains).toMap
+    val ordered = pool.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) => twins || only.nonEmpty || !twinEntries.contains(name) }
     // Recycle the SparkSession every ~40 queries: one long-lived session

@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Scale-leg gate: compare two Bench total_full lines (base SF vs the x10
+fixture) and FAIL on any query whose x10-data time ratio exceeds the
+ceiling — the driver-run descendant of the builder discipline that caught
+d4's x76 and j11's x16.9 quadratic blowups.
+
+Gate rule: a query VIOLATES when ratio > --ceiling (default 10) AND its
+x10 time > --floor seconds (default 1.0; sub-second legs are overhead/
+steal-dominated and their ratios are noise). A short allowlist carries
+per-query ceilings for the two entries whose FIXTURE construction scales
+a normally-fixed axis (documented inline); allowlisted queries are
+reported, not failed, unless they exceed their own raised ceiling.
+
+TPC-H-ish tables are symlinked at source scale in the x10 fixture
+(tools/gen_scale.py), so ratios for queries touching only those tables
+hover near 1 and the gate exercises the LLM-pipeline axes
+(documents/embeddings/events) plus the em_* fixture multiplier.
+
+Usage:
+  check_scale.py BASE_FULL_JSON X10_FULL_JSON --json OUT.json
+      [--round N] [--ceiling 10] [--floor 1.0]
+      [--retry-base F --retry-x10 F]   # isolated re-runs, merged by min
+      [--expect-fail NAME]             # selftest: exit 0 iff NAME violates
+Exit 0 = gate green; 1 = violations (or selftest expectation unmet).
+"""
+import argparse
+import json
+import sys
+
+# fixture-construction allowances, NOT operator excuses: each scales an
+# axis that is fixed-size in production, with the round-4/5 evidence cited
+# in BASELINE.md
+ALLOW = {
+    # per-copy vocabulary permutation gives the x10 corpus 10x DISTINCT
+    # words, so the word-histogram groupBy carries 10x keys on top of 10x
+    # bytes — linear in bytes+keys, merge loop vocab-bounded
+    "t13_bpe_learned": 20.0,
+    # the fixture scales the benchmark/eval set x10 WITH the corpus, so the
+    # bench x train dot-product work grows x100 in the fixture (measured
+    # x15 — strongly sublinear in that product); real decontamination eval
+    # sets are fixed-size, making production linear in the corpus alone
+    "d9_semantic_decontamination": 25.0,
+}
+
+
+def load_queries(path):
+    with open(path) as f:
+        d = json.loads(f.read())
+    return {k: v for k, v in d["queries"].items() if v >= 0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("base")
+    ap.add_argument("x10")
+    ap.add_argument("--json", required=True)
+    ap.add_argument("--round", type=int, default=0)
+    ap.add_argument("--ceiling", type=float, default=10.0)
+    ap.add_argument("--floor", type=float, default=1.0)
+    ap.add_argument("--retry-base")
+    ap.add_argument("--retry-x10")
+    ap.add_argument("--expect-fail")
+    args = ap.parse_args()
+
+    base = load_queries(args.base)
+    x10 = load_queries(args.x10)
+    # isolated re-runs of suspected outliers override by per-query MIN —
+    # the "judge scale legs from isolated runs" discipline, automated
+    if args.retry_base:
+        for k, v in load_queries(args.retry_base).items():
+            base[k] = min(base.get(k, v), v)
+    if args.retry_x10:
+        for k, v in load_queries(args.retry_x10).items():
+            x10[k] = min(x10.get(k, v), v)
+
+    shared = sorted(set(base) & set(x10))
+    queries, violations, allowlisted = {}, [], []
+    for name in shared:
+        b, t = base[name], x10[name]
+        ratio = round(t / b, 2) if b > 0 else float("inf")
+        queries[name] = {"base_sec": round(b, 4), "x10_sec": round(t, 4), "ratio": ratio}
+        if t <= args.floor:
+            continue
+        ceiling = ALLOW.get(name, args.ceiling)
+        if ratio > ceiling:
+            violations.append({"query": name, "ratio": ratio, "x10_sec": round(t, 3),
+                               "ceiling": ceiling})
+        elif name in ALLOW and ratio > args.ceiling:
+            allowlisted.append({"query": name, "ratio": ratio, "ceiling": ceiling})
+
+    out = {
+        "round": args.round,
+        "gate": {"ratio_ceiling": args.ceiling, "x10_floor_sec": args.floor,
+                 "allowlist": ALLOW},
+        "n_queries": len(shared),
+        "violations": violations,
+        "allowlisted_over_default": allowlisted,
+        "note": "x10 fixture scales documents/embeddings/events (and the em_* "
+                "fixture multiplier); TPC-H-ish tables symlinked at source scale",
+        "queries": queries,
+    }
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+
+    worst = sorted(queries.items(), key=lambda kv: -kv[1]["ratio"])[:8]
+    print(f"[scale] {len(shared)} queries; worst ratios: "
+          + ", ".join(f"{k}={v['ratio']}x" for k, v in worst))
+    if args.expect_fail:
+        hit = [v for v in violations if v["query"] == args.expect_fail]
+        if hit:
+            print(f"[scale] SELFTEST OK: {args.expect_fail} correctly flagged "
+                  f"at {hit[0]['ratio']}x > {hit[0]['ceiling']}x")
+            return 0
+        print(f"[scale] SELFTEST FAILED: {args.expect_fail} was NOT flagged")
+        return 1
+    if violations:
+        print(f"[scale] GATE FAILED: {violations}")
+        return 1
+    print("[scale] gate green")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

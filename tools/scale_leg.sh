@@ -1,0 +1,74 @@
+#!/usr/bin/env bash
+# x10 scale-leg sweep as a per-round committed artifact (SCALE_r<N>.json).
+#
+# Runs the full board twice — at sf0.1 and at the x10 fixture
+# (tools/gen_scale.py sf1: documents/embeddings/events tiled 10x with
+# structure-preserving permutations, TPC-H tables symlinked) — and gates
+# every query's x10-data time ratio through tools/check_scale.py
+# (ratio <= 10 where the x10 leg costs > 1 s; two fixture-construction
+# allowances documented there). Queries that trip the gate on the
+# full-board pass are re-run ISOLATED on both dirs (this host's steal
+# bursts inflate rotating victims in long runs — BASELINE.md round-5
+# methodology note) and merged by per-query min before the final verdict.
+#
+# Usage:
+#   tools/scale_leg.sh <round>       # e.g. tools/scale_leg.sh 8
+#   tools/scale_leg.sh --selftest    # prove the gate catches a planted
+#                                    # quadratic (Bench's toy_quadratic
+#                                    # negative control) -> SCALE_selftest.json
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF01=/root/testdata/sf0.1
+SF1_DIR=/tmp/graft_sf1
+
+if [ ! -f "$SF1_DIR/events.parquet" ] && [ ! -d "$SF1_DIR/events.parquet" ]; then
+  python3 tools/gen_scale.py sf1 "$SF01" "$SF1_DIR"
+fi
+
+run_bench() { # sf_dir out_file [extra env pairs...]
+  local dir="$1" out="$2"; shift 2
+  env SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 "$@" \
+    sbt -batch "runMain graft.Bench" \
+    | grep '"metric":"total_full"' | sed 's/^\[info\] //' > "$out"
+}
+
+if [ "${1:?usage: scale_leg.sh <round>|--selftest}" = "--selftest" ]; then
+  echo "[scale] selftest: planted quadratic must trip the gate"
+  run_bench "$SF01" /tmp/scale_self_base.json \
+    SPARK_GRAFT_BENCH_EXTRA=toy_quadratic SPARK_GRAFT_BENCH_QUERIES=toy_quadratic
+  run_bench "$SF1_DIR" /tmp/scale_self_x10.json \
+    SPARK_GRAFT_BENCH_EXTRA=toy_quadratic SPARK_GRAFT_BENCH_QUERIES=toy_quadratic
+  python3 tools/check_scale.py /tmp/scale_self_base.json /tmp/scale_self_x10.json \
+    --json SCALE_selftest.json --expect-fail toy_quadratic
+  exit $?
+fi
+
+ROUND="$1"
+echo "[scale] base sweep at $SF01"
+run_bench "$SF01" /tmp/scale_base.json
+echo "[scale] x10 sweep at $SF1_DIR"
+run_bench "$SF1_DIR" /tmp/scale_x10.json
+
+set +e
+python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
+  --json "SCALE_r${ROUND}.json" --round "$ROUND"
+rc=$?
+set -e
+if [ $rc -ne 0 ]; then
+  # re-run the flagged queries isolated on both dirs; min-merge and re-gate
+  SUSPECTS=$(python3 -c "
+import json
+print(','.join(sorted(v['query'] for v in json.load(open('SCALE_r${ROUND}.json'))['violations'])))")
+  echo "[scale] isolated re-run of suspects: $SUSPECTS"
+  run_bench "$SF01" /tmp/scale_base_retry.json SPARK_GRAFT_BENCH_QUERIES="$SUSPECTS"
+  run_bench "$SF1_DIR" /tmp/scale_x10_retry.json SPARK_GRAFT_BENCH_QUERIES="$SUSPECTS"
+  set +e
+  python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
+    --retry-base /tmp/scale_base_retry.json --retry-x10 /tmp/scale_x10_retry.json \
+    --json "SCALE_r${ROUND}.json" --round "$ROUND"
+  rc=$?
+  set -e
+fi
+echo "[scale] wrote SCALE_r${ROUND}.json (rc=$rc)"
+exit $rc
