@@ -41,8 +41,12 @@ object SkewBench {
       max("df").as("max_df"),
       sum(col("df") * (col("df") - 1) / 2).as("candidate_pairs"),
       sum(when(col("df") > 100, col("df") * (col("df") - 1) / 2).otherwise(0L)).as("pairs_from_hot"),
-      count(when(col("df") > 100, 1)).as("shingles_over_100")).head()
-    println(s"""{"evidence":"shingle_df","max_df":${shStats.get(0)},"candidate_pairs":${shStats.get(1)},"pairs_from_df_gt100":${shStats.get(2)},"shingles_over_100":${shStats.get(3)}}""")
+      count(when(col("df") > 100, 1)).as("shingles_over_100"),
+      // the volume the maxDf=100 guard actually admits — what the d1
+      // shuffle carries with the guard ON; deterministic, so the skew
+      // gate (tools/check_skew.py) reads THIS, not steal-prone wall-clock
+      sum(when(col("df") <= 100, col("df") * (col("df") - 1) / 2).otherwise(0L)).as("pairs_capped")).head()
+    println(s"""{"evidence":"shingle_df","max_df":${shStats.get(0)},"candidate_pairs":${shStats.get(1)},"pairs_from_df_gt100":${shStats.get(2)},"shingles_over_100":${shStats.get(3)},"pairs_capped":${shStats.get(4)}}""")
 
     // LSH bucket sizes for the d4 path (same tables/planes as
     // embeddingNearDupPairs defaults: 8 tables x 8 planes, seed 42)
@@ -54,8 +58,9 @@ object SkewBench {
       .groupBy("tbl", "bucket").agg(count(lit(1)).as("sz"))
     val bStats = buckets.agg(
       max("sz").as("max_bucket"),
-      sum(col("sz") * (col("sz") - 1) / 2).as("candidate_pairs")).head()
-    println(s"""{"evidence":"lsh_buckets","max_bucket":${bStats.get(0)},"candidate_pairs":${bStats.get(1)}}""")
+      sum(col("sz") * (col("sz") - 1) / 2).as("candidate_pairs"),
+      sum(when(col("sz") <= 200, col("sz") * (col("sz") - 1) / 2).otherwise(0L)).as("pairs_capped")).head()
+    println(s"""{"evidence":"lsh_buckets","max_bucket":${bStats.get(0)},"candidate_pairs":${bStats.get(1)},"pairs_capped":${bStats.get(2)}}""")
 
     // SemDeDup cell sizes (seeded centroids, k=64 — the d8 assignment)
     val cells = emb
@@ -65,8 +70,9 @@ object SkewBench {
       .groupBy("cell").agg(count(lit(1)).as("sz"))
     val cStats = cells.agg(
       max("sz").as("max_cell"),
-      sum(col("sz") * (col("sz") - 1) / 2).as("within_cell_pairs")).head()
-    println(s"""{"evidence":"semdedup_cells","max_cell":${cStats.get(0)},"within_cell_pairs":${cStats.get(1)}}""")
+      sum(col("sz") * (col("sz") - 1) / 2).as("within_cell_pairs"),
+      sum(when(col("sz") <= 200, col("sz") * (col("sz") - 1) / 2).otherwise(0L)).as("pairs_capped")).head()
+    println(s"""{"evidence":"semdedup_cells","max_cell":${cStats.get(0)},"within_cell_pairs":${cStats.get(1)},"pairs_capped":${cStats.get(2)}}""")
 
     // --- operator legs: guards off vs on ------------------------------
     leg("d1_jaccard_uncapped") {
