@@ -41,18 +41,19 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** Sketch-size bound: the counters embed as plan LITERALS, so a 3×1M
+    * sketch would inflate the plan and its generated code by tens of MB
+    * before any data flows. Don't widen the sketch to chase precision —
+    * raise `minCount` (fewer collision candidates reach the exact
+    * recount) or add a depth row instead. */
+  val MaxCounters: Long = 65536L
+
   /** All keys occurring at least `minCount` times, with exact counts.
     * `keys` is a one-column-of-interest frame; extra columns are ignored.
     * `depth × width` bounds both the sketch shuffle and the broadcast
-    * (default 3×4096 = 12k counters ≈ 200 KB). Smaller widths only cost
-    * extra collision candidates in step 3, never correctness —
-    * `depth × width` is capped at [[MaxCounters]] because the counters
-    * embed as plan LITERALS: a 3×1M sketch would inflate the plan and its
-    * generated code by tens of MB before any data flows. Don't widen the
-    * sketch to chase precision — raise `minCount` (fewer collision
-    * candidates reach the exact recount) or add a depth row instead. */
-  val MaxCounters: Long = 65536L
-
+    * (default 3×4096 = 12k counters ≈ 200 KB), and is capped at
+    * [[MaxCounters]]. Smaller widths only cost extra collision candidates
+    * in step 3, never correctness. */
   def frequentKeys(
       keys: DataFrame,
       keyCol: String,

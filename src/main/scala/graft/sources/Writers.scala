@@ -77,14 +77,35 @@ object Writers {
   /** Small-file compaction (macros/optimize_starrocks_table.sql parity):
     * rewrite a table directory at a target partition count. Whole-table
     * variant for unpartitioned tables; for date-partitioned tables use
-    * [[compactPartitions]], which touches only fragmented partitions. */
+    * [[compactPartitions]], which touches only fragmented partitions.
+    *
+    * Crash-safe ordering: the rewrite lands in a sibling temp dir, the
+    * OLD dir is renamed aside (not deleted), the new dir renamed in, and
+    * only then is the old data removed — a crash at any step leaves the
+    * table either at `path` or at `path__old`, never gone (a live
+    * signature index flows through here via
+    * `Dedup.compactSignatureIndex`, so "rm then rename and hope" is not
+    * acceptable). Both renames are `require`d: same-filesystem /tmp and
+    * table dirs make them atomic; a cross-filesystem misconfiguration
+    * fails loudly with the data intact. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetFiles: Int): Unit = {
-    val tmp = path + "__compact"
-    spark.read.parquet(path).coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val tmp = new java.io.File(path + "__compact")
+    val old = new java.io.File(path + "__old")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(tmp); rm(old) // leftovers of a previous crashed attempt
+    spark.read.parquet(path).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
     val dir = new java.io.File(path)
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }
-    rm(dir)
-    new java.io.File(tmp).renameTo(dir): Unit
+    require(dir.renameTo(old), s"compaction: could not move $path aside")
+    if (!tmp.renameTo(dir)) {
+      // restore the original before failing — the table must stay readable
+      old.renameTo(dir): Unit
+      throw new IllegalStateException(s"compaction: rename $tmp -> $path failed; original restored")
+    }
+    rm(old)
   }
 
   /** Per-partition small-file census of a `partitionBy(dateCol)` parquet

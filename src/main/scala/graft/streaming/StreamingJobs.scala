@@ -999,11 +999,28 @@ object StreamingJobs {
     // checkpoint/index mid-run
     val base =
       s"/tmp/graft_st22_${ProcessHandle.current().pid()}_${counter.incrementAndGet()}"
-    // the counter restarts with the JVM — a stale run's checkpoint/index
-    // under the same name would corrupt batch accounting; start clean
-    if (new java.io.File(base).exists()) {
+    // pid-scoped names never collide, so stale trees would otherwise
+    // accumulate forever: reclaim siblings whose owning pid is DEAD
+    // (ProcessHandle.of is empty for dead pids — a live concurrent run's
+    // dirs are never touched). This JVM's own earlier-counter dirs stay
+    // (a caller may still be reading a prior run's matches frame); the
+    // next JVM reclaims them.
+    locally {
       import scala.reflect.io.Directory
-      new Directory(new java.io.File(base)).deleteRecursively()
+      val self = ProcessHandle.current().pid()
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_st22_"))
+        .foreach { f =>
+          f.getName.stripPrefix("graft_st22_").split("_").headOption
+            .flatMap(_.toLongOption)
+            .filter(pid => pid != self && !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+            .foreach(_ => new Directory(f).deleteRecursively(): Unit)
+        }
+      // a same-pid leftover at this exact path (pid reuse after reboot)
+      // would corrupt batch accounting; start clean
+      if (new java.io.File(base).exists()) {
+        new Directory(new java.io.File(base)).deleteRecursively(): Unit
+      }
     }
     val inDir = s"$base/in"
     val idxDir = s"$base/index"

@@ -44,9 +44,15 @@ ALLOW = {
 
 
 def load_queries(path):
+    """Returns (ok_times, failed_names): Bench records a query whose every
+    pass threw as -1 — those must surface as gate violations, not vanish
+    from the comparison (a regression that CRASHES at x10 is worse than
+    one that slows down)."""
     with open(path) as f:
         d = json.loads(f.read())
-    return {k: v for k, v in d["queries"].items() if v >= 0}
+    ok = {k: v for k, v in d["queries"].items() if v >= 0}
+    failed = sorted(k for k, v in d["queries"].items() if v < 0)
+    return ok, failed
 
 
 def main():
@@ -62,19 +68,27 @@ def main():
     ap.add_argument("--expect-fail")
     args = ap.parse_args()
 
-    base = load_queries(args.base)
-    x10 = load_queries(args.x10)
+    base, base_failed = load_queries(args.base)
+    x10, x10_failed = load_queries(args.x10)
     # isolated re-runs of suspected outliers override by per-query MIN —
     # the "judge scale legs from isolated runs" discipline, automated
     if args.retry_base:
-        for k, v in load_queries(args.retry_base).items():
+        ok, _ = load_queries(args.retry_base)
+        for k, v in ok.items():
             base[k] = min(base.get(k, v), v)
     if args.retry_x10:
-        for k, v in load_queries(args.retry_x10).items():
+        ok, failed = load_queries(args.retry_x10)
+        for k, v in ok.items():
             x10[k] = min(x10.get(k, v), v)
+        x10_failed = sorted((set(x10_failed) | set(failed)) - set(ok))
 
     shared = sorted(set(base) & set(x10))
     queries, violations, allowlisted = {}, [], []
+    # a query that ran at base but CRASHED at x10 is the worst kind of
+    # scale regression (OOM, in-plan guard firing, overflow) — fail it
+    # explicitly instead of letting the intersection drop it
+    for name in sorted(set(x10_failed) & (set(base) | set(base_failed))):
+        violations.append({"query": name, "kind": "failed_at_x10"})
     for name in shared:
         b, t = base[name], x10[name]
         ratio = round(t / b, 2) if b > 0 else float("inf")
@@ -93,6 +107,8 @@ def main():
         "gate": {"ratio_ceiling": args.ceiling, "x10_floor_sec": args.floor,
                  "allowlist": ALLOW},
         "n_queries": len(shared),
+        "failed_at_base": base_failed,
+        "failed_at_x10": x10_failed,
         "violations": violations,
         "allowlisted_over_default": allowlisted,
         "note": "x10 fixture scales documents/embeddings/events (and the em_* "
@@ -108,8 +124,9 @@ def main():
     if args.expect_fail:
         hit = [v for v in violations if v["query"] == args.expect_fail]
         if hit:
-            print(f"[scale] SELFTEST OK: {args.expect_fail} correctly flagged "
-                  f"at {hit[0]['ratio']}x > {hit[0]['ceiling']}x")
+            detail = (f"at {hit[0]['ratio']}x > {hit[0]['ceiling']}x"
+                      if "ratio" in hit[0] else hit[0].get("kind", "violation"))
+            print(f"[scale] SELFTEST OK: {args.expect_fail} correctly flagged {detail}")
             return 0
         print(f"[scale] SELFTEST FAILED: {args.expect_fail} was NOT flagged")
         return 1

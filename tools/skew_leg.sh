@@ -34,8 +34,10 @@ SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.SkewBench $SF01" \
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.SkewBench $SKEW_DIR" \
   | sed 's/^\[info\] //' | grep -E '^\{' > /tmp/skew_skew.jsonl
 
+set +e
 python3 tools/check_skew.py /tmp/skew_clean.jsonl /tmp/skew_skew.jsonl \
   --json "SKEW_r${ROUND}.json" --round "$ROUND"
 rc=$?
+set -e
 echo "[skew] wrote SKEW_r${ROUND}.json (rc=$rc)"
 exit $rc
