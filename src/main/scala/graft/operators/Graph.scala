@@ -272,9 +272,15 @@ object Graph {
     * exactly. The classic asynchronous LP is order-dependent by design;
     * this is the reproducible variant a data pipeline needs.
     *
-    * Per round: one edge⋈labels equi join, one (dst, label) count
-    * reduce, one per-dst argmax aggregate (max(struct(k, −label)) —
-    * partial-agg'd, no sort window over the vote table), one union with
+    * Per round: one edge⋈labels equi join, ONE per-dst aggregate —
+    * Spark's `mode(label, deterministic = true)`, whose tie-break
+    * (greatest count, then SMALLEST value) is exactly this operator's
+    * (count DESC, label ASC); its ObjectHashAggregate state is a
+    * per-partition label→count map, so the per-label count reduce that
+    * used to be a separate exchange now happens inside the aggregate's
+    * partial step and each round pays one agg exchange instead of two
+    * (round 8: g2's plan dropped 14 → 11 exchanges, results
+    * hash-identical) — then one union with
     * the static no-in-edge label frame — all key-partitioned. Labels seed from
     * src ∪ dst and every edge-touched node keeps a row (and keeps
     * VOTING) in every round — canonical synchronous LP on non-symmetric
@@ -321,18 +327,16 @@ object Graph {
       .localCheckpoint(true)
     var labels = allNodes.withColumn("label", col("node"))
     for (_ <- 1 to iterations) {
-      // top-1 label per dst as an ARGMAX aggregate, not a sort window:
-      // max(struct(k, -label)) picks (count DESC, label ASC) — the same
-      // deterministic winner — with map-side partial aggregation and no
-      // per-partition sort of the vote table (labels are non-negative
-      // node ids, so -label is exact)
+      // top-1 label per dst in ONE aggregate: mode(deterministic = true)
+      // returns the most frequent label, ties to the SMALLEST — the same
+      // (count DESC, label ASC) winner the two-stage count+argmax picked,
+      // with the per-label counting folded into the aggregate's map-side
+      // partial state instead of its own exchange
       labels = e
         .join(labels, e("src") === labels("node"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("k"))
         .groupBy(col("dst"))
-        .agg(max(struct(col("k"), (-col("label")).as("neg_label"))).as("top"))
-        .select(col("dst").as("node"), (-col("top.neg_label")).as("label"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
+        .select(col("dst").as("node"), col("label"))
         .unionByName(noIn)
     }
     val communities = labels.select(col("node"), col("label").as("community"))

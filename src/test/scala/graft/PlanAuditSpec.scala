@@ -146,7 +146,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // localCheckpoint — ranks is read twice per round), so the returned
     // frame is a checkpoint scan; its shuffles run at construction
     "g1b_pagerank_dangling" -> 0,
-    "g2_label_propagation" -> 14,
+    // 11 since round 8: per-round (dst,label)-count exchange folded into
+    // mode(deterministic)'s map-side partial state (was 14)
+    "g2_label_propagation" -> 11,
     "j10_json_extract" -> 0,
     "j11_overlap_join" -> 3,
     "j1_dim_enrich_agg" -> 1,
