@@ -378,6 +378,40 @@ object TextQueries {
         .select(
           col("doc_id"),
           concat_ws(" ", graft.operators.Bpe.encode(col("text"), merges)).as("pieces"))
+    }),
+    "t22_pii_scrub" -> ((s, d) => {
+      // PII redaction pass (emails, NANP phones, IPv4) — the standard
+      // pre-training scrub (CCNet/Dolma-style). The fixture text is
+      // digit-free word salad, so the entry PLANTS one deterministic
+      // doc_id-derived span of each PII class (identical construction in
+      // the oracle) and is graded on counting and redacting exactly those:
+      // a pattern that over- or under-matches breaks the hash. Map-only
+      // (zero exchanges, inside WholeStageCodegen); all three patterns sit
+      // in the RE2∩Java subset — \d and \b are ASCII-equivalent in both
+      // dialects on this corpus (t11 precedent). Counts are taken on the
+      // pre-redaction text; the planted classes cannot overlap (email
+      // requires '@', phone requires hyphens, IPv4 requires dots between
+      // digit runs), so count-then-chain-redact is order-independent here
+      // while the redaction chain itself runs email -> phone -> IP.
+      val doc = Tables(s, d).documents
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@mail.example.org or 303-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (id % 256).cast("string"), lit("."),
+        (id % 100).cast("string"))
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phone = """\b\d{3}-\d{3}-\d{4}\b"""
+      val ip = """\b(?:\d{1,3}\.){3}\d{1,3}\b"""
+      doc.select(id, planted.as("t"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(ip), lit(0))).as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("scrubbed"))
     })
   )
 
@@ -697,6 +731,25 @@ object TextQueries {
         |SELECT doc.doc_id, top_2gram, top_2gram_char_frac, top_3gram, top_3gram_char_frac,
         |  (coalesce(top_2gram_char_frac <= 0.20, true)
         |   AND coalesce(top_3gram_char_frac <= 0.18, true)) AS keep
-        |FROM documents doc LEFT JOIN p USING (doc_id)""".stripMargin
+        |FROM documents doc LEFT JOIN p USING (doc_id)""".stripMargin,
+    "t22_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.org or 303-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM p""".stripMargin
   )
 }

@@ -214,6 +214,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "t1_token_stats" -> 0,
     "t20_token_entropy" -> 2,
     "t21_heavy_hitters" -> 1,
+    "t22_pii_scrub" -> 0,
     "t2_quality_score" -> 0,
     "t3_lang_id" -> 0,
     "t4_fingerprint_shingles" -> 0,

@@ -177,4 +177,29 @@ class Wave9Spec extends SparkSpecBase {
     assert(files().length == 1)
     assert(probeResults() == before)
   }
+
+  // ---- t22 PII scrub --------------------------------------------------------
+
+  test("t22_pii_scrub finds exactly the planted spans and leaves no residue") {
+    val out = SparkEntry.queries("t22_pii_scrub")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b".r
+    val ipPat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b".r
+    out.foreach { r =>
+      assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1,
+        s"doc ${r.getLong(0)}: expected exactly one planted span per class, " +
+          s"got (${r.getInt(1)}, ${r.getInt(2)}, ${r.getInt(3)})")
+      val scrubbed = r.getString(4)
+      assert(emailPat.findFirstIn(scrubbed).isEmpty, s"email residue: $scrubbed")
+      assert(phonePat.findFirstIn(scrubbed).isEmpty, s"phone residue: $scrubbed")
+      assert(ipPat.findFirstIn(scrubbed).isEmpty, s"ip residue: $scrubbed")
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>") &&
+        scrubbed.contains("<IP>"))
+    }
+    // negative control: the raw fixture text is PII-free, so every count
+    // is exactly the planted 1 — a pattern that accidentally matches the
+    // word-salad corpus would read > 1 and fail above
+  }
 }
