@@ -128,4 +128,33 @@ object TextFunctions {
       (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
         alphaFrac >= 0.8 && reqStops >= 2).as("keep"))
   }
+
+  /** PII patterns for the pre-training scrub (t22): kept in the
+    * RE2∩Java dialect subset (\d and \b are ASCII-equivalent in both on
+    * ASCII corpora — t11 precedent) so a SQL-engine oracle can replay
+    * them verbatim. Ordered for [[scrubPii]]'s redaction chain: email
+    * first ('@'-anchored, can contain digit runs the later patterns
+    * would otherwise see), then NANP phone, then IPv4. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "phone" -> """\b\d{3}-\d{3}-\d{4}\b""",
+    "ip" -> """\b(?:\d{1,3}\.){3}\d{1,3}\b""")
+
+  /** Per-class PII match count over the raw text (taken BEFORE any
+    * redaction — callers chaining [[scrubPii]] should count first). */
+  def piiCount(text: Column, kind: String): Column = {
+    val pat = PiiPatterns.toMap.getOrElse(kind,
+      throw new IllegalArgumentException(
+        s"unknown PII class '$kind' (have ${PiiPatterns.map(_._1).mkString(", ")})"))
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  /** Redact all PII classes, leftmost-non-overlapping per class, in
+    * [[PiiPatterns]] order — '<EMAIL>'/'<PHONE>'/'<IP>' placeholders.
+    * A pure codegen'd regexp_replace chain: zero shuffles, linear scan,
+    * identical Columns batch or streaming. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"<${kind.toUpperCase}>")
+    }
 }

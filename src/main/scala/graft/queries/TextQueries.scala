@@ -401,17 +401,13 @@ object TextQueries {
         lpad((id % 10000).cast("string"), 4, "0"),
         lit(" from 10.0."), (id % 256).cast("string"), lit("."),
         (id % 100).cast("string"))
-      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-      val phone = """\b\d{3}-\d{3}-\d{4}\b"""
-      val ip = """\b(?:\d{1,3}\.){3}\d{1,3}\b"""
       doc.select(id, planted.as("t"))
         .select(
           col("doc_id"),
-          size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_email"),
-          size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phone"),
-          size(regexp_extract_all(col("t"), lit(ip), lit(0))).as("n_ip"),
-          regexp_replace(regexp_replace(regexp_replace(col("t"),
-            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("scrubbed"))
+          piiCount(col("t"), "email").as("n_email"),
+          piiCount(col("t"), "phone").as("n_phone"),
+          piiCount(col("t"), "ip").as("n_ip"),
+          scrubPii(col("t")).as("scrubbed"))
     })
   )
 
