@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
+import graft.functions.UrlFunctions
 import graft.operators.HeavyHitters
 
 /** Text-analysis operators over the `documents` table: token stats, quality
@@ -408,6 +409,35 @@ object TextQueries {
           piiCount(col("t"), "phone").as("n_phone"),
           piiCount(col("t"), "ip").as("n_ip"),
           scrubPii(col("t")).as("scrubbed"))
+    }),
+    "t23_url_canonicalize" -> ((s, d) => {
+      // URL canonicalization (functions/UrlFunctions) — the dedup key for
+      // a crawled corpus. The fixture has no url column, so one is planted
+      // deterministically from doc_id (t22/t7b recipe, identical in the
+      // oracle), covering every canonicalization rule at once: mixed-case
+      // scheme+host, optional WWW., scheme-default port (:443 stripped) vs
+      // explicit non-default (:8080 kept), utm_* params around a real one,
+      // and a fragment. Hash-graded end-to-end: a rule that over- or
+      // under-normalizes breaks canon_url for the affected doc_id residue
+      // class. Map-only, zero exchanges.
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "https").otherwise("http"), lit("://"),
+        when(id % 3 === 0, "WWW.").otherwise(""),
+        lit("Site"), (id % 50).cast("string"), lit(".Example.COM"),
+        when(id % 2 === 0, ":443")
+          .when(id % 5 === 0, ":8080").otherwise(""),
+        lit("/docs/"), id.cast("string"), lit("/page?utm_source=feed&id="),
+        id.cast("string"), lit("&utm_campaign=c"), (id % 7).cast("string"),
+        lit("#sec"), (id % 4).cast("string"))
+      Tables(s, d).documents.select(id, url.as("url"))
+        .select(
+          col("doc_id"),
+          col("url"),
+          UrlFunctions.canonicalizeUrl(col("url")).as("canon_url"),
+          UrlFunctions.urlHost(col("url")).as("host"),
+          UrlFunctions.registrableDomain(col("url")).as("domain"),
+          UrlFunctions.trackingParamCount(col("url")).as("n_tracking_params"))
     })
   )
 
@@ -746,6 +776,45 @@ object TextQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    "t23_url_canonicalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443'
+        |             WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id AS VARCHAR) || '/page?utm_source=feed&id='
+        |    || CAST(doc_id AS VARCHAR) || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM p),
+        |parts2 AS (
+        |  SELECT doc_id, url, scheme, path,
+        |    regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')), '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':(\d+)$', 1) AS port,
+        |    array_to_string(list_filter(string_split(query, '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS q2,
+        |    len(list_filter(string_split(query, '&'),
+        |      x -> starts_with(x, 'utm_'))) AS n_dropped
+        |  FROM parts)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host
+        |  || (CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+        |                                OR (scheme = 'http' AND port = '80'))
+        |           THEN ':' || port ELSE '' END)
+        |  || path
+        |  || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canon_url,
+        |  host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  CAST(n_dropped AS INTEGER) AS n_tracking_params
+        |FROM parts2""".stripMargin
   )
 }

@@ -202,4 +202,22 @@ class Wave9Spec extends SparkSpecBase {
     // is exactly the planted 1 — a pattern that accidentally matches the
     // word-salad corpus would read > 1 and fail above
   }
+
+  // ---- t23 URL canonicalization --------------------------------------------
+
+  test("t23_url_canonicalize pins exact canonical forms per residue class") {
+    val rows = SparkEntry.queries("t23_url_canonicalize")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: https + WWW. + :443 — scheme-default port stripped, www/case folded
+    assert(rows(0L).getString(2) == "https://site0.example.com/docs/0/page?id=0")
+    // doc 15: http + WWW. + :8080 — explicit NON-default port survives
+    assert(rows(15L).getString(2) == "http://site15.example.com:8080/docs/15/page?id=15")
+    // doc 1: http, no www, no port
+    assert(rows(1L).getString(2) == "http://site1.example.com/docs/1/page?id=1")
+    rows.values.foreach { r =>
+      assert(r.getString(4).endsWith("example.com"), s"domain: ${r.getString(4)}")
+      assert(r.getInt(5) == 2, s"tracking params dropped: ${r.getInt(5)}")
+      assert(!r.getString(2).contains("#") && !r.getString(2).contains("utm_"))
+    }
+  }
 }
