@@ -155,6 +155,7 @@ object TextFunctions {
     * identical Columns batch or streaming. */
   def scrubPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (kind, pat)) =>
-      regexp_replace(c, pat, s"<${kind.toUpperCase}>")
+      // Locale.ROOT: a tr/az default locale would fold "ip" -> "<İP>"
+      regexp_replace(c, pat, s"<${kind.toUpperCase(java.util.Locale.ROOT)}>")
     }
 }

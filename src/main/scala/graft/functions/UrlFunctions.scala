@@ -38,9 +38,12 @@ object UrlFunctions {
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
 
   /** Raw query string (no '?'), empty when absent; the fragment never
-    * participates — it is client-side state, dropped by canonicalization. */
+    * participates — it is client-side state, dropped by canonicalization.
+    * The lazy pre-fragment anchor matters: a bare `\?([^#]*)` would match
+    * a '?' INSIDE the fragment (`/page#sec?a=1`) and resurrect fragment
+    * content as a query. */
   def urlQuery(url: Column): Column =
-    regexp_extract(url, "\\?([^#]*)", 1)
+    regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
 
   /** Query with tracking params removed (prefix list — utm_* is the
     * ubiquitous one), remaining params in original order: param order is

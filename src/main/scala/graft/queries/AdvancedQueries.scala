@@ -91,8 +91,10 @@ object AdvancedQueries {
       // spans are constructed deterministically from doc_id (m2's
       // synthetic-ground-truth recipe) and must round-trip through the
       // extraction regexes exactly; the oracle replays the construction.
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      // Patterns are the published scrub contract (one sync point with
+      // the DuckDB twins here and in t22 — not a re-derivation).
+      val email = TextFunctions.PiiPatterns.toMap.apply("email")
+      val phone = TextFunctions.PiiPatterns.toMap.apply("phone")
       val seeded = Tables(s, d).documents.select(
         col("doc_id"),
         concat(col("text"),
