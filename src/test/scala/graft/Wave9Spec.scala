@@ -220,4 +220,38 @@ class Wave9Spec extends SparkSpecBase {
       assert(!r.getString(2).contains("#") && !r.getString(2).contains("utm_"))
     }
   }
+
+  test("canonicalizeUrl is idempotent and fragment/tracking-free (seeded sweep)") {
+    // canonicalization must be a PROJECTION in the algebraic sense:
+    // canon(canon(u)) == canon(u), or re-running a pipeline over
+    // already-clean urls would churn dedup keys. 300 seeded combinations
+    // of case, www, default/explicit port, path, mixed utm/real params,
+    // and fragments (including the '#sec?a=1' fragment-query trap).
+    val rnd = new scala.util.Random(42)
+    val urls = (1 to 300).map { _ =>
+      val scheme = Seq("http", "https", "HTTP", "Https")(rnd.nextInt(4))
+      val www = Seq("", "www.", "WWW.")(rnd.nextInt(3))
+      val host = s"${www}Host${rnd.nextInt(40)}.Example${rnd.nextInt(3)}.Org"
+      val port = Seq("", ":80", ":443", ":8443", s":${1024 + rnd.nextInt(40000)}")(rnd.nextInt(5))
+      val path = Seq("", "/", s"/a/${rnd.nextInt(100)}", "/x/y/z.html")(rnd.nextInt(4))
+      val qp = (0 until rnd.nextInt(4)).map { j =>
+        if (rnd.nextBoolean()) s"utm_s$j=v$j" else s"k$j=v${rnd.nextInt(9)}"
+      }
+      val q = if (qp.isEmpty) "" else "?" + qp.mkString("&")
+      val frag = Seq("", "#top", "#sec?a=1")(rnd.nextInt(3))
+      s"$scheme://$host$port$path$q$frag"
+    }
+    import graft.functions.UrlFunctions
+    val got = urls.toDF("url")
+      .select(col("url"), UrlFunctions.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("url"), col("c1"),
+        UrlFunctions.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(1)} -> ${r.getString(2)}")
+      assert(!r.getString(1).contains("#"), s"fragment residue: ${r.getString(1)}")
+      assert(!r.getString(1).contains("utm_"), s"tracking residue: ${r.getString(1)}")
+    }
+  }
 }
