@@ -140,10 +140,14 @@ object TextFunctions {
     "phone" -> """\b\d{3}-\d{3}-\d{4}\b""",
     "ip" -> """\b(?:\d{1,3}\.){3}\d{1,3}\b""")
 
+  /** Keyed view of [[PiiPatterns]] (single shared map — lookup sites
+    * should not each re-derive it). */
+  val PiiPatternMap: Map[String, String] = PiiPatterns.toMap
+
   /** Per-class PII match count over the raw text (taken BEFORE any
     * redaction — callers chaining [[scrubPii]] should count first). */
   def piiCount(text: Column, kind: String): Column = {
-    val pat = PiiPatterns.toMap.getOrElse(kind,
+    val pat = PiiPatternMap.getOrElse(kind,
       throw new IllegalArgumentException(
         s"unknown PII class '$kind' (have ${PiiPatterns.map(_._1).mkString(", ")})"))
     size(regexp_extract_all(text, lit(pat), lit(0)))

@@ -25,10 +25,12 @@ object UrlFunctions {
   private def hostPort(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
 
-  /** Case-folded host, port and leading `www.` stripped. */
+  /** Case-folded host, port and leading `www.` runs stripped (`(www\.)+`
+    * — real crawls stack them, and a single-strip would break
+    * [[canonicalizeUrl]]'s idempotence contract on `www.www.` hosts). */
   def urlHost(url: Column): Column =
     regexp_replace(
-      lower(regexp_replace(hostPort(url), ":\\d+$", "")), "^www\\.", "")
+      lower(regexp_replace(hostPort(url), ":\\d+$", "")), "^(www\\.)+", "")
 
   /** Explicit port digits, empty string when absent. */
   def urlPort(url: Column): Column =
@@ -66,7 +68,13 @@ object UrlFunctions {
   /** The canonical url: lowercased scheme and host, `www.` and fragment
     * dropped, scheme-default port stripped (https:443 / http:80 — an
     * explicit NON-default port is load-bearing and survives), tracking
-    * params removed, trailing '?' elided when the query empties. */
+    * params removed, trailing '?' elided when the query empties.
+    *
+    * A string with no `scheme://` prefix passes through UNCHANGED: the
+    * extractors all return '' on it, and assembling from empty parts
+    * would collapse every malformed url onto shared garbage keys like
+    * `"://"` — false dedup merges. Identity keeps malformed inputs
+    * distinct and preserves idempotence (canon(u) = u there). */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = urlScheme(url)
     val port = urlPort(url)
@@ -74,10 +82,10 @@ object UrlFunctions {
       !((scheme === "https" && port === "443") ||
         (scheme === "http" && port === "80"))
     val q = cleanQuery(url)
-    concat(
+    when(scheme === "", url).otherwise(concat(
       scheme, lit("://"), urlHost(url),
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       urlPath(url),
-      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 }

@@ -93,8 +93,8 @@ object AdvancedQueries {
       // extraction regexes exactly; the oracle replays the construction.
       // Patterns are the published scrub contract (one sync point with
       // the DuckDB twins here and in t22 — not a re-derivation).
-      val email = TextFunctions.PiiPatterns.toMap.apply("email")
-      val phone = TextFunctions.PiiPatterns.toMap.apply("phone")
+      val email = TextFunctions.PiiPatternMap("email")
+      val phone = TextFunctions.PiiPatternMap("phone")
       val seeded = Tables(s, d).documents.select(
         col("doc_id"),
         concat(col("text"),

@@ -798,7 +798,7 @@ object TextQueries {
         |  FROM p),
         |parts2 AS (
         |  SELECT doc_id, url, scheme, path,
-        |    regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')), '^www\.', '') AS host,
+        |    regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')), '^(www\.)+', '') AS host,
         |    regexp_extract(hostport, ':(\d+)$', 1) AS port,
         |    array_to_string(list_filter(string_split(query, '&'),
         |      x -> NOT starts_with(x, 'utm_')), '&') AS q2,

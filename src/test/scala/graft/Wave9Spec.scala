@@ -230,7 +230,7 @@ class Wave9Spec extends SparkSpecBase {
     val rnd = new scala.util.Random(42)
     val urls = (1 to 300).map { _ =>
       val scheme = Seq("http", "https", "HTTP", "Https")(rnd.nextInt(4))
-      val www = Seq("", "www.", "WWW.")(rnd.nextInt(3))
+      val www = Seq("", "www.", "WWW.", "www.WWW.")(rnd.nextInt(4))
       val host = s"${www}Host${rnd.nextInt(40)}.Example${rnd.nextInt(3)}.Org"
       val port = Seq("", ":80", ":443", ":8443", s":${1024 + rnd.nextInt(40000)}")(rnd.nextInt(5))
       val path = Seq("", "/", s"/a/${rnd.nextInt(100)}", "/x/y/z.html")(rnd.nextInt(4))
@@ -253,5 +253,17 @@ class Wave9Spec extends SparkSpecBase {
       assert(!r.getString(1).contains("#"), s"fragment residue: ${r.getString(1)}")
       assert(!r.getString(1).contains("utm_"), s"tracking residue: ${r.getString(1)}")
     }
+  }
+
+  test("canonicalizeUrl strips stacked www runs and passes malformed urls through") {
+    import graft.functions.UrlFunctions
+    val got = Seq(
+      "https://www.www.Example.Org/x",  // stacked www: one pass must fully strip
+      "a.com/x?id=1",                   // scheme-less: identity, NOT '://?id=1'
+      "b.org/y?id=1"                    // ...and distinct from the line above
+    ).toDF("url")
+      .select(UrlFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("https://example.org/x", "a.com/x?id=1", "b.org/y?id=1"))
   }
 }
