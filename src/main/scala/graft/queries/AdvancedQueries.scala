@@ -431,6 +431,28 @@ object AdvancedQueries {
         .select(col("anchor_id"), col("slot"), col("cand_id").as("neg_id"),
           col("anchor_label"), col("neg_label"))
     }),
+    "x18_domain_quota" -> ((s, d) => {
+      // per-domain quota cap (Dolma/C4-style curation: no single site may
+      // dominate the training mix): keep the top-K docs per canonical
+      // host by quality (n_chars as the per-doc score proxy), ties broken
+      // on doc_id so the cut is deterministic. Hosts come from t23's
+      // planted url (the fixture has none) through UrlFunctions.urlHost —
+      // the quota composes the url surface with ONE host-keyed window
+      // exchange; at 100 TB the partition key is the (bounded) host
+      // universe, and a hot host degrades to one fat partition the AQE
+      // skew split handles, never a cross join.
+      val id = col("doc_id")
+      val k = 5
+      val host = graft.functions.UrlFunctions.urlHost(col("url"))
+      val w = Window.partitionBy("host")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables(s, d).documents
+        .select(id, col("n_chars"), TextQueries.plantedUrl(id).as("url"))
+        .withColumn("host", host)
+        .withColumn("rnk", row_number().over(w))
+        .select(col("doc_id"), col("host"), col("rnk"),
+          (col("rnk") <= k).as("keep"))
+    }),
     "t9_array_suite" -> ((s, d) => {
       // array-function surface over tokenized text: size, distinct size,
       // slice, join, contains, sorted first element
@@ -740,6 +762,30 @@ object AdvancedQueries {
         |  c.anchor_label, n.label AS neg_label
         |FROM c JOIN embeddings n ON n.vec_id = c.cand_id
         |WHERE n.label != c.anchor_label""".stripMargin,
+    "x18_domain_quota" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443'
+        |             WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id AS VARCHAR) || '/page?utm_source=feed&id='
+        |    || CAST(doc_id AS VARCHAR) || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(lower(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+        |      ':\d+$', '')), '^(www\.)+', '') AS host
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, host, CAST(rn AS INTEGER) AS rnk, rn <= 5 AS keep
+        |FROM r""".stripMargin,
     "a17_stats_suite" ->
       """SELECT l_returnflag,
         |round(stddev_samp(l_extendedprice), 4) AS sd_price,

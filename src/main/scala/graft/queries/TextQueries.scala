@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -421,16 +421,7 @@ object TextQueries {
       // under-normalizes breaks canon_url for the affected doc_id residue
       // class. Map-only, zero exchanges.
       val id = col("doc_id")
-      val url = concat(
-        when(id % 2 === 0, "https").otherwise("http"), lit("://"),
-        when(id % 3 === 0, "WWW.").otherwise(""),
-        lit("Site"), (id % 50).cast("string"), lit(".Example.COM"),
-        when(id % 2 === 0, ":443")
-          .when(id % 5 === 0, ":8080").otherwise(""),
-        lit("/docs/"), id.cast("string"), lit("/page?utm_source=feed&id="),
-        id.cast("string"), lit("&utm_campaign=c"), (id % 7).cast("string"),
-        lit("#sec"), (id % 4).cast("string"))
-      Tables(s, d).documents.select(id, url.as("url"))
+      Tables(s, d).documents.select(id, plantedUrl(id).as("url"))
         .select(
           col("doc_id"),
           col("url"),
@@ -440,6 +431,21 @@ object TextQueries {
           UrlFunctions.trackingParamCount(col("url")).as("n_tracking_params"))
     })
   )
+
+  /** The deterministic doc_id-derived url planted by t23 (and reused by
+    * x18's domain quota): mixed-case scheme+host, optional stacked-case
+    * WWW., scheme-default vs explicit port, utm_* params around a real
+    * one, and a fragment — one residue class per canonicalization rule.
+    * Any oracle using it must inline the IDENTICAL construction in SQL. */
+  private[queries] def plantedUrl(id: Column): Column = concat(
+    when(id % 2 === 0, "https").otherwise("http"), lit("://"),
+    when(id % 3 === 0, "WWW.").otherwise(""),
+    lit("Site"), (id % 50).cast("string"), lit(".Example.COM"),
+    when(id % 2 === 0, ":443")
+      .when(id % 5 === 0, ":8080").otherwise(""),
+    lit("/docs/"), id.cast("string"), lit("/page?utm_source=feed&id="),
+    id.cast("string"), lit("&utm_campaign=c"), (id % 7).cast("string"),
+    lit("#sec"), (id % 4).cast("string"))
 
   /** Merge table captured by the t13b query run (Verify runs queries before
     * dumping oracle_sql.json — same process), so the oracle below can

@@ -216,6 +216,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "t21_heavy_hitters" -> 1,
     "t22_pii_scrub" -> 0,
     "t23_url_canonicalize" -> 0,
+    "x18_domain_quota" -> 1,
     "t2_quality_score" -> 0,
     "t3_lang_id" -> 0,
     "t4_fingerprint_shingles" -> 0,
