@@ -87,13 +87,27 @@ object Writers {
     * `Dedup.compactSignatureIndex`, so "rm then rename and hope" is not
     * acceptable). Both renames are `require`d: same-filesystem /tmp and
     * table dirs make them atomic; a cross-filesystem misconfiguration
-    * fails loudly with the data intact. */
+    * fails loudly with the data intact.
+    *
+    * Re-entry RECOVERS before it cleans: if a previous attempt died in
+    * the rename window (`path` moved aside but the new dir not yet
+    * renamed in), the data exists ONLY at `path__old` — the leftover
+    * sweep must restore it first, or the documented "run it on a cadence
+    * without thinking" contract would delete the sole surviving copy and
+    * then fail reading the missing `path`. The original is restored (not
+    * the possibly-complete temp rewrite): the rewrite is re-derivable,
+    * the original is not. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetFiles: Int): Unit = {
     val tmp = new java.io.File(path + "__compact")
     val old = new java.io.File(path + "__old")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
+    }
+    if (!new java.io.File(path).exists() && old.exists()) {
+      // previous attempt crashed between rename-aside and rename-in
+      require(old.renameTo(new java.io.File(path)),
+        s"compaction recovery: could not restore $path from ${old.getPath}")
     }
     rm(tmp); rm(old) // leftovers of a previous crashed attempt
     spark.read.parquet(path).coalesce(targetFiles)

@@ -58,6 +58,24 @@ class SourcesAndMlSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/t").count() == events.count())
   }
 
+  test("compact recovers a rename-window crash instead of deleting the sole copy") {
+    val dir = Files.createTempDirectory("compactcrash").toString
+    val events = Tables(spark, Sf0001).events.limit(100)
+    events.repartition(4).write.parquet(s"$dir/t")
+    val total = spark.read.parquet(s"$dir/t").count()
+    // simulate a crash BETWEEN rename-aside and rename-in: the table
+    // exists only at __old (plus a possibly-complete temp rewrite) — the
+    // exact window the pre-fix leftover sweep turned into total loss
+    assert(new java.io.File(s"$dir/t").renameTo(new java.io.File(s"$dir/t__old")))
+    events.limit(10).write.parquet(s"$dir/t__compact")
+    Writers.compact(spark, s"$dir/t", 1)
+    // the ORIGINAL data was restored (not the 10-row temp rewrite), then
+    // compacted normally; no leftover dirs survive
+    assert(spark.read.parquet(s"$dir/t").count() == total)
+    assert(!new java.io.File(s"$dir/t__old").exists())
+    assert(!new java.io.File(s"$dir/t__compact").exists())
+  }
+
   test("selective compaction rewrites only fragmented partitions, byte-identical elsewhere") {
     val dir = Files.createTempDirectory("compact").toString
     val events = Tables(spark, Sf0001).events
