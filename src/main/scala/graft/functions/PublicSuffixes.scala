@@ -1,0 +1,87 @@
+package graft.functions
+
+/** Compact public-suffix snapshot (S9 seed pattern: versioned reference
+  * data shipped with the library, not fetched at runtime).
+  *
+  * Source: the public suffix list (publicsuffix.org, Mozilla-maintained,
+  * MPL) — the public registry of suffixes under which names are
+  * registered one label deeper, so `bbc.co.uk` and `itv.co.uk` are
+  * DIFFERENT registrable domains while `a.example.com` and
+  * `b.example.com` share one. A last-two-labels rule merges every
+  * `.co.uk` site into one "domain" — the wrong key for per-domain quotas
+  * (x18) and crawl dedup on any real corpus.
+  *
+  * Scope: the 2-label entries for the ccTLDs that dominate crawl volume
+  * (the full list also carries 3+-label and wildcard entries —
+  * `*.ck`, `pvt.k12.ma.us` — whose traffic share is negligible; a
+  * deployment needing them swaps in the full snapshot, same shape, same
+  * join). Every 1-label TLD is implicitly a public suffix — that is the
+  * 2-label fallback rule, not a list entry.
+  */
+object PublicSuffixes {
+
+  /** 2-label public suffixes: registration happens at label 3. */
+  val suffixes2: Seq[String] = Seq(
+    // United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    // Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    // New Zealand
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz", "geek.nz",
+    // Japan
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    // South Korea
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr", "hs.kr", "ms.kr",
+    // Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br", "eco.br",
+    // China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    // Taiwan / Hong Kong / Singapore / Malaysia
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
+    // India
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    // Indonesia / Thailand / Vietnam / Philippines
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id", "net.id", "my.id",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn", "biz.vn", "info.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph",
+    // South Africa / Kenya / Nigeria / Egypt
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za", "edu.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
+    "com.ng", "org.ng", "gov.ng", "edu.ng", "net.ng", "sch.ng",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    // Middle East
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa", "sch.sa",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "av.tr", "bel.tr", "k12.tr",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "gok.pk", "gop.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd", "mil.bd",
+    // Latin America
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co", "mil.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "nom.pe", "mil.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "web.ve", "info.ve",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "fin.ec", "med.ec",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "sld.do", "web.do",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py", "coop.py", "mil.py",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo", "int.bo", "mil.bo",
+    "co.cr", "or.cr", "ac.cr", "fi.cr", "go.cr", "ed.cr", "sa.cr",
+    // Europe (ccTLDs with active second-level registries)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "publ.pt",
+    "com.ro", "org.ro", "nom.ro", "info.ro", "rec.ro", "store.ro",
+    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
+    "co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu", "tm.hu"
+  )
+}

@@ -22,15 +22,30 @@ object UrlFunctions {
   def urlScheme(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
+  /** Authority minus userinfo: `user:pass@host:port` → `host:port`.
+    * Credentials are client state, not page identity — keeping them would
+    * split one page across per-credential dedup keys (and leak secrets
+    * into the canonical url). The optional non-capturing `[^/?#]*@` is
+    * greedy, so a malformed multi-`@` authority drops through the LAST
+    * `@` (pinned in the Wave9 sweep). IPv6 bracket literals (`[::1]`)
+    * flow through intact: `[` and `]` are not in the exclusion class. */
   private def hostPort(url: Column): Column =
-    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)
 
-  /** Case-folded host, port and leading `www.` runs stripped (`(www\.)+`
-    * — real crawls stack them, and a single-strip would break
-    * [[canonicalizeUrl]]'s idempotence contract on `www.www.` hosts). */
-  def urlHost(url: Column): Column =
-    regexp_replace(
-      lower(regexp_replace(hostPort(url), ":\\d+$", "")), "^(www\\.)+", "")
+  /** Case-folded host, port stripped, leading `www.` runs stripped
+    * (`(www\.)+` — real crawls stack them, and a single-strip would break
+    * [[canonicalizeUrl]]'s idempotence contract on `www.www.` hosts).
+    * The strip is GUARDED: it applies only when at least two labels
+    * remain, so a host that IS a www-prefixed registrable name
+    * (`www.com`) survives instead of collapsing onto the TLD and merging
+    * with every other such site. The port strip's `:\d+$` anchor leaves
+    * portless IPv6 literals (`[::1]`) untouched — their inner colons are
+    * never followed by trailing digits-only. */
+  def urlHost(url: Column): Column = {
+    val noPort = lower(regexp_replace(hostPort(url), ":\\d+$", ""))
+    val stripped = regexp_replace(noPort, "^(www\\.)+", "")
+    when(stripped.contains("."), stripped).otherwise(noPort)
+  }
 
   /** Explicit port digits, empty string when absent. */
   def urlPort(url: Column): Column =
@@ -60,15 +75,67 @@ object UrlFunctions {
     size(filter(split(urlQuery(url), "&"), p => p.startsWith(trackingPrefix)))
 
   /** Last two dot-labels of the canonical host — a registrable-domain
-    * approximation (a real public-suffix list is a broadcast lookup
-    * joined on the host suffix; out of scope for the synthetic corpus). */
+    * approximation, kept as the list-free fallback. It is WRONG for
+    * hosts under 2-label public suffixes (`bbc.co.uk` → `co.uk`, merging
+    * every .co.uk site); use [[registrableDomainPsl]] /
+    * [[withRegistrableDomain]] on real crawls. */
   def registrableDomain(url: Column): Column =
     regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
 
-  /** The canonical url: lowercased scheme and host, `www.` and fragment
-    * dropped, scheme-default port stripped (https:443 / http:80 — an
-    * explicit NON-default port is load-bearing and survives), tracking
-    * params removed, trailing '?' elided when the query empties.
+  /** PSL-aware registrable domain as a pure Column: if the host's last
+    * two labels are a known 2-label public suffix
+    * ([[PublicSuffixes.suffixes2]]) and a third label exists, the
+    * registrable domain is the last THREE labels; otherwise the last two
+    * (every bare TLD is implicitly a public suffix — the fallback rule).
+    * A host that IS a bare public suffix (`co.uk` itself) falls back to
+    * the 2-label form rather than returning '' — such hosts don't occur
+    * as page hosts on a real crawl, and '' would silently merge them all.
+    *
+    * The suffix test compiles to an `IN` list over the snapshot —
+    * map-side O(1), fine at this snapshot size. For the FULL 9k-entry
+    * PSL, prefer [[withRegistrableDomain]]: a broadcast join keeps the
+    * list out of the generated code and off every task's expression
+    * tree. */
+  def registrableDomainPsl(url: Column): Column = {
+    val host = urlHost(url)
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last3 =!= "" && last2.isin(PublicSuffixes.suffixes2: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** PSL-aware registrable domain via the scale-correct broadcast join:
+    * the suffix snapshot becomes a seed frame (S9 pattern), the host's
+    * last-2-labels key LEFT-joins it broadcast (suffix universe is
+    * bounded; the corpus side never moves), and a hit promotes the
+    * registrable domain to the last three labels. Same semantics as
+    * [[registrableDomainPsl]]; this form is the one that holds with the
+    * full public list at 100 TB. */
+  def withRegistrableDomain(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: Column,
+      out: String = "domain"): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val psl = PublicSuffixes.suffixes2.toDF("psl_suffix")
+    val host = urlHost(urlCol)
+    df.withColumn("__rd_last2", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("__rd_last3", regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .join(broadcast(psl), col("__rd_last2") === col("psl_suffix"), "left")
+      .withColumn(out,
+        when(col("psl_suffix").isNotNull && col("__rd_last3") =!= "", col("__rd_last3"))
+          .otherwise(col("__rd_last2")))
+      .drop("__rd_last2", "__rd_last3", "psl_suffix")
+  }
+
+  /** The canonical url: lowercased scheme and host, `www.`, userinfo and
+    * fragment dropped, scheme-default port stripped (https:443 / http:80
+    * — an explicit NON-default port is load-bearing and survives),
+    * tracking params removed, trailing '?' elided when the query empties.
+    * Percent-encoding case is PRESERVED (`%2F` ≠ `%2f` as dedup keys):
+    * case-normalizing triplets needs a per-match transform no RE2∩Java
+    * regexp_replace expresses, and over-merging is the costlier failure —
+    * pinned in the Wave9 sweep rather than silently half-normalized.
     *
     * A string with no `scheme://` prefix passes through UNCHANGED: the
     * extractors all return '' on it, and assembling from empty parts

@@ -153,6 +153,30 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Per-key top-k cut — the per-domain quota's PRODUCTION form (x18b;
+    * x18 keeps all rows with a keep flag for auditability). Keeps the k
+    * best rows per key under `order` (the caller's order columns must be
+    * a total order per key for a deterministic cut — tie-break on a
+    * unique id). The `rnk <= k` filter sits DIRECTLY above the
+    * row_number so Catalyst's InferWindowGroupLimit rewrites it into a
+    * partial-then-final WindowGroupLimit: every map task forwards at
+    * most k rows per key BEFORE the exchange, so a hot key ships k rows
+    * — not its corpus share — and the post-shuffle straggler is bounded
+    * by k·|tasks|, not by the key's row count. Plan-pinned in
+    * PlanAuditSpec. */
+  def topKPerKey(
+      df: DataFrame,
+      keyCol: Column,
+      k: Int,
+      order: Seq[Column],
+      rankCol: String = "rnk"
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
   /** Stratified downsample: per-stratum keep fraction, deterministic by key
     * hash (the hash is salted with the stratum so strata are independent). */
   def stratifiedByHash(

@@ -439,8 +439,14 @@ object AdvancedQueries {
       // planted url (the fixture has none) through UrlFunctions.urlHost —
       // the quota composes the url surface with ONE host-keyed window
       // exchange; at 100 TB the partition key is the (bounded) host
-      // universe, and a hot host degrades to one fat partition the AQE
-      // skew split handles, never a cross join.
+      // universe. Skew bound: AQE splits skewed JOIN partitions, not
+      // window partitions — one hot host is one straggler task whose cost
+      // is that host's row count (sort + scan, never a cross join). This
+      // entry keeps ALL rows (emits a keep flag), which also blocks the
+      // WindowGroupLimit pushdown; the production cut is x18b below,
+      // which filters rnk <= k so the per-partition top-k prunes
+      // map-side BEFORE the exchange and the straggler carries only k
+      // survivors per hot host past the rank scan.
       val id = col("doc_id")
       val k = 5
       val host = graft.functions.UrlFunctions.urlHost(col("url"))
@@ -452,6 +458,22 @@ object AdvancedQueries {
         .withColumn("rnk", row_number().over(w))
         .select(col("doc_id"), col("host"), col("rnk"),
           (col("rnk") <= k).as("keep"))
+    }),
+    "x18b_domain_topk" -> ((s, d) => {
+      // x18's production cut: same quota key and order, but FILTERED to
+      // the keepers (Sampling.topKPerKey) so InferWindowGroupLimit
+      // inserts a partial WindowGroupLimit BELOW the exchange — each map
+      // task forwards at most k rows per host, a hot host ships k rows
+      // instead of its corpus share, and the post-shuffle sort touches
+      // only survivors. PlanAuditSpec pins the pushdown firing.
+      val id = col("doc_id")
+      val k = 5
+      Sampling.topKPerKey(
+        Tables(s, d).documents
+          .select(id, col("n_chars"), TextQueries.plantedUrl(id).as("url"))
+          .withColumn("host", graft.functions.UrlFunctions.urlHost(col("url"))),
+        col("host"), k, Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("host"), col("rnk"))
     }),
     "t9_array_suite" -> ((s, d) => {
       // array-function surface over tokenized text: size, distinct size,
@@ -774,18 +796,52 @@ object AdvancedQueries {
         |    || CAST(doc_id AS VARCHAR) || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
         |    || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
         |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1),
+        |      ':\d+$', '')) AS hostnp
+        |  FROM p),
         |h AS (
         |  SELECT doc_id, n_chars,
-        |    regexp_replace(lower(regexp_replace(
-        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-        |      ':\d+$', '')), '^(www\.)+', '') AS host
-        |  FROM p),
+        |    CASE WHEN contains(regexp_replace(hostnp, '^(www\.)+', ''), '.')
+        |         THEN regexp_replace(hostnp, '^(www\.)+', '') ELSE hostnp END AS host
+        |  FROM h0),
         |r AS (
         |  SELECT doc_id, host,
         |    row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM h)
         |SELECT doc_id, host, CAST(rn AS INTEGER) AS rnk, rn <= 5 AS keep
         |FROM r""".stripMargin,
+    "x18b_domain_topk" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443'
+        |             WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id AS VARCHAR) || '/page?utm_source=feed&id='
+        |    || CAST(doc_id AS VARCHAR) || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1),
+        |      ':\d+$', '')) AS hostnp
+        |  FROM p),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN contains(regexp_replace(hostnp, '^(www\.)+', ''), '.')
+        |         THEN regexp_replace(hostnp, '^(www\.)+', '') ELSE hostnp END AS host
+        |  FROM h0),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, host, CAST(rn AS INTEGER) AS rnk
+        |FROM r WHERE rn <= 5""".stripMargin,
     "a17_stats_suite" ->
       """SELECT l_returnflag,
         |round(stddev_samp(l_extendedprice), 4) AS sd_price,

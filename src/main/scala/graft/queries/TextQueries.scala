@@ -429,6 +429,26 @@ object TextQueries {
           UrlFunctions.urlHost(col("url")).as("host"),
           UrlFunctions.registrableDomain(col("url")).as("domain"),
           UrlFunctions.trackingParamCount(col("url")).as("n_tracking_params"))
+    }),
+    "t24_registrable_domain" -> ((s, d) => {
+      // PSL-aware registrable domain (functions/PublicSuffixes snapshot +
+      // UrlFunctions.withRegistrableDomain): t23's planted hosts all sit
+      // under one bare TLD, so this entry plants a SECOND url surface
+      // cycling through suffix classes — bare TLDs (com/org/net) and
+      // 2-label public suffixes (co.uk/com.au/co.jp), with and without
+      // www and a deeper subdomain — where the 2-label fallback and the
+      // PSL answer genuinely diverge (emitted side by side). Plan: the
+      // scale-correct form — one broadcast LEFT join of the host's
+      // last-2-labels key against the suffix seed; the corpus side never
+      // shuffles (map-only + broadcast, zero exchanges).
+      val id = col("doc_id")
+      UrlFunctions.withRegistrableDomain(
+        Tables(s, d).documents.select(id, pslUrl(id).as("url")),
+        col("url"), "domain")
+        .select(col("doc_id"), col("url"),
+          UrlFunctions.urlHost(col("url")).as("host"),
+          col("domain"),
+          UrlFunctions.registrableDomain(col("url")).as("domain_2label"))
     })
   )
 
@@ -446,6 +466,23 @@ object TextQueries {
     lit("/docs/"), id.cast("string"), lit("/page?utm_source=feed&id="),
     id.cast("string"), lit("&utm_campaign=c"), (id % 7).cast("string"),
     lit("#sec"), (id % 4).cast("string"))
+
+  /** t24's deterministic url: cycles bare TLDs and 2-label public
+    * suffixes, with optional (mixed-case) www and a deeper subdomain —
+    * one residue class per (suffix class × subdomain depth) combination.
+    * Any oracle using it must inline the IDENTICAL construction in SQL. */
+  private[queries] def pslUrl(id: Column): Column = concat(
+    lit("https://"),
+    when(id % 2 === 0, "WWW.").otherwise(""),
+    when(id % 5 === 0, "sub.").otherwise(""),
+    lit("Brand"), (id % 40).cast("string"), lit("."),
+    when(id % 6 === 0, "com")
+      .when(id % 6 === 1, "co.uk")
+      .when(id % 6 === 2, "com.au")
+      .when(id % 6 === 3, "org")
+      .when(id % 6 === 4, "co.jp")
+      .otherwise("net"),
+    lit("/p/"), id.cast("string"))
 
   /** Merge table captured by the t13b query run (Verify runs queries before
     * dumping oracle_sql.json — same process), so the oracle below can
@@ -798,13 +835,15 @@ object TextQueries {
         |parts AS (
         |  SELECT doc_id, url,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1) AS hostport,
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
         |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
         |  FROM p),
         |parts2 AS (
         |  SELECT doc_id, url, scheme, path,
-        |    regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')), '^(www\.)+', '') AS host,
+        |    CASE WHEN contains(regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')), '^(www\.)+', ''), '.')
+        |         THEN regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')), '^(www\.)+', '')
+        |         ELSE lower(regexp_replace(hostport, ':\d+$', '')) END AS host,
         |    regexp_extract(hostport, ':(\d+)$', 1) AS port,
         |    array_to_string(list_filter(string_split(query, '&'),
         |      x -> NOT starts_with(x, 'utm_')), '&') AS q2,
@@ -821,6 +860,47 @@ object TextQueries {
         |  host,
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
         |  CAST(n_dropped AS INTEGER) AS n_tracking_params
-        |FROM parts2""".stripMargin
+        |FROM parts2""".stripMargin,
+    "t24_registrable_domain" -> t24OracleSql
   )
+
+  /** t24's oracle replays the ALGORITHM (host extraction + broadcast-join
+    * longest-suffix promotion), with the suffix seed inlined as a VALUES
+    * relation FROM THE SAME Scala snapshot — one source of truth, so a
+    * snapshot edit can never desynchronize the two sides. */
+  private def t24OracleSql: String = {
+    val vals = graft.functions.PublicSuffixes.suffixes2
+      .map(s => s"('$s')").mkString(", ")
+    s"""WITH psl(suffix) AS (VALUES $vals),
+       |p AS (
+       |  SELECT doc_id,
+       |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END)
+       |    || 'Brand' || CAST(doc_id % 40 AS VARCHAR) || '.'
+       |    || (CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+       |        WHEN 2 THEN 'com.au' WHEN 3 THEN 'org' WHEN 4 THEN 'co.jp'
+       |        ELSE 'net' END)
+       |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |h0 AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_replace(
+       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1),
+       |      ':\\d+$$', '')) AS hostnp
+       |  FROM p),
+       |h AS (
+       |  SELECT doc_id, url,
+       |    CASE WHEN contains(regexp_replace(hostnp, '^(www\\.)+', ''), '.')
+       |         THEN regexp_replace(hostnp, '^(www\\.)+', '') ELSE hostnp END AS host
+       |  FROM h0),
+       |e AS (
+       |  SELECT doc_id, url, host,
+       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
+       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3
+       |  FROM h)
+       |SELECT doc_id, url, host,
+       |  CASE WHEN s.suffix IS NOT NULL AND last3 <> '' THEN last3 ELSE last2 END AS domain,
+       |  last2 AS domain_2label
+       |FROM e LEFT JOIN psl s ON e.last2 = s.suffix""".stripMargin
+  }
 }

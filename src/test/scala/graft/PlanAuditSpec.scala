@@ -216,7 +216,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "t21_heavy_hitters" -> 1,
     "t22_pii_scrub" -> 0,
     "t23_url_canonicalize" -> 0,
+    "t24_registrable_domain" -> 0,
     "x18_domain_quota" -> 1,
+    "x18b_domain_topk" -> 1,
     "t2_quality_score" -> 0,
     "t3_lang_id" -> 0,
     "t4_fingerprint_shingles" -> 0,
@@ -337,6 +339,20 @@ class PlanAuditSpec extends SparkSpecBase {
     // and the budget table can't accumulate entries for dead queries
     val stale = shuffleBudget.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"budget entries for unknown queries: $stale")
+  }
+
+  test("x18b's rnk filter fires the partial WindowGroupLimit pushdown below the exchange") {
+    // the property x18 (keep-flag variant) structurally cannot have: the
+    // rnk <= k filter directly above row_number lets InferWindowGroupLimit
+    // insert WindowGroupLimit in Partial mode on the map side (plus Final
+    // after the exchange), so a hot host ships k rows, not its row count
+    val df = SparkEntry.queries("x18b_domain_topk")(spark, Sf0001)
+    val plan = df.queryExecution.sparkPlan.toString
+    val n = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(n >= 2, s"expected Partial+Final WindowGroupLimit, saw $n in:\n$plan")
+    // and the audit-variant x18 must NOT get it (documents the trade)
+    val flag = SparkEntry.queries("x18_domain_quota")(spark, Sf0001)
+    assert(!flag.queryExecution.sparkPlan.toString.contains("WindowGroupLimit"))
   }
 
   test("budget sensitivity: a deliberately added repartition() busts its query's budget") {
