@@ -61,12 +61,22 @@ object Percentiles {
     * string rendering would merge, and a type whose string round-trip is
     * lossy would corrupt the key — string/int/date/decimal keys (the
     * intended call sites, and everything on the board) round-trip exactly;
-    * do NOT group by binary, struct, map, or non-canonical float keys. */
+    * do NOT group by binary, struct, map, or non-canonical float keys.
+    *
+    * @param maxGroups hard cardinality bound on distinct groups (the
+    *         HeavyHitters `require` pattern): the driver holds B×G
+    *         counters and the G-row result, so an unbounded-G caller
+    *         must fail LOUDLY before the collect, not OOM the driver
+    *         after it. 65536 groups × 32 buckets ≈ 2M counters — well
+    *         inside any driver; raise it only with the driver heap to
+    *         match. High-cardinality grouping belongs on the builtin
+    *         `percentile` (see object doc). */
   def exactByRange(
       df: DataFrame,
       groupCol: String,
       valCol: String,
-      ps: Seq[(String, Double)]
+      ps: Seq[(String, Double)],
+      maxGroups: Int = 1 << 16
   ): DataFrame = {
     val spark = df.sparkSession
     val groupType = df.schema(groupCol).dataType
@@ -81,6 +91,14 @@ object Percentiles {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
+      // cardinality guard BEFORE anything is collected: one G-bounded
+      // aggregate over the persisted frame (partial-agg'd, no data
+      // shuffle beyond G rows) — the cost of not driver-OOMing later
+      val nGroups = freq.select(countDistinct(col("g")).as("n")).collect()(0).getLong(0)
+      require(nGroups <= maxGroups,
+        s"exactByRange: $nGroups distinct groups exceeds maxGroups=$maxGroups — " +
+          "this operator holds B×G counters on the driver; use the builtin " +
+          "percentile for high-cardinality grouping, or raise maxGroups with the driver heap")
       // ~equi-depth buckets over the compacted frame (what the window pass
       // processes): boundaries only steer balance, never correctness
       val numBuckets = spark.sessionState.conf.numShufflePartitions

@@ -92,6 +92,21 @@ class PercentilesSpec extends SparkSpecBase {
       == Map(7 -> 2.0, 8 -> 10.0))
   }
 
+  test("maxGroups guard fails loudly BEFORE collecting B×G counters") {
+    // an unbounded-G caller must get an actionable error, not a driver
+    // OOM mid-collect (the HeavyHitters require pattern)
+    val rows = Seq.tabulate(10)(i => (s"g$i", i.toDouble))
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.exactByRange(rows.toDF("g", "v"), "g", "v",
+        Seq("p50" -> 0.5), maxGroups = 4)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // at or under the bound, results are unchanged
+    val ok = Percentiles.exactByRange(rows.toDF("g", "v"), "g", "v",
+      Seq("p50" -> 0.5), maxGroups = 10)
+    assert(ok.count() == 10)
+  }
+
   test("integral-rank positions hit exact values (no interpolation drift)") {
     // 5 values -> p25 rank = 1 + .25*4 = 2.0 exactly
     val rows = Seq.tabulate(5)(i => ("g", (i + 1).toDouble))
