@@ -986,10 +986,29 @@ object StreamingJobs {
     * The oracle replays the same three-stage recurrence in SQL: batch 0
     * all admitted, batch 1 probed against batch 0's admits, batch 2
     * probed against batch 0 ∪ admitted-batch-1. */
+  /** @param compactEveryNBatches in-flight compaction cadence: after
+    *         every Nth micro-batch's delta move, run
+    *         [[graft.operators.Dedup.compactSignatureIndex]] (threshold
+    *         semantics — a no-op until the directory is actually
+    *         fragmented past `compactMaxFiles`). Safe INSIDE foreachBatch:
+    *         callbacks are serialized per query and the batch's probe +
+    *         delta move have both completed, so nothing is reading the
+    *         index when it is rewritten — the same
+    *         never-rewrite-a-read-path rule the delta file-move exists
+    *         for. 0 disables (the post-drain pass still runs). Default 64
+    *         per the IndexCompactionMicro curve: probe cost is flat to
+    *         ~10² fragments and ×2.1 by ~10³, so compacting every 64
+    *         admitted deltas keeps the index an order of magnitude below
+    *         the measured pain point for the cost of one bounded rewrite
+    *         per 64 batches.
+    * @param compactMaxFiles fragmentation threshold handed through to
+    *         compactSignatureIndex at each cadence point (and post-drain). */
   def streamingIncrementalNearDup(
       spark: SparkSession,
       sfDir: String,
-      nBatches: Int = 3
+      nBatches: Int = 3,
+      compactEveryNBatches: Int = 64,
+      compactMaxFiles: Int = 16
   ): DataFrame = {
     import graft.operators.Dedup
     val docs = graft.core.Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
@@ -1002,19 +1021,33 @@ object StreamingJobs {
     // pid-scoped names never collide, so stale trees would otherwise
     // accumulate forever: reclaim siblings whose owning pid is DEAD
     // (ProcessHandle.of is empty for dead pids — a live concurrent run's
-    // dirs are never touched). This JVM's own earlier-counter dirs stay
-    // (a caller may still be reading a prior run's matches frame); the
-    // next JVM reclaims them.
+    // dirs are never touched), OR whose tree has gone untouched past a
+    // TTL. The TTL closes the two holes pid-liveness alone cannot see:
+    // pid REUSE (a dead run's pid now names a live unrelated process —
+    // its tree would survive forever) and legacy-format names whose
+    // first token parses as some small live pid (e.g. a counter of 1 vs
+    // init). A live run's base dir stays fresh — every batch creates and
+    // removes a delta_N child — so 24 h of no mtime movement means
+    // abandoned, not quiet. This JVM's own earlier-counter dirs are
+    // never touched regardless (a caller may still be reading a prior
+    // run's matches frame); the next JVM reclaims them.
     locally {
       import scala.reflect.io.Directory
       val self = ProcessHandle.current().pid()
+      val ttlMs = 24L * 3600 * 1000
+      val now = System.currentTimeMillis()
       Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft_st22_"))
         .foreach { f =>
-          f.getName.stripPrefix("graft_st22_").split("_").headOption
-            .flatMap(_.toLongOption)
-            .filter(pid => pid != self && !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
-            .foreach(_ => new Directory(f).deleteRecursively(): Unit)
+          val pidTok = f.getName.stripPrefix("graft_st22_").split("_")
+            .headOption.flatMap(_.toLongOption)
+          val isSelf = pidTok.contains(self)
+          val ownerDead = pidTok.exists(pid =>
+            !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+          val expired = f.lastModified() < now - ttlMs
+          if (!isSelf && (ownerDead || expired)) {
+            new Directory(f).deleteRecursively(): Unit
+          }
         }
       // a same-pid leftover at this exact path (pid reuse after reboot)
       // would corrupt batch accounting; start clean
@@ -1091,18 +1124,24 @@ object StreamingJobs {
                 java.nio.file.Files.move(f.toPath,
                   new java.io.File(s"$idxDir/delta_${batchId}_$i.parquet").toPath)
               }
+            // in-flight compaction cadence (see the param doc): the
+            // batch's probe and delta move are complete, the NEXT batch's
+            // probe re-opens the index fresh — this is exactly the
+            // between-micro-batches window the compaction contract wants
+            if (compactEveryNBatches > 0 && (batchId + 1) % compactEveryNBatches == 0) {
+              Dedup.compactSignatureIndex(spark, idxDir, maxFiles = compactMaxFiles): Unit
+            }
           } finally sigs.unpersist()
         }
         .start()
       try q.processAllAvailable()
       finally q.stop()
     }
-    // post-drain compaction point: a long-running ingest accumulates one
-    // small parquet file per admitted batch; once the count clears the
-    // threshold this rewrites the index to size-targeted files (atomic
-    // rename, probe-identical — Dedup.compactSignatureIndex doc). Under
-    // the threshold, as here, it's a directory-listing no-op.
-    Dedup.compactSignatureIndex(spark, idxDir)
+    // post-drain compaction point: catches whatever the in-flight cadence
+    // left behind (the tail batches since the last cadence firing, or
+    // everything when the cadence is disabled). Under the threshold, as
+    // in the default board run, it's a directory-listing no-op.
+    Dedup.compactSignatureIndex(spark, idxDir, maxFiles = compactMaxFiles)
     spark.read.parquet(matchDir)
   }
 }

@@ -289,6 +289,64 @@ class Wave8Spec extends SparkSpecBase {
     assert(got4 == Set((1L, 0L, 1.0), (2L, 0L, 1.0), (5L, 4L, 1.0)))
   }
 
+  test("streaming near-dup compaction cadence fires in-flight, probe results identical") {
+    // 12 distinct docs over K=6 batches, every one admitted (no matches):
+    // the index accumulates the initial file plus per-batch deltas named
+    // delta_<batchId>_*. With cadence N=4 the one in-flight firing is at
+    // batchId 3 — afterwards the pre-batch-4 fragments are FOLDED (their
+    // delta_0..3 names replaced by compacted part-* files) while batches
+    // 4 and 5 land as fresh deltas the post-drain threshold leaves alone.
+    // Name-based assertions separate the in-flight firing from the
+    // post-drain pass, which a bare file count cannot. Match results must
+    // be identical to the cadence-off run (compaction is probe-neutral:
+    // signature rows are key-unique and order-free).
+    val dir = "/tmp/graft_wave8_st22_cadence"
+    val words = Seq("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen",
+      "ibis", "jay", "kite", "lark", "mole", "newt", "owl", "pug")
+    Seq.tabulate(12) { i =>
+      (i.toLong, (0 until 8).map(j => words((i * 3 + j * 5) % words.length) + i).mkString(" "))
+    }.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def indexNames(): Seq[String] = Option(new java.io.File("/tmp").listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_st22_"))
+      .sortBy(_.lastModified).lastOption.map { base =>
+        Option(new java.io.File(base, "index").listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSeq
+      }.getOrElse(Seq.empty)
+
+    val k = 6
+    // control: cadence off, post-drain threshold too high to fire — the
+    // raw fragmentation shape (initial file + every delta still present)
+    val off = graft.streaming.StreamingJobs
+      .streamingIncrementalNearDup(spark, dir, nBatches = k,
+        compactEveryNBatches = 0, compactMaxFiles = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val namesOff = indexNames()
+    assert((0 until k).forall(b => namesOff.exists(_.startsWith(s"delta_${b}_"))),
+      s"control run should keep every delta: $namesOff")
+
+    // derive the threshold from the control run's observed fragmentation
+    // (delta multiplicity = non-empty shuffle partitions per admit write,
+    // identical across runs — same data, same plans): the in-flight point
+    // at batchId 3 sees initial + delta_0..3 files and must exceed the
+    // threshold; the post-drain pass sees the compacted file + delta_4..5
+    // and must not
+    val perDelta = (0 until k).map(b => namesOff.count(_.startsWith(s"delta_${b}_")))
+    val fireCount = (namesOff.size - perDelta.sum) + perDelta.take(4).sum
+    val on = graft.streaming.StreamingJobs
+      .streamingIncrementalNearDup(spark, dir, nBatches = k,
+        compactEveryNBatches = 4, compactMaxFiles = fireCount - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val namesOn = indexNames()
+    assert(on == off, s"cadence changed match results: $on vs $off")
+    assert((0 until 4).forall(b => !namesOn.exists(_.startsWith(s"delta_${b}_"))),
+      s"in-flight cadence at batch 3 should have folded delta_0..3: $namesOn")
+    assert(Seq(4, 5).forall(b => namesOn.exists(_.startsWith(s"delta_${b}_"))),
+      s"tail deltas past the last cadence point should survive post-drain: $namesOn")
+    assert(namesOn.size < namesOff.size,
+      s"cadence should shrink the index listing: $namesOn vs $namesOff")
+  }
+
   // ---- em_snapshots: every SCD2 merge path is exercised -------------------
 
   test("em_snapshots replay hits all four merge paths in each of the three snapshots") {
