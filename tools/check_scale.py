@@ -11,10 +11,10 @@ per-query ceilings for the two entries whose FIXTURE construction scales
 a normally-fixed axis (documented inline); allowlisted queries are
 reported, not failed, unless they exceed their own raised ceiling.
 
-TPC-H-ish tables are symlinked at source scale in the x10 fixture
-(tools/gen_scale.py), so ratios for queries touching only those tables
-hover near 1 and the gate exercises the LLM-pipeline axes
-(documents/embeddings/events) plus the em_* fixture multiplier.
+Since round 9 the x10 fixture also tiles the TPC-H fact/dim tables with
+RI-consistent key offsets (tools/gen_scale.py), so the graph family and
+the relational suite face a real x10 input; only region/nation stay at
+source scale (fixed-size at every TPC-H SF, broadcast dims).
 
 Usage:
   check_scale.py BASE_FULL_JSON X10_FULL_JSON --json OUT.json
@@ -111,8 +111,10 @@ def main():
         "failed_at_x10": x10_failed,
         "violations": violations,
         "allowlisted_over_default": allowlisted,
-        "note": "x10 fixture scales documents/embeddings/events (and the em_* "
-                "fixture multiplier); TPC-H-ish tables symlinked at source scale",
+        "note": "x10 fixture scales documents/embeddings/events, the em_* "
+                "fixture multiplier, AND the TPC-H fact/dim tables (RI-consistent "
+                "key-offset tiling); only region/nation stay at source scale "
+                "(fixed-size at every TPC-H SF)",
         "queries": queries,
     }
     with open(args.json, "w") as f:

@@ -18,8 +18,18 @@ similarity structure and keeping the copies mutually disjoint:
    permutation (an orthogonal transform): intra-copy cosines are exactly
    preserved, inter-copy cosines are randomized.
  - events: ids/users offset per copy; timestamps kept (denser traffic).
-TPC-H-ish tables are symlinked from the source dir (documented: the sf1
-leg scales only the LLM-pipeline tables).
+ - TPC-H fact/dim tables (customer/supplier/part/orders/lineitem): tiled
+   10x with RI-consistent key offsets — copy c adds c*(max_key+1) to
+   every primary AND foreign key occurrence, so each copy is a disjoint,
+   internally-consistent TPC-H slice (exactly how a genuinely 10x SF
+   behaves: the customer<->supplier trade graph gains 10x disjoint
+   nodes/edges, joins stay linear, and no cross-copy key ever matches).
+   Non-key columns (dates, prices, names) repeat — the distribution a
+   bigger SF would also keep. This closes the round-8 scale-gate blind
+   spot: queries whose hot side is the orders x lineitem edge list
+   (g1/g1b/g2/d5 family) now face a real x10 input. region/nation stay
+   symlinked at source scale — TPC-H itself holds them FIXED at every
+   scale factor (5/25 rows), so scaling them would distort, not stress.
 
 skew: same scale as the source, but 20% of docs are prefixed with one
 shared 40-word template paragraph and moved to one hot source key, and
@@ -109,7 +119,45 @@ def gen_sf1(src, out):
                 cols[k].extend(evd[k])
     write(out, "events", pa.table(cols, schema=ev.schema))
 
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+    # TPC-H fact/dim tiling: disjoint RI-consistent copies via key offsets.
+    # Vectorized (pyarrow.compute) — lineitem is 6M rows at the sf0.1 base.
+    import pyarrow.compute as pc
+
+    def key_stride(table, col):
+        return pc.max(table.column(col)).as_py() + 1
+
+    # foreign keys share the stride of the table they reference, computed
+    # from the REFERENCED table so orphan-free copies stay orphan-free
+    kc = key_stride(load(src, "customer"), "c_custkey")
+    ks = key_stride(load(src, "supplier"), "s_suppkey")
+    kp = key_stride(load(src, "part"), "p_partkey")
+    ko = key_stride(load(src, "orders"), "o_orderkey")
+
+    def tile_with_strides(name, col_strides):
+        t = load(src, name)
+        chunks = []
+        for c in range(COPIES):
+            if c == 0:
+                chunks.append(t)
+                continue
+            cols = []
+            for field in t.schema:
+                col = t.column(field.name)
+                if field.name in col_strides:
+                    col = pc.cast(pc.add(col, col_strides[field.name] * c), field.type)
+                cols.append(col)
+            chunks.append(pa.table(dict(zip(t.schema.names, cols)), schema=t.schema))
+        write(out, name, pa.concat_tables(chunks))
+
+    tile_with_strides("customer", {"c_custkey": kc})
+    tile_with_strides("supplier", {"s_suppkey": ks})
+    tile_with_strides("part", {"p_partkey": kp})
+    tile_with_strides("orders", {"o_orderkey": ko, "o_custkey": kc})
+    tile_with_strides("lineitem", {"l_orderkey": ko, "l_partkey": kp, "l_suppkey": ks})
+
+    # region/nation: FIXED at every TPC-H scale factor (5/25 rows) — the
+    # broadcast dims a real x10 would also leave untouched
+    for t in ["region", "nation"]:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{src}/{t}.parquet", dst)

@@ -20,7 +20,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF01=/root/testdata/sf0.1
-SF1_DIR=/tmp/graft_sf1
+# _r9 suffix: fixture format v2 (TPC-H fact/dim tables tiled x10 since
+# round 9) — the name bump forces regeneration over a cached v1 dir
+SF1_DIR=/tmp/graft_sf1_r9
 
 if [ ! -f "$SF1_DIR/events.parquet" ] && [ ! -d "$SF1_DIR/events.parquet" ]; then
   python3 tools/gen_scale.py sf1 "$SF01" "$SF1_DIR"
