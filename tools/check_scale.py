@@ -40,6 +40,15 @@ ALLOW = {
     # x15 — strongly sublinear in that product); real decontamination eval
     # sets are fixed-size, making production linear in the corpus alone
     "d9_semantic_decontamination": 25.0,
+    # two compounding fixture effects: (1) d9's class — the cell count k
+    # stays 64 while the corpus grows x10, so within-cell pair work grows
+    # ~x100 (production scales k with the corpus, operator doc; the batch
+    # twin d8 absorbs the same effect at x4); (2) BOTH legs sit on the
+    # stateful-streaming state-store floor (st22's class): the x10 time is
+    # flat round-over-round (7.37 s r8 -> 7.78 s r9, identical embeddings
+    # fixture) while the sub-second base leg moves with host noise, so the
+    # ratio is a floor quotient (6.97 -> 10.69 with NO plan change)
+    "st10_stream_semantic_dedup": 15.0,
 }
 
 
