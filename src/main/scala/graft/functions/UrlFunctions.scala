@@ -35,16 +35,24 @@ object UrlFunctions {
   /** Case-folded host, port stripped, leading `www.` runs stripped
     * (`(www\.)+` — real crawls stack them, and a single-strip would break
     * [[canonicalizeUrl]]'s idempotence contract on `www.www.` hosts).
-    * The strip is GUARDED: it applies only when at least two labels
-    * remain, so a host that IS a www-prefixed registrable name
-    * (`www.com`) survives instead of collapsing onto the TLD and merging
-    * with every other such site. The port strip's `:\d+$` anchor leaves
-    * portless IPv6 literals (`[::1]`) untouched — their inner colons are
-    * never followed by trailing digits-only. */
+    * The strip is BOUNDED, not all-or-nothing: when stripping every
+    * `www.` would leave a single label, one `www.` is kept — so a host
+    * that IS a www-prefixed registrable name survives (`www.com` stays
+    * `www.com` instead of collapsing onto the TLD) AND its stacked
+    * spellings converge onto it (`www.www.com` → `www.com`, the same
+    * site under the stacked-www premise; an all-or-nothing guard would
+    * leave those two as different dedup keys). A lookahead would express
+    * this in one pattern but is outside the RE2∩Java contract (the
+    * oracle replays these in an RE2 engine), hence the CASE. The port
+    * strip's `:\d+$` anchor leaves portless IPv6 literals (`[::1]`)
+    * untouched — their inner colons are never followed by trailing
+    * digits-only. */
   def urlHost(url: Column): Column = {
     val noPort = lower(regexp_replace(hostPort(url), ":\\d+$", ""))
     val stripped = regexp_replace(noPort, "^(www\\.)+", "")
-    when(stripped.contains("."), stripped).otherwise(noPort)
+    when(stripped.contains("."), stripped)
+      .when(noPort.startsWith("www."), concat(lit("www."), stripped))
+      .otherwise(noPort)
   }
 
   /** Explicit port digits, empty string when absent. */
@@ -114,13 +122,23 @@ object UrlFunctions {
   def withRegistrableDomain(
       df: org.apache.spark.sql.DataFrame,
       urlCol: Column,
+      out: String = "domain"): org.apache.spark.sql.DataFrame =
+    withRegistrableDomainFromHost(df, urlHost(urlCol), out)
+
+  /** [[withRegistrableDomain]] over an already-extracted host Column:
+    * callers that also project the host (t24's shape) compute the
+    * urlHost regexp chain ONCE and feed it here, instead of paying it
+    * again inside the join projection — codegen cannot eliminate the
+    * common subexpression across the join boundary. */
+  def withRegistrableDomainFromHost(
+      df: org.apache.spark.sql.DataFrame,
+      hostCol: Column,
       out: String = "domain"): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val psl = PublicSuffixes.suffixes2.toDF("psl_suffix")
-    val host = urlHost(urlCol)
-    df.withColumn("__rd_last2", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
-      .withColumn("__rd_last3", regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+    df.withColumn("__rd_last2", regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("__rd_last3", regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
       .join(broadcast(psl), col("__rd_last2") === col("psl_suffix"), "left")
       .withColumn(out,
         when(col("psl_suffix").isNotNull && col("__rd_last3") =!= "", col("__rd_last3"))

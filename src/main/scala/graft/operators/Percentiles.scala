@@ -90,15 +90,22 @@ object Percentiles {
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // The output spine is the UNfiltered distinct group set (all-null
+    // groups emit a row too, like the builtin), so the guard must bound
+    // THIS frame — a guard on the value-filtered freq would wave through
+    // a df with millions of all-null groups and still OOM the final
+    // collect. Persisted: the guard count and the final re-attach join
+    // both read it. limit(maxGroups+1) stops the count at the bound
+    // instead of tallying every group of an oversized input.
+    val spine = df.select(col(groupCol).cast("string").as("sg")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // cardinality guard BEFORE anything is collected: one G-bounded
-      // aggregate over the persisted frame (partial-agg'd, no data
-      // shuffle beyond G rows) — the cost of not driver-OOMing later
-      val nGroups = freq.select(countDistinct(col("g")).as("n")).collect()(0).getLong(0)
+      val nGroups = spine.limit(maxGroups + 1).count()
       require(nGroups <= maxGroups,
-        s"exactByRange: $nGroups distinct groups exceeds maxGroups=$maxGroups — " +
-          "this operator holds B×G counters on the driver; use the builtin " +
-          "percentile for high-cardinality grouping, or raise maxGroups with the driver heap")
+        s"exactByRange: more than maxGroups=$maxGroups distinct groups (including " +
+          "all-null-valued ones) — this operator holds B×G counters and a G-row " +
+          "result on the driver; use the builtin percentile for high-cardinality " +
+          "grouping, or raise maxGroups with the driver heap")
       // ~equi-depth buckets over the compacted frame (what the window pass
       // processes): boundaries only steer balance, never correctness
       val numBuckets = spark.sessionState.conf.numShufflePartitions
@@ -177,8 +184,8 @@ object Percentiles {
       // Re-attach groups the isNotNull pre-filter removed entirely (groups
       // whose values are ALL null): the builtin keeps such groups with null
       // percentile values, so the distinct group set — not the filtered
-      // frame — is the output spine. Null-safe join: a null GROUP is legal.
-      val spine = df.select(col(groupCol).cast("string").as("sg")).distinct()
+      // frame — is the output spine (persisted above, where the guard
+      // counted it). Null-safe join: a null GROUP is legal.
       val out = spine
         .join(agged, col("sg") <=> col("g"), "left")
         .select(col("sg").cast(groupType).as(groupCol) +: ps.map(p => col(p._1)): _*)
@@ -190,6 +197,7 @@ object Percentiles {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       freq.unpersist(): Unit
+      spine.unpersist(): Unit
     }
   }
 }

@@ -805,7 +805,10 @@ object AdvancedQueries {
         |h AS (
         |  SELECT doc_id, n_chars,
         |    CASE WHEN contains(regexp_replace(hostnp, '^(www\.)+', ''), '.')
-        |         THEN regexp_replace(hostnp, '^(www\.)+', '') ELSE hostnp END AS host
+        |         THEN regexp_replace(hostnp, '^(www\.)+', '')
+        |         WHEN starts_with(hostnp, 'www.')
+        |         THEN 'www.' || regexp_replace(hostnp, '^(www\.)+', '')
+        |         ELSE hostnp END AS host
         |  FROM h0),
         |r AS (
         |  SELECT doc_id, host,
@@ -834,7 +837,10 @@ object AdvancedQueries {
         |h AS (
         |  SELECT doc_id, n_chars,
         |    CASE WHEN contains(regexp_replace(hostnp, '^(www\.)+', ''), '.')
-        |         THEN regexp_replace(hostnp, '^(www\.)+', '') ELSE hostnp END AS host
+        |         THEN regexp_replace(hostnp, '^(www\.)+', '')
+        |         WHEN starts_with(hostnp, 'www.')
+        |         THEN 'www.' || regexp_replace(hostnp, '^(www\.)+', '')
+        |         ELSE hostnp END AS host
         |  FROM h0),
         |r AS (
         |  SELECT doc_id, host,

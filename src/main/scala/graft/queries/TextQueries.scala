@@ -440,15 +440,17 @@ object TextQueries {
       // PSL answer genuinely diverge (emitted side by side). Plan: the
       // scale-correct form — one broadcast LEFT join of the host's
       // last-2-labels key against the suffix seed; the corpus side never
-      // shuffles (map-only + broadcast, zero exchanges).
+      // shuffles (map-only + broadcast, zero exchanges). The host regexp
+      // chain is evaluated ONCE (projected, then fed to the FromHost
+      // variant and the 2-label extract) — not re-derived from the url
+      // on each output column.
       val id = col("doc_id")
-      UrlFunctions.withRegistrableDomain(
-        Tables(s, d).documents.select(id, pslUrl(id).as("url")),
-        col("url"), "domain")
-        .select(col("doc_id"), col("url"),
-          UrlFunctions.urlHost(col("url")).as("host"),
-          col("domain"),
-          UrlFunctions.registrableDomain(col("url")).as("domain_2label"))
+      UrlFunctions.withRegistrableDomainFromHost(
+        Tables(s, d).documents.select(id, pslUrl(id).as("url"))
+          .withColumn("host", UrlFunctions.urlHost(col("url"))),
+        col("host"), "domain")
+        .select(col("doc_id"), col("url"), col("host"), col("domain"),
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain_2label"))
     })
   )
 
@@ -839,17 +841,23 @@ object TextQueries {
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
         |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
         |  FROM p),
+        |parts1 AS (
+        |  SELECT doc_id, url, scheme, path, hostport, query,
+        |    lower(regexp_replace(hostport, ':\d+$', '')) AS hostnp
+        |  FROM parts),
         |parts2 AS (
         |  SELECT doc_id, url, scheme, path,
-        |    CASE WHEN contains(regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')), '^(www\.)+', ''), '.')
-        |         THEN regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')), '^(www\.)+', '')
-        |         ELSE lower(regexp_replace(hostport, ':\d+$', '')) END AS host,
+        |    CASE WHEN contains(regexp_replace(hostnp, '^(www\.)+', ''), '.')
+        |         THEN regexp_replace(hostnp, '^(www\.)+', '')
+        |         WHEN starts_with(hostnp, 'www.')
+        |         THEN 'www.' || regexp_replace(hostnp, '^(www\.)+', '')
+        |         ELSE hostnp END AS host,
         |    regexp_extract(hostport, ':(\d+)$', 1) AS port,
         |    array_to_string(list_filter(string_split(query, '&'),
         |      x -> NOT starts_with(x, 'utm_')), '&') AS q2,
         |    len(list_filter(string_split(query, '&'),
         |      x -> starts_with(x, 'utm_'))) AS n_dropped
-        |  FROM parts)
+        |  FROM parts1)
         |SELECT doc_id, url,
         |  scheme || '://' || host
         |  || (CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
@@ -891,7 +899,10 @@ object TextQueries {
        |h AS (
        |  SELECT doc_id, url,
        |    CASE WHEN contains(regexp_replace(hostnp, '^(www\\.)+', ''), '.')
-       |         THEN regexp_replace(hostnp, '^(www\\.)+', '') ELSE hostnp END AS host
+       |         THEN regexp_replace(hostnp, '^(www\\.)+', '')
+       |         WHEN starts_with(hostnp, 'www.')
+       |         THEN 'www.' || regexp_replace(hostnp, '^(www\\.)+', '')
+       |         ELSE hostnp END AS host
        |  FROM h0),
        |e AS (
        |  SELECT doc_id, url, host,

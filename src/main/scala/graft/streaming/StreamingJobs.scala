@@ -1015,37 +1015,58 @@ object StreamingJobs {
     // pid in the path: the counter restarts with every JVM, so two
     // concurrent processes (parallel test + bench runs) would otherwise
     // collide on the same staging dir and delete each other's live
-    // checkpoint/index mid-run
+    // checkpoint/index mid-run. The process START time rides along as an
+    // ownership token: (pid, start) names a process INSTANCE, so the
+    // reclaim below can tell a pid-reuse squatter from the true owner —
+    // the thing pid-liveness alone cannot.
+    val selfHandle = ProcessHandle.current()
+    val selfStart: Long =
+      selfHandle.info().startInstant().map[Long](_.toEpochMilli: java.lang.Long).orElse(0L)
     val base =
-      s"/tmp/graft_st22_${ProcessHandle.current().pid()}_${counter.incrementAndGet()}"
+      s"/tmp/graft_st22_${selfHandle.pid()}_${selfStart}_${counter.incrementAndGet()}"
     // pid-scoped names never collide, so stale trees would otherwise
-    // accumulate forever: reclaim siblings whose owning pid is DEAD
-    // (ProcessHandle.of is empty for dead pids — a live concurrent run's
-    // dirs are never touched), OR whose tree has gone untouched past a
-    // TTL. The TTL closes the two holes pid-liveness alone cannot see:
-    // pid REUSE (a dead run's pid now names a live unrelated process —
-    // its tree would survive forever) and legacy-format names whose
-    // first token parses as some small live pid (e.g. a counter of 1 vs
-    // init). A live run's base dir stays fresh — every batch creates and
-    // removes a delta_N child — so 24 h of no mtime movement means
-    // abandoned, not quiet. This JVM's own earlier-counter dirs are
-    // never touched regardless (a caller may still be reading a prior
-    // run's matches frame); the next JVM reclaims them.
+    // accumulate forever. Reclaim rules, NEVER touching a live owner's
+    // tree (a caller may still be reading a prior run's matches frame):
+    //  - own-pid dirs: never reclaimed (this JVM reclaims nothing of its
+    //    own; the next JVM does).
+    //  - current format graft_st22_<pid>_<startMs>_<counter>: reclaimed
+    //    unless a LIVE process with that pid AND that start instant
+    //    exists — (pid, start) names a process instance, so a pid-reuse
+    //    squatter (alive, different start) no longer keeps a dead run's
+    //    tree forever, and a genuinely live owner is never mistaken for
+    //    one regardless of how old the dir's mtime is.
+    //  - legacy 1-2-token names (pre-ownership-token rounds): owner-dead
+    //    test plus a 24 h mtime TTL for the counter-parses-as-live-pid
+    //    collision (e.g. counter 1 vs init). Only pre-round-9 JVMs ever
+    //    created these, none of which are still running — the TTL can't
+    //    hit a live owner.
     locally {
       import scala.reflect.io.Directory
-      val self = ProcessHandle.current().pid()
       val ttlMs = 24L * 3600 * 1000
       val now = System.currentTimeMillis()
       Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft_st22_"))
         .foreach { f =>
-          val pidTok = f.getName.stripPrefix("graft_st22_").split("_")
-            .headOption.flatMap(_.toLongOption)
-          val isSelf = pidTok.contains(self)
-          val ownerDead = pidTok.exists(pid =>
-            !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
-          val expired = f.lastModified() < now - ttlMs
-          if (!isSelf && (ownerDead || expired)) {
+          val toks = f.getName.stripPrefix("graft_st22_").split("_")
+          val pidTok = toks.headOption.flatMap(_.toLongOption)
+          val startTok = if (toks.length >= 3) toks(1).toLongOption else None
+          val isSelf = pidTok.contains(selfHandle.pid())
+          val owner = pidTok.flatMap { pid =>
+            val h = ProcessHandle.of(pid)
+            if (h.isPresent) Some(h.get) else None
+          }
+          val ownerAlive = owner.exists(_.isAlive)
+          val reclaim = startTok match {
+            case Some(0L) => // owner recorded no readable start instant:
+              // liveness is the only evidence — never TTL a maybe-live owner
+              !ownerAlive
+            case Some(st) => // ownership-token format: exact instance match keeps it
+              !(ownerAlive && owner.exists(
+                _.info().startInstant().map[Boolean](_.toEpochMilli == st).orElse(false)))
+            case None => // legacy format
+              !ownerAlive || f.lastModified() < now - ttlMs
+          }
+          if (!isSelf && reclaim) {
             new Directory(f).deleteRecursively(): Unit
           }
         }

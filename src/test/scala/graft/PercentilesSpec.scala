@@ -101,6 +101,15 @@ class PercentilesSpec extends SparkSpecBase {
         Seq("p50" -> 0.5), maxGroups = 4)
     }
     assert(e.getMessage.contains("maxGroups"))
+    // ALL-NULL-valued groups count too: they bypass the value filter but
+    // still land on the driver via the output spine — the exact rows an
+    // input-side guard would miss
+    val nullRows = Seq.tabulate(10)(i => (s"g$i", Option.empty[Double]))
+    val e2 = intercept[IllegalArgumentException] {
+      Percentiles.exactByRange(nullRows.toDF("g", "v"), "g", "v",
+        Seq("p50" -> 0.5), maxGroups = 4)
+    }
+    assert(e2.getMessage.contains("maxGroups"))
     // at or under the bound, results are unchanged
     val ok = Percentiles.exactByRange(rows.toDF("g", "v"), "g", "v",
       Seq("p50" -> 0.5), maxGroups = 10)

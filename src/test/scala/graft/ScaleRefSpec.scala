@@ -2,8 +2,6 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import scala.jdk.CollectionConverters._
-
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Staleness gate for the committed ×10 scale-leg artifact
@@ -19,14 +17,23 @@ class ScaleRefSpec extends AnyFunSuite {
 
   /** The highest-round SCALE_r<N>.json at the repo root — the artifact
     * the next judge reads. Lexicographic max is wrong past r9 (r10 < r9),
-    * so compare parsed round numbers. */
+    * so compare parsed round numbers. Plain listFiles, not Files.list —
+    * the stream variant holds a directory handle until closed. */
   private lazy val latestScale: Option[(Int, String)] =
-    Files.list(Paths.get(".")).iterator.asScala
-      .map(_.getFileName.toString)
+    Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
       .flatMap { n =>
         "^SCALE_r(\\d+)\\.json$".r.findFirstMatchIn(n).map(m => (m.group(1).toInt, n))
       }
-      .toSeq.sortBy(_._1).lastOption
+      .sortBy(_._1).lastOption
+
+  /** Shared accessor with the actionable message (a bare .get would fail
+    * tests 2-3 with an opaque None.get on a fresh clone). */
+  private def latestScaleOrFail: (Int, String) = {
+    assert(latestScale.nonEmpty,
+      "no SCALE_r<N>.json at the repo root — run tools/scale_leg.sh <round>")
+    latestScale.get
+  }
 
   private def scaleKeys(file: String): Set[String] = {
     val txt = Files.readString(Paths.get(file))
@@ -43,7 +50,7 @@ class ScaleRefSpec extends AnyFunSuite {
   }
 
   test("the latest scale artifact covers every timed board query (rerun tools/scale_leg.sh)") {
-    val (round, file) = latestScale.get
+    val (round, file) = latestScaleOrFail
     val timed = SparkEntry.queries.keySet -- Bench.TwinEntries
     val missing = timed -- scaleKeys(file)
     assert(missing.isEmpty,
@@ -52,7 +59,7 @@ class ScaleRefSpec extends AnyFunSuite {
   }
 
   test("the latest scale artifact carries no entries outside the timed board") {
-    val (round, file) = latestScale.get
+    val (round, file) = latestScaleOrFail
     val timed = SparkEntry.queries.keySet -- Bench.TwinEntries
     // negative controls (toy_quadratic) live only in SCALE_selftest.json,
     // never in the round artifact

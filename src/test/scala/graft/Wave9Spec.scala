@@ -284,9 +284,11 @@ class Wave9Spec extends SparkSpecBase {
       // percent-encoding case is PRESERVED (pinned, not normalized):
       // %2F and %2f stay distinct dedup keys
       "https://Example.com/a%2Fb?x=%2f" -> "https://example.com/a%2Fb?x=%2f",
-      // www-strip GUARD: a host that IS www.<tld> keeps its www — it is
-      // the registrable name, not a prefix
+      // www-strip BOUND: a host that IS www.<tld> keeps one www — it is
+      // the registrable name, not a prefix — and stacked spellings of it
+      // CONVERGE onto the same key (all-but-one strip, not all-or-nothing)
       "https://www.com/x" -> "https://www.com/x",
+      "https://www.www.com/x" -> "https://www.com/x",
       "https://WWW.example.com/x" -> "https://example.com/x"
     )
     val got = cases.map(_._1).toDF("url")
