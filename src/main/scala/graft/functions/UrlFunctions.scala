@@ -146,6 +146,24 @@ object UrlFunctions {
       .drop("__rd_last2", "__rd_last3", "psl_suffix")
   }
 
+  /** Domain-blocklist scrub (the C4/Dolma curation rule: drop every
+    * document whose registrable domain is on a curated blocklist). The
+    * blocklist is bounded reference data (even the big public ones are
+    * ~10⁵ rows), so this is a broadcast LEFT ANTI join on the domain key
+    * — the corpus side never shuffles and survivors stream through
+    * map-side. Match on the REGISTRABLE domain, not the raw host:
+    * blocklists name sites, and a per-host match would let
+    * `evil.example.com` through when `example.com` is listed. */
+  def filterBlockedDomains(
+      df: org.apache.spark.sql.DataFrame,
+      domainCol: Column,
+      blocklist: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val block = blocklist.toDF("blocked_domain")
+    df.join(broadcast(block), domainCol === col("blocked_domain"), "left_anti")
+  }
+
   /** The canonical url: lowercased scheme and host, `www.`, userinfo and
     * fragment dropped, scheme-default port stripped (https:443 / http:80
     * — an explicit NON-default port is load-bearing and survives),

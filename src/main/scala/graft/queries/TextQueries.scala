@@ -451,7 +451,64 @@ object TextQueries {
         col("host"), "domain")
         .select(col("doc_id"), col("url"), col("host"), col("domain"),
           regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain_2label"))
+    }),
+    "t25_url_blocklist" -> ((s, d) => {
+      // Domain-blocklist scrub (UrlFunctions.filterBlockedDomains) — the
+      // C4/Dolma curation rule that completes the url family: t23
+      // canonicalizes, t24 keys the registrable domain, x18/x18b quota
+      // it, t25 drops listed domains outright. Match is on the PSL
+      // registrable domain (blocklists name SITES — a host-level match
+      // would let evil.example.com through when example.com is listed);
+      // the blocklist includes one domain the planted universe never
+      // produces, proving dead entries are harmless. Plan: map + two
+      // broadcast joins (PSL promote, anti-join drop), zero exchanges —
+      // at 100 TB survivors stream through map-side.
+      val id = col("doc_id")
+      val base = Tables(s, d).documents.select(id, pslUrl(id).as("url"))
+        .withColumn("host", UrlFunctions.urlHost(col("url")))
+      UrlFunctions.filterBlockedDomains(
+        UrlFunctions.withRegistrableDomainFromHost(base, col("host"), "domain"),
+        col("domain"), BlockedDomains)
+        .select(col("doc_id"), col("url"), col("domain"))
+    }),
+    "t26_cc_luhn" -> ((s, d) => {
+      // Payment-card PII (TextFunctions.{ccCandidates, luhnValid16}) —
+      // the PII class t7/t22's email/phone/IP patterns don't cover, and
+      // the one where a bare \d{16} match is ~10% random-digit false
+      // positives: Luhn validation separates card numbers from
+      // timestamps/ids. Planted per residue class from PUBLIC test-card
+      // literals (identical literals in the oracle): three Luhn-valid,
+      // two invalid, one class with no candidate at all (null verdict).
+      // The 16-term unrolled checksum is pure codegen'd arithmetic,
+      // map-only, zero exchanges, replayed term-for-term in the oracle.
+      val id = col("doc_id")
+      val cc = when(id % 6 === 0, "4111111111111111")
+        .when(id % 6 === 1, "5555555555554444")
+        .when(id % 6 === 2, "4111111111111112")
+        .when(id % 6 === 3, "1234567890123456")
+        .when(id % 6 === 4, "4012888888881881")
+        .otherwise("")
+      val planted = concat(lit("order note "), id.cast("string"),
+        when(cc === "", lit(""))
+          .otherwise(concat(lit(" card "), cc, lit(" on file"))))
+      val cands = ccCandidates(col("t"))
+      Tables(s, d).documents.select(id, planted.as("t"))
+        .select(col("doc_id"),
+          size(cands).as("n_cc"),
+          // try_element_at: ANSI mode makes bare element_at THROW on the
+          // empty candidate array of the no-card class
+          luhnValid16(try_element_at(cands, lit(1))).as("cc_valid"),
+          regexp_replace(col("t"), "\\b\\d{16}\\b", "<CC>").as("scrubbed"))
     })
+  )
+
+  /** t25's blocklist: registrable domains from the pslUrl universe (plus
+    * one that never occurs). Planted fixture data — the oracle inlines
+    * the SAME Seq as VALUES. */
+  private[graft] val BlockedDomains: Seq[String] = Seq(
+    "brand7.co.uk", "brand12.com", "brand9.org",
+    "brand20.co.jp", "brand3.net",
+    "brand5.com" // id%40==5 is odd, id%6==0 is even: unsatisfiable — a dead entry
   )
 
   /** The deterministic doc_id-derived url planted by t23 (and reused by
@@ -869,7 +926,9 @@ object TextQueries {
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
         |  CAST(n_dropped AS INTEGER) AS n_tracking_params
         |FROM parts2""".stripMargin,
-    "t24_registrable_domain" -> t24OracleSql
+    "t24_registrable_domain" -> t24OracleSql,
+    "t25_url_blocklist" -> t25OracleSql,
+    "t26_cc_luhn" -> t26OracleSql
   )
 
   /** t24's oracle replays the ALGORITHM (host extraction + broadcast-join
@@ -913,5 +972,79 @@ object TextQueries {
        |  CASE WHEN s.suffix IS NOT NULL AND last3 <> '' THEN last3 ELSE last2 END AS domain,
        |  last2 AS domain_2label
        |FROM e LEFT JOIN psl s ON e.last2 = s.suffix""".stripMargin
+  }
+
+  /** t25's oracle: t24's promotion pipeline, then the anti-join as a
+    * NOT IN over the SAME blocklist Seq (no NULL hazard: the domain
+    * expression never yields NULL, at worst ''). */
+  private def t25OracleSql: String = {
+    val psl = graft.functions.PublicSuffixes.suffixes2
+      .map(s => s"('$s')").mkString(", ")
+    val block = BlockedDomains.map(s => s"'$s'").mkString(", ")
+    s"""WITH psl(suffix) AS (VALUES $psl),
+       |p AS (
+       |  SELECT doc_id,
+       |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END)
+       |    || 'Brand' || CAST(doc_id % 40 AS VARCHAR) || '.'
+       |    || (CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+       |        WHEN 2 THEN 'com.au' WHEN 3 THEN 'org' WHEN 4 THEN 'co.jp'
+       |        ELSE 'net' END)
+       |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |h0 AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_replace(
+       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1),
+       |      ':\\d+$$', '')) AS hostnp
+       |  FROM p),
+       |h AS (
+       |  SELECT doc_id, url,
+       |    CASE WHEN contains(regexp_replace(hostnp, '^(www\\.)+', ''), '.')
+       |         THEN regexp_replace(hostnp, '^(www\\.)+', '')
+       |         WHEN starts_with(hostnp, 'www.')
+       |         THEN 'www.' || regexp_replace(hostnp, '^(www\\.)+', '')
+       |         ELSE hostnp END AS host
+       |  FROM h0),
+       |e AS (
+       |  SELECT doc_id, url,
+       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
+       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3
+       |  FROM h),
+       |dom AS (
+       |  SELECT doc_id, url,
+       |    CASE WHEN s.suffix IS NOT NULL AND last3 <> '' THEN last3 ELSE last2 END AS domain
+       |  FROM e LEFT JOIN psl s ON e.last2 = s.suffix)
+       |SELECT doc_id, url, domain
+       |FROM dom WHERE domain NOT IN ($block)""".stripMargin
+  }
+
+  /** t26's oracle: same planted literals, the Luhn sum replayed
+    * term-for-term from the same unrolled construction as
+    * [[graft.functions.TextFunctions.luhnValid16]]. */
+  private def t26OracleSql: String = {
+    val terms = (1 to 16).map { i =>
+      val d = s"CAST(substr(cc, $i, 1) AS INTEGER)"
+      if (i % 2 == 1) s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }.mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    'order note ' || CAST(doc_id AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 6 = 5 THEN '' ELSE ' card ' ||
+       |      (CASE doc_id % 6 WHEN 0 THEN '4111111111111111'
+       |       WHEN 1 THEN '5555555555554444'
+       |       WHEN 2 THEN '4111111111111112'
+       |       WHEN 3 THEN '1234567890123456'
+       |       ELSE '4012888888881881' END) || ' on file' END) AS t
+       |  FROM documents),
+       |e AS (SELECT doc_id, t, regexp_extract_all(t, '\\b\\d{16}\\b') AS ccs FROM p),
+       |c AS (SELECT doc_id, t, CAST(len(ccs) AS INTEGER) AS n_cc,
+       |  CASE WHEN len(ccs) >= 1 THEN ccs[1] END AS cc FROM e)
+       |SELECT doc_id, n_cc,
+       |  CASE WHEN cc IS NULL THEN NULL
+       |       ELSE ($terms) % 10 = 0 END AS cc_valid,
+       |  regexp_replace(t, '\\b\\d{16}\\b', '<CC>', 'g') AS scrubbed
+       |FROM c""".stripMargin
   }
 }

@@ -217,6 +217,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "t22_pii_scrub" -> 0,
     "t23_url_canonicalize" -> 0,
     "t24_registrable_domain" -> 0,
+    "t25_url_blocklist" -> 0,
+    "t26_cc_luhn" -> 0,
     "x18_domain_quota" -> 1,
     "x18b_domain_topk" -> 1,
     "t2_quality_score" -> 0,

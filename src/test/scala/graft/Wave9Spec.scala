@@ -329,6 +329,51 @@ class Wave9Spec extends SparkSpecBase {
     }
   }
 
+  test("t25_url_blocklist drops exactly the listed-domain residue classes") {
+    // registrable domain is a pure function of doc_id in the planted
+    // universe: brand(id%40).suffix(id%6) — replicate it here and check
+    // the anti-join kept exactly the complement
+    val suffixes = Array("com", "co.uk", "com.au", "org", "co.jp", "net")
+    def domainOf(id: Long) = s"brand${id % 40}.${suffixes((id % 6).toInt)}"
+    val blocked = graft.queries.TextQueries.BlockedDomains.toSet
+    val total = 500L
+    val expectedKept = (0L until total).count(id => !blocked.contains(domainOf(id)))
+    val rows = SparkEntry.queries("t25_url_blocklist")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == expectedKept, s"kept ${rows.length}, expected $expectedKept")
+    rows.foreach(r => assert(!blocked.contains(r.getString(2)), r.toString))
+    // the dead entry really is dead: removing it changes nothing
+    assert((0L until total).forall(id => domainOf(id) != "brand5.com"))
+    // ...and the live entries really bit: something WAS dropped
+    assert(expectedKept < total)
+  }
+
+  test("t26_cc_luhn: valid/invalid/absent classes verdict and scrub exactly as planted") {
+    val rows = SparkEntry.queries("t26_cc_luhn")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.foreach { case (id, r) =>
+      val (nCc, valid, scrubbed) =
+        (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getBoolean(2)), r.getString(3))
+      (id % 6) match {
+        case 0L | 1L | 4L => assert(nCc == 1 && valid.contains(true), s"doc $id: $r")
+        case 2L | 3L => assert(nCc == 1 && valid.contains(false), s"doc $id: $r")
+        case _ => assert(nCc == 0 && valid.isEmpty, s"doc $id: $r")
+      }
+      assert(!scrubbed.exists(_.isDigit) || !"\\b\\d{16}\\b".r.findFirstIn(scrubbed).isDefined)
+      if (nCc == 1) assert(scrubbed.contains("<CC>"), s"doc $id: $scrubbed")
+    }
+  }
+
+  test("luhnValid16 column: known-valid cards pass, perturbed ones fail, short/null are null") {
+    import graft.functions.TextFunctions
+    val got = Seq("4111111111111111", "5555555555554444", "4012888888881881",
+      "4111111111111112", "1234567890123456", "123", null)
+      .toDF("cc").select(TextFunctions.luhnValid16(col("cc")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0))).toSeq
+    assert(got == Seq(Some(true), Some(true), Some(true),
+      Some(false), Some(false), None, None))
+  }
+
   test("t24_registrable_domain: PSL and 2-label diverge exactly on the 2-label-suffix classes") {
     val rows = SparkEntry.queries("t24_registrable_domain")(spark, "/root/testdata/sf0.001")
       .collect()
