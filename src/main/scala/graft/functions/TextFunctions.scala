@@ -175,13 +175,16 @@ object TextFunctions {
     * REPLAYABLE VERBATIM in an ANSI oracle (an aggregate-over-array form
     * would pull in engine-specific lambda dialects). A mere \d{16} match
     * is ~10% random-digit false positives; Luhn cuts those 10× — the
-    * difference between scrubbing card numbers and scrubbing timestamps.
-    * Null/short input → null (no match to judge). */
+    * difference between flagging card numbers and flagging timestamps.
+    * Null / short / any non-all-digit input → null (no match to judge) —
+    * the anchored rlike guard matters under ANSI mode, where a bare
+    * digit-cast of a 16-char token like "ABCD..." would THROW in the
+    * executor instead of returning a verdict. */
   def luhnValid16(cc: Column): Column = {
     val terms = (1 to 16).map { i =>
       val d = substring(cc, i, 1).cast("int")
       if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
     }
-    when(length(cc) === 16, terms.reduce(_ + _) % 10 === 0)
+    when(cc.rlike("^\\d{16}$"), terms.reduce(_ + _) % 10 === 0)
   }
 }

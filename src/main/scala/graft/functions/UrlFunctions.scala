@@ -161,7 +161,10 @@ object UrlFunctions {
     val spark = df.sparkSession
     import spark.implicits._
     val block = blocklist.toDF("blocked_domain")
-    df.join(broadcast(block), domainCol === col("blocked_domain"), "left_anti")
+    // dataset-qualified key: an unqualified col("blocked_domain") would be
+    // ambiguous (or silently self-compare) if the caller's frame already
+    // carries a column of that name
+    df.join(broadcast(block), domainCol === block("blocked_domain"), "left_anti")
   }
 
   /** The canonical url: lowercased scheme and host, `www.`, userinfo and

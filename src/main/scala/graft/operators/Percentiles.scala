@@ -100,7 +100,10 @@ object Percentiles {
     val spine = df.select(col(groupCol).cast("string").as("sg")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nGroups = spine.limit(maxGroups + 1).count()
+      // Long-add before clamping: maxGroups = Int.MaxValue (guard
+      // effectively off) must not overflow into a negative limit
+      val probe = math.min(maxGroups.toLong + 1, Int.MaxValue.toLong).toInt
+      val nGroups = spine.limit(probe).count()
       require(nGroups <= maxGroups,
         s"exactByRange: more than maxGroups=$maxGroups distinct groups (including " +
           "all-null-valued ones) — this operator holds B×G counters and a G-row " +

@@ -785,7 +785,7 @@ object AdvancedQueries {
         |FROM c JOIN embeddings n ON n.vec_id = c.cand_id
         |WHERE n.label != c.anchor_label""".stripMargin,
     "x18_domain_quota" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id, n_chars,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
         |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
@@ -799,16 +799,12 @@ object AdvancedQueries {
         |h0 AS (
         |  SELECT doc_id, n_chars,
         |    lower(regexp_replace(
-        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1),
-        |      ':\d+$', '')) AS hostnp
+        |      ${TextQueries.hostPortExtractSql},
+        |      ':\\d+$$', '')) AS hostnp
         |  FROM p),
         |h AS (
         |  SELECT doc_id, n_chars,
-        |    CASE WHEN contains(regexp_replace(hostnp, '^(www\.)+', ''), '.')
-        |         THEN regexp_replace(hostnp, '^(www\.)+', '')
-        |         WHEN starts_with(hostnp, 'www.')
-        |         THEN 'www.' || regexp_replace(hostnp, '^(www\.)+', '')
-        |         ELSE hostnp END AS host
+        |    ${TextQueries.wwwStripCaseSql("hostnp")} AS host
         |  FROM h0),
         |r AS (
         |  SELECT doc_id, host,
@@ -817,7 +813,7 @@ object AdvancedQueries {
         |SELECT doc_id, host, CAST(rn AS INTEGER) AS rnk, rn <= 5 AS keep
         |FROM r""".stripMargin,
     "x18b_domain_topk" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id, n_chars,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
         |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
@@ -831,16 +827,12 @@ object AdvancedQueries {
         |h0 AS (
         |  SELECT doc_id, n_chars,
         |    lower(regexp_replace(
-        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1),
-        |      ':\d+$', '')) AS hostnp
+        |      ${TextQueries.hostPortExtractSql},
+        |      ':\\d+$$', '')) AS hostnp
         |  FROM p),
         |h AS (
         |  SELECT doc_id, n_chars,
-        |    CASE WHEN contains(regexp_replace(hostnp, '^(www\.)+', ''), '.')
-        |         THEN regexp_replace(hostnp, '^(www\.)+', '')
-        |         WHEN starts_with(hostnp, 'www.')
-        |         THEN 'www.' || regexp_replace(hostnp, '^(www\.)+', '')
-        |         ELSE hostnp END AS host
+        |    ${TextQueries.wwwStripCaseSql("hostnp")} AS host
         |  FROM h0),
         |r AS (
         |  SELECT doc_id, host,

@@ -475,10 +475,14 @@ object TextQueries {
       // Payment-card PII (TextFunctions.{ccCandidates, luhnValid16}) —
       // the PII class t7/t22's email/phone/IP patterns don't cover, and
       // the one where a bare \d{16} match is ~10% random-digit false
-      // positives: Luhn validation separates card numbers from
-      // timestamps/ids. Planted per residue class from PUBLIC test-card
-      // literals (identical literals in the oracle): three Luhn-valid,
-      // two invalid, one class with no candidate at all (null verdict).
+      // positives. Division of labor: the SCRUB is conservative (every
+      // 16-digit candidate is redacted — for privacy, over-scrubbing a
+      // timestamp beats leaking a card), while cc_valid is the AUDIT
+      // column separating true card hits from digit-run noise, the
+      // precision signal a curation report keys on. Planted per residue
+      // class from PUBLIC test-card literals (identical literals in the
+      // oracle): three Luhn-valid, two invalid, one class with no
+      // candidate at all (null verdict).
       // The 16-term unrolled checksum is pure codegen'd arithmetic,
       // map-only, zero exchanges, replayed term-for-term in the oracle.
       val id = col("doc_id")
@@ -880,7 +884,7 @@ object TextQueries {
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM p""".stripMargin,
     "t23_url_canonicalize" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
         |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
@@ -894,22 +898,18 @@ object TextQueries {
         |parts AS (
         |  SELECT doc_id, url,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1) AS hostport,
+        |    $hostPortExtractSql AS hostport,
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-        |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
+        |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
         |  FROM p),
         |parts1 AS (
         |  SELECT doc_id, url, scheme, path, hostport, query,
-        |    lower(regexp_replace(hostport, ':\d+$', '')) AS hostnp
+        |    lower(regexp_replace(hostport, ':\\d+$$', '')) AS hostnp
         |  FROM parts),
         |parts2 AS (
         |  SELECT doc_id, url, scheme, path,
-        |    CASE WHEN contains(regexp_replace(hostnp, '^(www\.)+', ''), '.')
-        |         THEN regexp_replace(hostnp, '^(www\.)+', '')
-        |         WHEN starts_with(hostnp, 'www.')
-        |         THEN 'www.' || regexp_replace(hostnp, '^(www\.)+', '')
-        |         ELSE hostnp END AS host,
-        |    regexp_extract(hostport, ':(\d+)$', 1) AS port,
+        |    ${wwwStripCaseSql("hostnp")} AS host,
+        |    regexp_extract(hostport, ':(\\d+)$$', 1) AS port,
         |    array_to_string(list_filter(string_split(query, '&'),
         |      x -> NOT starts_with(x, 'utm_')), '&') AS q2,
         |    len(list_filter(string_split(query, '&'),
@@ -923,13 +923,58 @@ object TextQueries {
         |  || path
         |  || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canon_url,
         |  host,
-        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
         |  CAST(n_dropped AS INTEGER) AS n_tracking_params
         |FROM parts2""".stripMargin,
     "t24_registrable_domain" -> t24OracleSql,
     "t25_url_blocklist" -> t25OracleSql,
     "t26_cc_luhn" -> t26OracleSql
   )
+
+  /** Canonical SQL replica of [[UrlFunctions.urlHost]]'s bounded
+    * www-strip (the 3-branch CASE) over an already-lowered,
+    * port-stripped host expression — ONE source for every inlined
+    * oracle that extracts a host (t23/t24/t25 here, x18/x18b in
+    * AdvancedQueries splice it too), so a future urlHost semantics
+    * change cannot silently diverge a subset of oracles. */
+  private[queries] def wwwStripCaseSql(hostnp: String): String =
+    s"""CASE WHEN contains(regexp_replace($hostnp, '^(www\\.)+', ''), '.')
+       |         THEN regexp_replace($hostnp, '^(www\\.)+', '')
+       |         WHEN starts_with($hostnp, 'www.')
+       |         THEN 'www.' || regexp_replace($hostnp, '^(www\\.)+', '')
+       |         ELSE $hostnp END""".stripMargin
+
+  /** SQL replica of [[UrlFunctions]]' userinfo-dropping authority
+    * extraction over a column named `url` (single source, same
+    * rationale). */
+  private[queries] val hostPortExtractSql: String =
+    "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)"
+
+  /** Shared CTE prefix for the pslUrl-planted oracles (t24/t25): the
+    * planted url, the lowered/port-stripped authority, and the
+    * www-stripped host. One construction, spliced into both. */
+  private def pslUrlHostCtesSql: String =
+    // NOTE trailing-|| line style: this fragment is spliced into outer
+    // stripMargin strings, whose margin pass would eat one pipe from any
+    // line STARTING with '||'
+    s"""p AS (
+       |  SELECT doc_id,
+       |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END) ||
+       |    'Brand' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+       |    (CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+       |        WHEN 2 THEN 'com.au' WHEN 3 THEN 'org' WHEN 4 THEN 'co.jp'
+       |        ELSE 'net' END) ||
+       |    '/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |h0 AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_replace($hostPortExtractSql, ':\\d+$$', '')) AS hostnp
+       |  FROM p),
+       |h AS (
+       |  SELECT doc_id, url,
+       |    ${wwwStripCaseSql("hostnp")} AS host
+       |  FROM h0)""".stripMargin
 
   /** t24's oracle replays the ALGORITHM (host extraction + broadcast-join
     * longest-suffix promotion), with the suffix seed inlined as a VALUES
@@ -939,30 +984,7 @@ object TextQueries {
     val vals = graft.functions.PublicSuffixes.suffixes2
       .map(s => s"('$s')").mkString(", ")
     s"""WITH psl(suffix) AS (VALUES $vals),
-       |p AS (
-       |  SELECT doc_id,
-       |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
-       |    || (CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END)
-       |    || 'Brand' || CAST(doc_id % 40 AS VARCHAR) || '.'
-       |    || (CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-       |        WHEN 2 THEN 'com.au' WHEN 3 THEN 'org' WHEN 4 THEN 'co.jp'
-       |        ELSE 'net' END)
-       |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
-       |  FROM documents),
-       |h0 AS (
-       |  SELECT doc_id, url,
-       |    lower(regexp_replace(
-       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1),
-       |      ':\\d+$$', '')) AS hostnp
-       |  FROM p),
-       |h AS (
-       |  SELECT doc_id, url,
-       |    CASE WHEN contains(regexp_replace(hostnp, '^(www\\.)+', ''), '.')
-       |         THEN regexp_replace(hostnp, '^(www\\.)+', '')
-       |         WHEN starts_with(hostnp, 'www.')
-       |         THEN 'www.' || regexp_replace(hostnp, '^(www\\.)+', '')
-       |         ELSE hostnp END AS host
-       |  FROM h0),
+       |$pslUrlHostCtesSql,
        |e AS (
        |  SELECT doc_id, url, host,
        |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
@@ -982,30 +1004,7 @@ object TextQueries {
       .map(s => s"('$s')").mkString(", ")
     val block = BlockedDomains.map(s => s"'$s'").mkString(", ")
     s"""WITH psl(suffix) AS (VALUES $psl),
-       |p AS (
-       |  SELECT doc_id,
-       |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
-       |    || (CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END)
-       |    || 'Brand' || CAST(doc_id % 40 AS VARCHAR) || '.'
-       |    || (CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-       |        WHEN 2 THEN 'com.au' WHEN 3 THEN 'org' WHEN 4 THEN 'co.jp'
-       |        ELSE 'net' END)
-       |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
-       |  FROM documents),
-       |h0 AS (
-       |  SELECT doc_id, url,
-       |    lower(regexp_replace(
-       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1),
-       |      ':\\d+$$', '')) AS hostnp
-       |  FROM p),
-       |h AS (
-       |  SELECT doc_id, url,
-       |    CASE WHEN contains(regexp_replace(hostnp, '^(www\\.)+', ''), '.')
-       |         THEN regexp_replace(hostnp, '^(www\\.)+', '')
-       |         WHEN starts_with(hostnp, 'www.')
-       |         THEN 'www.' || regexp_replace(hostnp, '^(www\\.)+', '')
-       |         ELSE hostnp END AS host
-       |  FROM h0),
+       |$pslUrlHostCtesSql,
        |e AS (
        |  SELECT doc_id, url,
        |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,

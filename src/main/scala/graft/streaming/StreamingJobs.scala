@@ -1056,13 +1056,22 @@ object StreamingJobs {
             if (h.isPresent) Some(h.get) else None
           }
           val ownerAlive = owner.exists(_.isAlive)
+          // a live process whose start instant WE can't read (restricted
+          // /proc: hidepid, cross-user containers) must be kept — treating
+          // unreadable-as-mismatch would delete a live run's tree, the
+          // exact catastrophe the token exists to prevent. Reclaim needs
+          // POSITIVE evidence: owner dead, or alive with a READABLE start
+          // that differs (pid reuse).
+          val ownerStart: Option[Long] = owner.flatMap { h =>
+            val s = h.info().startInstant()
+            if (s.isPresent) Some(s.get.toEpochMilli) else None
+          }
           val reclaim = startTok match {
-            case Some(0L) => // owner recorded no readable start instant:
-              // liveness is the only evidence — never TTL a maybe-live owner
+            case Some(0L) => // owner recorded no readable start instant at
+              // CREATION: liveness is the only evidence either side has
               !ownerAlive
-            case Some(st) => // ownership-token format: exact instance match keeps it
-              !(ownerAlive && owner.exists(
-                _.info().startInstant().map[Boolean](_.toEpochMilli == st).orElse(false)))
+            case Some(st) => // ownership-token format
+              !ownerAlive || ownerStart.exists(_ != st)
             case None => // legacy format
               !ownerAlive || f.lastModified() < now - ttlMs
           }
