@@ -355,6 +355,96 @@ object Graph {
     }
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in INTEGER arithmetic — the
+    * link-analysis complement to [[pageRankInt]]: PageRank scores global
+    * importance under a random surfer, HITS separates POINTING well
+    * (hubs) from BEING POINTED AT well (authorities) — on a bipartite
+    * buyer→supplier graph that is "who buys broadly" vs "who is bought
+    * from broadly", two different questions one rank cannot answer.
+    *
+    * Recurrence per round, all in 64-bit integers so an ANSI oracle can
+    * replay it bit-for-bit (the [[pageRankInt]] exactness argument):
+    *   a'(v) = Σ_{(u,v)∈E} h(u);  a(v) = a'(v)·scale div max(Σa' div |V|, 1)
+    *   h'(u) = Σ_{(u,v)∈E} a(v);  h(u) = h'(u)·scale div max(Σh' div |V|, 1)
+    * The normalization (mean-to-scale, floor division) replaces the
+    * real-valued L2 step: it keeps total mass ≈ |V|·scale each
+    * half-round, which both bounds the integers and preserves the
+    * RANKING (HITS scores are ratio-scale; any positive normalizer
+    * yields the same order). Overflow headroom: a'(v) ≤ Σh ≈ |V|·scale,
+    * so the normalize multiply is bounded by |V|·scale² — with the
+    * default scale 10⁶ that stays inside a signed 64-bit long up to
+    * |V| ≈ 9·10⁶; for bigger graphs shrink `scale` (the ranking is
+    * scale-invariant down to rounding).
+    *
+    * Plan shape: per round two edge⋈scores equi joins + two per-node
+    * aggregates + two 1-row broadcast normalizers. Each half-round's
+    * frame is read twice (its normalizer and its successor), so every
+    * intermediate is locally CHECKPOINTED and the previous round's
+    * blocks are explicitly released — the [[pageRankInt]]
+    * redistributeDangling pattern; a lazy composition would double the
+    * plan per half-round.
+    *
+    * @return (node, hub, auth) after `iterations` rounds from
+    *         h₀(v) = scale
+    */
+  def hitsInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val nV = math.max(nodes.count(), 1L)
+
+    // one normalized half-round: node-joined raw mass -> mean-to-scale
+    def normalize(raw: DataFrame, massCol: String, outCol: String): DataFrame = {
+      val full = nodes
+        .join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col(massCol), lit(0L)).as(massCol))
+        .localCheckpoint(true)
+      val norm = full
+        .agg(greatest(expr(s"coalesce(sum($massCol), 0L) div ${nV}L"), lit(1L)).as("norm"))
+      val out = full
+        .crossJoin(broadcast(norm))
+        .select(col("node"), expr(s"($massCol * ${scale}L) div norm").as(outCol))
+        .localCheckpoint(true)
+      backingRdd(full).foreach(_.unpersist(false))
+      out
+    }
+
+    var hub = nodes.withColumn("hub", lit(scale)).localCheckpoint(true)
+    var auth: DataFrame = nodes.withColumn("auth", lit(0L))
+    for (i <- 1 to iterations) {
+      val prevHub = hub
+      val prevAuth = if (i > 1) Some(auth) else None
+      auth = normalize(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum("hub").as("am")),
+        "am", "auth")
+      hub = normalize(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum("auth").as("hm")),
+        "hm", "hub")
+      backingRdd(prevHub).foreach(_.unpersist(false))
+      prevAuth.foreach(a => backingRdd(a).foreach(_.unpersist(false)))
+    }
+    val out = hub.join(auth, Seq("node"))
+    // every round was materialized, so the returned plan reads only the
+    // final hub/auth checkpoints — release the shared inputs (the
+    // pageRankInt redistributeDangling epilogue)
+    Seq(e, nodes).foreach(backingRdd(_).foreach(_.unpersist(false)))
+    out
+  }
+
   /** Canonical-document selection: one keeper per component, largest
     * `weightCol` first, ties broken by smallest id — the "keep the longest
     * document in each near-dup cluster" policy. */

@@ -371,6 +371,27 @@ object EventGraphQueries {
         .select(col("node"),
           when(col("node") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
           col("rank"))
+    }),
+
+    "g3_hits" -> ((s, d) => {
+      // HITS hubs & authorities over the DIRECTED customer->supplier
+      // trade graph (g1b's edge list): on a bipartite graph the two
+      // scores answer the two questions one PageRank folds together —
+      // customers that buy BROADLY (hubs: point at many good suppliers)
+      // vs suppliers bought from broadly (authorities). Integer-exact
+      // mean-to-scale normalization per half-round (Graph.hitsInt doc);
+      // the oracle replays the unrolled 5-iteration recurrence with the
+      // same 64-bit floor arithmetic.
+      val t = Tables(s, d)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.hitsInt(edges, "src", "dst", iterations = 5, scale = 1000000L)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+          col("hub"), col("auth"))
     })
   )
 
@@ -661,6 +682,43 @@ object EventGraphQueries {
         |  ON a.noun = b.noun AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
     "g1_pagerank" -> pageRankOracleSql(5),
-    "g1b_pagerank_dangling" -> pageRankDanglingOracleSql(5)
+    "g1b_pagerank_dangling" -> pageRankDanglingOracleSql(5),
+    "g3_hits" -> hitsOracleSql(5)
   )
+
+  /** DuckDB replay of [[Graph.hitsInt]]'s unrolled integer recurrence on
+    * the directed customer->supplier graph: per half-round a node-joined
+    * raw-mass CTE, a 1-row mean normalizer (floor `//` == Spark `div` on
+    * these nonnegative masses, GREATEST(...,1) for the all-zero edge
+    * case), and the normalized score — the exact arithmetic, iteration
+    * for iteration. */
+  private def hitsOracleSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""ap$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(COALESCE(s.am, 0) AS BIGINT) AS am
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS am
+         |    FROM edges e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1) s ON n.node = s.node),
+         |an$k AS (SELECT GREATEST(CAST(COALESCE(sum(am), 0) // (SELECT n FROM nv) AS BIGINT), 1) AS norm FROM ap$k),
+         |a$k AS MATERIALIZED (SELECT node, CAST((am * 1000000) // (SELECT norm FROM an$k) AS BIGINT) AS auth FROM ap$k),
+         |hp$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(COALESCE(s.hm, 0) AS BIGINT) AS hm
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS hm
+         |    FROM edges e JOIN a$k a ON e.dst = a.node GROUP BY 1) s ON n.node = s.node),
+         |hn$k AS (SELECT GREATEST(CAST(COALESCE(sum(hm), 0) // (SELECT n FROM nv) AS BIGINT), 1) AS norm FROM hp$k),
+         |h$k AS MATERIALIZED (SELECT node, CAST((hm * 1000000) // (SELECT norm FROM hn$k) AS BIGINT) AS hub FROM hp$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nv AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+       |$iters
+       |SELECT h.node,
+       |  CASE WHEN h.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  h.hub AS hub, a.auth AS auth
+       |FROM h$iterations h JOIN a$iterations a ON h.node = a.node""".stripMargin
+  }
 }

@@ -146,6 +146,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // localCheckpoint — ranks is read twice per round), so the returned
     // frame is a checkpoint scan; its shuffles run at construction
     "g1b_pagerank_dangling" -> 0,
+    // 0 like g1b: every round is materialized through localCheckpoint, so
+    // the returned plan only joins the two final checkpointed score frames
+    "g3_hits" -> 0,
     // 11 since round 8: per-round (dst,label)-count exchange folded into
     // mode(deterministic)'s map-side partial state (was 14)
     "g2_label_propagation" -> 11,

@@ -329,6 +329,25 @@ class Wave9Spec extends SparkSpecBase {
     }
   }
 
+  test("hitsInt matches the hand-computed integer recurrence and is partition-invariant") {
+    // graph: hubs 1,3 -> authorities 2,4 (1->2, 1->4, 3->2); one round,
+    // scale 100, nV 4. a' = (2:200, 4:100), norm = max(300 div 4, 1) = 75
+    // -> a = (2:266, 4:133); h' = (1:399, 3:266), norm = 665 div 4 = 166
+    // -> h = (1:240, 3:160). Every division floors — the exact values
+    // below are the contract the oracle replays.
+    val edges = Seq((1L, 2L), (1L, 4L), (3L, 2L)).toDF("src", "dst")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      graft.operators.Graph.hitsInt(e, "src", "dst", iterations = 1, scale = 100L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = Map(
+      1L -> ((240L, 0L)), 2L -> ((0L, 266L)),
+      3L -> ((160L, 0L)), 4L -> ((0L, 133L)))
+    assert(run(edges) == want)
+    // same values from a different physical partitioning: integer sums
+    // and floor divisions are order-free
+    assert(run(edges.repartition(8)) == want)
+  }
+
   test("t25_url_blocklist drops exactly the listed-domain residue classes") {
     // registrable domain is a pure function of doc_id in the planted
     // universe: brand(id%40).suffix(id%6) — replicate it here and check
