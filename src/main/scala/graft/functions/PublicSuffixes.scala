@@ -11,11 +11,15 @@ package graft.functions
   * `.co.uk` site into one "domain" — the wrong key for per-domain quotas
   * (x18) and crawl dedup on any real corpus.
   *
-  * Scope: the 2-label entries for the ccTLDs that dominate crawl volume
-  * (the full list also carries 3+-label and wildcard entries —
-  * `*.ck`, `pvt.k12.ma.us` — whose traffic share is negligible; a
-  * deployment needing them swaps in the full snapshot, same shape, same
-  * join). Every 1-label TLD is implicitly a public suffix — that is the
+  * Scope: the 2-label entries for the ccTLDs that dominate crawl volume,
+  * plus (round 10) the 3-label tier for the registries that use it
+  * (Australian state second-level domains, US `k12/cc/lib.<state>.us`),
+  * the wildcard-TLD rules (`*.ck`-class: EVERY 2-label name under the
+  * TLD is a public suffix), and their exceptions (`!www.ck`). The full
+  * list's remaining depth (4-label `pvt.k12.ma.us`-class, per-prefecture
+  * JP geographic wildcards) has negligible crawl share; a deployment
+  * needing it swaps in the full snapshot — same shapes, same joins.
+  * Every 1-label TLD is implicitly a public suffix — that is the
   * 2-label fallback rule, not a list entry.
   */
 object PublicSuffixes {
@@ -84,4 +88,25 @@ object PublicSuffixes {
     "co.at", "or.at", "ac.at", "gv.at", "priv.at",
     "co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu", "tm.hu"
   )
+
+  /** 3-label public suffixes: registration happens at label 4. Australian
+    * state second-level domains under edu.au/gov.au, and the US
+    * locality pattern `k12/cc/lib.<state>.us` for the most populous
+    * states (same compact-snapshot scope rule as [[suffixes2]]). */
+  val suffixes3: Seq[String] = {
+    val auStates = Seq("act", "nsw", "nt", "qld", "sa", "tas", "vic", "wa")
+    val usStates = Seq("ca", "tx", "fl", "ny", "pa", "il", "oh", "ga", "nc",
+      "mi", "nj", "va", "wa", "az", "ma", "tn", "in", "mo", "md", "wi")
+    auStates.flatMap(s => Seq(s"$s.edu.au", s"$s.gov.au")) ++
+      usStates.flatMap(s => Seq(s"k12.$s.us", s"cc.$s.us", s"lib.$s.us"))
+  }
+
+  /** Wildcard TLD rules (`*.<tld>`): every 2-label name directly under
+    * the TLD is itself a public suffix, so registration happens at label
+    * 3 even though no explicit 2-label entry exists. */
+  val wildcardTlds: Seq[String] = Seq("bd", "ck", "er", "fk", "jm", "np", "pg")
+
+  /** Exception rules (`!name` in the source list): names a wildcard rule
+    * would otherwise swallow that ARE registrable. */
+  val exceptions: Seq[String] = Seq("www.ck")
 }

@@ -90,25 +90,40 @@ object UrlFunctions {
   def registrableDomain(url: Column): Column =
     regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
 
-  /** PSL-aware registrable domain as a pure Column: if the host's last
-    * two labels are a known 2-label public suffix
-    * ([[PublicSuffixes.suffixes2]]) and a third label exists, the
-    * registrable domain is the last THREE labels; otherwise the last two
-    * (every bare TLD is implicitly a public suffix — the fallback rule).
-    * A host that IS a bare public suffix (`co.uk` itself) falls back to
-    * the 2-label form rather than returning '' — such hosts don't occur
-    * as page hosts on a real crawl, and '' would silently merge them all.
+  /** PSL-aware registrable domain as a pure Column — longest-match over
+    * all four snapshot tiers, most specific first:
     *
-    * The suffix test compiles to an `IN` list over the snapshot —
+    *   1. exception rule (`!www.ck`): the name a wildcard would swallow
+    *      IS registrable — any host ending there keys to it (last2);
+    *   2. 3-label suffix ([[PublicSuffixes.suffixes3]], `act.edu.au` /
+    *      `k12.ma.us`-class) with a 4th label present → last FOUR labels;
+    *   3. 2-label suffix ([[PublicSuffixes.suffixes2]]) OR wildcard TLD
+    *      ([[PublicSuffixes.wildcardTlds]], `*.ck`-class — every 2-label
+    *      name under the TLD is a public suffix) with a 3rd label
+    *      present → last THREE labels;
+    *   4. fallback: last two labels (every bare TLD is implicitly a
+    *      public suffix).
+    *
+    * A host that IS a bare public suffix (`co.uk`, `act.edu.au` itself)
+    * falls through to the next-shorter form rather than returning '' —
+    * such hosts don't occur as page hosts on a real crawl, and '' would
+    * silently merge them all.
+    *
+    * The suffix tests compile to `IN` lists over the snapshot —
     * map-side O(1), fine at this snapshot size. For the FULL 9k-entry
-    * PSL, prefer [[withRegistrableDomain]]: a broadcast join keeps the
-    * list out of the generated code and off every task's expression
+    * PSL, prefer [[withRegistrableDomain]]: broadcast joins keep the
+    * lists out of the generated code and off every task's expression
     * tree. */
   def registrableDomainPsl(url: Column): Column = {
     val host = urlHost(url)
     val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(last3 =!= "" && last2.isin(PublicSuffixes.suffixes2: _*), last3)
+    val last4 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val tld = regexp_extract(host, "([^.]+)$", 1)
+    when(last2.isin(PublicSuffixes.exceptions: _*), last2)
+      .when(last4 =!= "" && last3.isin(PublicSuffixes.suffixes3: _*), last4)
+      .when(last3 =!= "" && (last2.isin(PublicSuffixes.suffixes2: _*) ||
+        tld.isin(PublicSuffixes.wildcardTlds: _*)), last3)
       .otherwise(last2)
   }
 
@@ -136,14 +151,29 @@ object UrlFunctions {
       out: String = "domain"): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val psl = PublicSuffixes.suffixes2.toDF("psl_suffix")
+    // the two list-shaped tiers are broadcast seed frames (they grow with
+    // the full PSL); the wildcard-TLD and exception tiers stay inline IN
+    // lists — single-digit entries even on the full list
+    val psl2 = PublicSuffixes.suffixes2.toDF("psl_suffix")
+    val psl3 = PublicSuffixes.suffixes3.toDF("psl3_suffix")
     df.withColumn("__rd_last2", regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1))
       .withColumn("__rd_last3", regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
-      .join(broadcast(psl), col("__rd_last2") === col("psl_suffix"), "left")
+      .withColumn("__rd_last4",
+        regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .withColumn("__rd_tld", regexp_extract(hostCol, "([^.]+)$", 1))
+      .join(broadcast(psl2), col("__rd_last2") === col("psl_suffix"), "left")
+      .join(broadcast(psl3), col("__rd_last3") === col("psl3_suffix"), "left")
       .withColumn(out,
-        when(col("psl_suffix").isNotNull && col("__rd_last3") =!= "", col("__rd_last3"))
+        when(col("__rd_last2").isin(PublicSuffixes.exceptions: _*), col("__rd_last2"))
+          .when(col("psl3_suffix").isNotNull && col("__rd_last4") =!= "",
+            col("__rd_last4"))
+          .when((col("psl_suffix").isNotNull ||
+              col("__rd_tld").isin(PublicSuffixes.wildcardTlds: _*)) &&
+              col("__rd_last3") =!= "",
+            col("__rd_last3"))
           .otherwise(col("__rd_last2")))
-      .drop("__rd_last2", "__rd_last3", "psl_suffix")
+      .drop("__rd_last2", "__rd_last3", "__rd_last4", "__rd_tld",
+        "psl_suffix", "psl3_suffix")
   }
 
   /** Domain-blocklist scrub (the C4/Dolma curation rule: drop every

@@ -24,6 +24,20 @@ object FuzzyJoin {
   /** Self-join `df` on equality of `blockCols`, keep pairs (idA < idB)
     * whose `strCol` values are within `maxDist` edits.
     *
+    * `lengthBucketWidth` (default 8) appends `length(strCol) div w` to the
+    * block key. This is the scale-stability lever: on any corpus whose
+    * attribute vocabulary is finite (TPC-H p_name by construction — 5
+    * words from a 92-word list — and natural-language name corpora behave
+    * the same), the caller-supplied block key's cardinality is bounded, so
+    * block MEMBERSHIP grows linearly with corpus size and candidate-pair
+    * work grows quadratically until the maxBlock guard truncates. The
+    * length bucket multiplies key cardinality by the length spread,
+    * keeping membership (and thus per-block pair work) ~constant across a
+    * 10x corpus growth. Standard blocking recall trade-off: a true pair
+    * straddling a bucket boundary is missed (|len diff| <= maxDist, so
+    * width >= 2*maxDist+2 keeps the miss band narrow); pass None for the
+    * exhaustive-within-block behavior.
+    *
     * Output: (id_a, id_b, name_a, name_b, dist) with dist as long.
     */
   def blockedLevenshtein(
@@ -32,18 +46,22 @@ object FuzzyJoin {
       strCol: String,
       blockCols: Seq[String],
       maxDist: Int,
-      maxBlock: Option[Int] = Some(1000)
+      maxBlock: Option[Int] = Some(1000),
+      lengthBucketWidth: Option[Int] = Some(8)
   ): DataFrame = {
+    val lenCols = lengthBucketWidth.toSeq.map(w =>
+      expr(s"length(${strCol}) div ${w}").as("_len_b"))
+    val allBlockCols = blockCols ++ lengthBucketWidth.map(_ => "_len_b")
     val base0 = df.select(
       (col(idCol).as("id") +: col(strCol).as("name") +:
-        blockCols.map(c => col(c))): _*)
+        (blockCols.map(c => col(c)) ++ lenCols)): _*)
     val base = maxBlock match {
       case Some(cap) =>
         // block-size census as a window count over the SAME partitioning
         // the self-join shuffles on — no broadcast of the (unbounded)
         // block-key set, no extra exchange shape
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(blockCols.map(col): _*)
+          .partitionBy(allBlockCols.map(col): _*)
         base0
           .withColumn("_bn", count(lit(1)).over(w))
           .filter(col("_bn") <= cap)
@@ -52,17 +70,17 @@ object FuzzyJoin {
     }
     val a = base.select(
       (col("id").as("id_a") +: col("name").as("name_a") +:
-        blockCols.map(c => col(c))): _*)
+        allBlockCols.map(c => col(c))): _*)
     val b = base.select(
       (col("id").as("id_b") +: col("name").as("name_b") +:
-        blockCols.map(c => col(c))): _*)
+        allBlockCols.map(c => col(c))): _*)
     // banded Ukkonen distance (plans/EditDistanceExpressions): exact for
     // every surviving pair (value == builtin levenshtein when <= maxDist)
     // but O(k·len) with length-gap and dead-band short-circuits on the
     // dominant non-matching pairs, and codegen'd like the builtin
     val dist = graft.plans.LevenshteinWithin
       .levenshtein_within(col("name_a"), col("name_b"), maxDist)
-    a.join(b, blockCols)
+    a.join(b, allBlockCols)
       .filter(col("id_a") < col("id_b"))
       .filter(dist <= maxDist)
       .select(

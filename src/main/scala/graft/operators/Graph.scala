@@ -395,6 +395,10 @@ object Graph {
       scale: Long = 1000000L
   ): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd
+    // iterations=0 would return the initial (never-checkpointed) auth
+    // frame while the epilogue releases the nodes checkpoint it still
+    // references — any later action would fail on missing blocks
+    require(iterations >= 1, s"hitsInt needs iterations >= 1, got $iterations")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()

@@ -172,6 +172,10 @@ object Sampling {
       rankCol: String = "rnk"
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // withColumn would silently REPLACE an existing rankCol and corrupt
+    // caller data — a collision must fail loudly
+    require(!df.columns.contains(rankCol),
+      s"input already has a column named '$rankCol' — pass a different rankCol")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)

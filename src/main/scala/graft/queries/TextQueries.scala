@@ -507,12 +507,18 @@ object TextQueries {
   )
 
   /** t25's blocklist: registrable domains from the pslUrl universe (plus
-    * one that never occurs). Planted fixture data — the oracle inlines
-    * the SAME Seq as VALUES. */
+    * one that never occurs). brandN's suffix class is pinned to N%8 (40
+    * is a multiple of 8), so each entry below names its brand's one real
+    * suffix (and, since 40 is also a multiple of 5, the sub. prefix:
+    * brandN carries sub. iff N%5==0); brand14.act.edu.au exercises the
+    * 3-label tier and sub.brand15.ck the wildcard tier — under `*.ck`,
+    * `brand15.ck` is itself a public suffix and the SITE key is one
+    * label deeper, exactly what a blocklist would name. Planted fixture
+    * data — the oracle inlines the SAME Seq as VALUES. */
   private[graft] val BlockedDomains: Seq[String] = Seq(
-    "brand7.co.uk", "brand12.com", "brand9.org",
-    "brand20.co.jp", "brand3.net",
-    "brand5.com" // id%40==5 is odd, id%6==0 is even: unsatisfiable — a dead entry
+    "brand9.co.uk", "brand12.co.jp", "brand3.org",
+    "brand14.act.edu.au", "sub.brand15.ck", "brand20.co.jp",
+    "brand5.com" // brand5's class is 5%8 -> net, never com: a dead entry
   )
 
   /** The deterministic doc_id-derived url planted by t23 (and reused by
@@ -530,21 +536,28 @@ object TextQueries {
     id.cast("string"), lit("&utm_campaign=c"), (id % 7).cast("string"),
     lit("#sec"), (id % 4).cast("string"))
 
-  /** t24's deterministic url: cycles bare TLDs and 2-label public
-    * suffixes, with optional (mixed-case) www and a deeper subdomain —
-    * one residue class per (suffix class × subdomain depth) combination.
-    * Any oracle using it must inline the IDENTICAL construction in SQL. */
+  /** t24's deterministic url: cycles bare TLDs, 2-label public suffixes,
+    * a 3-label suffix (`act.edu.au`) and a wildcard TLD (`ck`), with
+    * optional (mixed-case) www and a deeper subdomain — one residue
+    * class per (suffix class × subdomain depth) combination, so every
+    * snapshot tier's promotion genuinely diverges from the 2-label
+    * fallback somewhere in the universe. Note 40 ≡ 0 (mod 8): the brand
+    * number pins the suffix class (brandN pairs with class N%8), which
+    * [[BlockedDomains]] relies on. Any oracle using it must inline the
+    * IDENTICAL construction in SQL. */
   private[queries] def pslUrl(id: Column): Column = concat(
     lit("https://"),
     when(id % 2 === 0, "WWW.").otherwise(""),
     when(id % 5 === 0, "sub.").otherwise(""),
     lit("Brand"), (id % 40).cast("string"), lit("."),
-    when(id % 6 === 0, "com")
-      .when(id % 6 === 1, "co.uk")
-      .when(id % 6 === 2, "com.au")
-      .when(id % 6 === 3, "org")
-      .when(id % 6 === 4, "co.jp")
-      .otherwise("net"),
+    when(id % 8 === 0, "com")
+      .when(id % 8 === 1, "co.uk")
+      .when(id % 8 === 2, "com.au")
+      .when(id % 8 === 3, "org")
+      .when(id % 8 === 4, "co.jp")
+      .when(id % 8 === 5, "net")
+      .when(id % 8 === 6, "act.edu.au")
+      .otherwise("ck"),
     lit("/p/"), id.cast("string"))
 
   /** Merge table captured by the t13b query run (Verify runs queries before
@@ -962,9 +975,10 @@ object TextQueries {
        |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
        |    (CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END) ||
        |    'Brand' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
-       |    (CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+       |    (CASE doc_id % 8 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
        |        WHEN 2 THEN 'com.au' WHEN 3 THEN 'org' WHEN 4 THEN 'co.jp'
-       |        ELSE 'net' END) ||
+       |        WHEN 5 THEN 'net' WHEN 6 THEN 'act.edu.au'
+       |        ELSE 'ck' END) ||
        |    '/p/' || CAST(doc_id AS VARCHAR) AS url
        |  FROM documents),
        |h0 AS (
@@ -976,44 +990,69 @@ object TextQueries {
        |    ${wwwStripCaseSql("hostnp")} AS host
        |  FROM h0)""".stripMargin
 
-  /** t24's oracle replays the ALGORITHM (host extraction + broadcast-join
-    * longest-suffix promotion), with the suffix seed inlined as a VALUES
-    * relation FROM THE SAME Scala snapshot — one source of truth, so a
-    * snapshot edit can never desynchronize the two sides. */
-  private def t24OracleSql: String = {
-    val vals = graft.functions.PublicSuffixes.suffixes2
+  /** Shared tier CTEs for the PSL oracles (t24/t25): the 2-/3-label
+    * VALUES seeds (inlined FROM THE SAME Scala Seqs — one source of
+    * truth, so a snapshot edit can never desynchronize the two sides),
+    * the per-host label extracts, and the two LEFT JOINs. Emits CTEs
+    * `psl2/psl3/e/j`; `j` carries doc_id, url, host, last2..last4, tld,
+    * s2hit, s3hit. Assumes `h(doc_id, url, host)` exists (spliced after
+    * [[pslUrlHostCtesSql]]). */
+  private def pslTierCtesSql: String = {
+    val v2 = graft.functions.PublicSuffixes.suffixes2
       .map(s => s"('$s')").mkString(", ")
-    s"""WITH psl(suffix) AS (VALUES $vals),
-       |$pslUrlHostCtesSql,
+    val v3 = graft.functions.PublicSuffixes.suffixes3
+      .map(s => s"('$s')").mkString(", ")
+    s"""psl2(suffix) AS (VALUES $v2),
+       |psl3(suffix3) AS (VALUES $v3),
        |e AS (
        |  SELECT doc_id, url, host,
        |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
-       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3
-       |  FROM h)
-       |SELECT doc_id, url, host,
-       |  CASE WHEN s.suffix IS NOT NULL AND last3 <> '' THEN last3 ELSE last2 END AS domain,
-       |  last2 AS domain_2label
-       |FROM e LEFT JOIN psl s ON e.last2 = s.suffix""".stripMargin
+       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3,
+       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last4,
+       |    regexp_extract(host, '([^.]+)$$', 1) AS tld
+       |  FROM h),
+       |j AS (
+       |  SELECT e.*, s2.suffix AS s2hit, s3.suffix3 AS s3hit
+       |  FROM e LEFT JOIN psl2 s2 ON e.last2 = s2.suffix
+       |         LEFT JOIN psl3 s3 ON e.last3 = s3.suffix3)""".stripMargin
   }
+
+  /** The longest-match CASE over `j`'s columns — the SQL twin of
+    * [[graft.functions.UrlFunctions.registrableDomainPsl]]'s tier order
+    * (exception > 3-label > 2-label/wildcard > fallback), with the tiny
+    * exception/wildcard tiers inlined from the same Seqs. */
+  private def pslDomainCaseSql: String = {
+    val exc = graft.functions.PublicSuffixes.exceptions
+      .map(s => s"'$s'").mkString(", ")
+    val wild = graft.functions.PublicSuffixes.wildcardTlds
+      .map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN last2 IN ($exc) THEN last2
+       |       WHEN s3hit IS NOT NULL AND last4 <> '' THEN last4
+       |       WHEN (s2hit IS NOT NULL OR tld IN ($wild)) AND last3 <> '' THEN last3
+       |       ELSE last2 END""".stripMargin
+  }
+
+  /** t24's oracle replays the ALGORITHM (host extraction + broadcast-join
+    * longest-suffix promotion across all four snapshot tiers). */
+  private def t24OracleSql: String =
+    s"""WITH $pslUrlHostCtesSql,
+       |$pslTierCtesSql
+       |SELECT doc_id, url, host,
+       |  $pslDomainCaseSql AS domain,
+       |  last2 AS domain_2label
+       |FROM j""".stripMargin
 
   /** t25's oracle: t24's promotion pipeline, then the anti-join as a
     * NOT IN over the SAME blocklist Seq (no NULL hazard: the domain
     * expression never yields NULL, at worst ''). */
   private def t25OracleSql: String = {
-    val psl = graft.functions.PublicSuffixes.suffixes2
-      .map(s => s"('$s')").mkString(", ")
     val block = BlockedDomains.map(s => s"'$s'").mkString(", ")
-    s"""WITH psl(suffix) AS (VALUES $psl),
-       |$pslUrlHostCtesSql,
-       |e AS (
-       |  SELECT doc_id, url,
-       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
-       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3
-       |  FROM h),
+    s"""WITH $pslUrlHostCtesSql,
+       |$pslTierCtesSql,
        |dom AS (
        |  SELECT doc_id, url,
-       |    CASE WHEN s.suffix IS NOT NULL AND last3 <> '' THEN last3 ELSE last2 END AS domain
-       |  FROM e LEFT JOIN psl s ON e.last2 = s.suffix)
+       |    $pslDomainCaseSql AS domain
+       |  FROM j)
        |SELECT doc_id, url, domain
        |FROM dom WHERE domain NOT IN ($block)""".stripMargin
   }

@@ -1002,13 +1002,21 @@ object StreamingJobs {
     *         the measured pain point for the cost of one bounded rewrite
     *         per 64 batches.
     * @param compactMaxFiles fragmentation threshold handed through to
-    *         compactSignatureIndex at each cadence point (and post-drain). */
+    *         compactSignatureIndex at each cadence point (and post-drain).
+    * @param stagingBase explicit staging/index directory. None (the
+    *         default) auto-names a pid+start+counter-scoped dir under /tmp
+    *         and runs the stale-tree reclaim sweep; Some(dir) hands
+    *         ownership to the caller (no sweep — the caller knows its own
+    *         lifecycle) and lets a test read the index listing
+    *         DETERMINISTICALLY instead of guessing which /tmp dir was
+    *         this run's by mtime. */
   def streamingIncrementalNearDup(
       spark: SparkSession,
       sfDir: String,
       nBatches: Int = 3,
       compactEveryNBatches: Int = 64,
-      compactMaxFiles: Int = 16
+      compactMaxFiles: Int = 16,
+      stagingBase: Option[String] = None
   ): DataFrame = {
     import graft.operators.Dedup
     val docs = graft.core.Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
@@ -1022,8 +1030,8 @@ object StreamingJobs {
     val selfHandle = ProcessHandle.current()
     val selfStart: Long =
       selfHandle.info().startInstant().map[Long](_.toEpochMilli: java.lang.Long).orElse(0L)
-    val base =
-      s"/tmp/graft_st22_${selfHandle.pid()}_${selfStart}_${counter.incrementAndGet()}"
+    val base = stagingBase.getOrElse(
+      s"/tmp/graft_st22_${selfHandle.pid()}_${selfStart}_${counter.incrementAndGet()}")
     // pid-scoped names never collide, so stale trees would otherwise
     // accumulate forever. Reclaim rules, NEVER touching a live owner's
     // tree (a caller may still be reading a prior run's matches frame):
@@ -1035,16 +1043,21 @@ object StreamingJobs {
     //    squatter (alive, different start) no longer keeps a dead run's
     //    tree forever, and a genuinely live owner is never mistaken for
     //    one regardless of how old the dir's mtime is.
-    //  - legacy 1-2-token names (pre-ownership-token rounds): owner-dead
-    //    test plus a 24 h mtime TTL for the counter-parses-as-live-pid
-    //    collision (e.g. counter 1 vs init). Only pre-round-9 JVMs ever
-    //    created these, none of which are still running — the TTL can't
-    //    hit a live owner.
+    //  - legacy 1-2-token names (pre-ownership-token rounds): reclaimed
+    //    only when the owner is DEAD **and** the 24 h mtime TTL has
+    //    expired. The conjunction is deliberate: a live process whose pid
+    //    happens to equal the parsed token (counter-as-pid collision, or a
+    //    genuinely long-lived legacy-named run) must never lose its tree,
+    //    so liveness always blocks reclaim; the TTL then only slows
+    //    reclamation of the dead-owner case, which is the safe direction.
     locally {
       import scala.reflect.io.Directory
       val ttlMs = 24L * 3600 * 1000
       val now = System.currentTimeMillis()
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      val sweepCandidates =
+        if (stagingBase.isDefined) Array.empty[java.io.File] // caller-owned dir: no sweep
+        else Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      sweepCandidates
         .filter(f => f.isDirectory && f.getName.startsWith("graft_st22_"))
         .foreach { f =>
           val toks = f.getName.stripPrefix("graft_st22_").split("_")
@@ -1072,8 +1085,8 @@ object StreamingJobs {
               !ownerAlive
             case Some(st) => // ownership-token format
               !ownerAlive || ownerStart.exists(_ != st)
-            case None => // legacy format
-              !ownerAlive || f.lastModified() < now - ttlMs
+            case None => // legacy format: owner-dead AND TTL-expired
+              !ownerAlive && f.lastModified() < now - ttlMs
           }
           if (!isSelf && reclaim) {
             new Directory(f).deleteRecursively(): Unit

