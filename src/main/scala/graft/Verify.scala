@@ -39,6 +39,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-explaining correctness artifact: the rows-only dozen with their
+    // pinning evidence rides along, so a reader of the driver's artifact
+    // never needs the COVERAGE.md cross-reference (same content as the
+    // committed ROWS_ONLY.json, spec-enforced in sync)
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), SparkEntry.rowsOnlyJson)
     // Loud failures: a query that errors must not silently vanish from the
     // round's correctness artifact (round 4 lost 4 entries that way). The
     // driver ignores unknown files, so this is purely additive signal.

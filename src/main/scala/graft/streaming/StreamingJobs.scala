@@ -1009,15 +1009,34 @@ object StreamingJobs {
     *         ownership to the caller (no sweep — the caller knows its own
     *         lifecycle) and lets a test read the index listing
     *         DETERMINISTICALLY instead of guessing which /tmp dir was
-    *         this run's by mtime. */
+    *         this run's by mtime.
+    * @param phaseNanos optional wall-time attribution collector
+    *         (St22Profile): accumulates nanos per phase — "stage" (batch
+    *         staging + empty index init), "sigs" (per-batch signature
+    *         compute), "probe" (index probe join + match append), "append"
+    *         (delta write + file-move + cadence check), "drain" (the whole
+    *         AvailableNow drain, so drain − sigs − probe − append = the
+    *         micro-batch harness's own overhead). None (default) adds
+    *         nothing to the hot path. */
   def streamingIncrementalNearDup(
       spark: SparkSession,
       sfDir: String,
       nBatches: Int = 3,
       compactEveryNBatches: Int = 64,
       compactMaxFiles: Int = 16,
-      stagingBase: Option[String] = None
+      stagingBase: Option[String] = None,
+      phaseNanos: Option[scala.collection.concurrent.TrieMap[String, Long]] = None
   ): DataFrame = {
+    def timed[T](phase: String)(body: => T): T = phaseNanos match {
+      case None => body
+      case Some(acc) =>
+        val t0 = System.nanoTime()
+        try body
+        finally {
+          val dt = System.nanoTime() - t0
+          acc.updateWith(phase) { v => Some(v.getOrElse(0L) + dt) }: Unit
+        }
+    }
     import graft.operators.Dedup
     val docs = graft.core.Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
     // pid in the path: the counter restarts with every JVM, so two
@@ -1109,32 +1128,34 @@ object StreamingJobs {
     // the one-file-per-logical-batch harness seam without per-batch
     // filtered rescans
     val staged = s"$base/stage"
-    docs.withColumn("bt", pmod(col("doc_id"), lit(nBatches)))
-      .repartition(nBatches, col("bt"))
-      .write.partitionBy("bt").mode("overwrite").parquet(staged)
-    (0 until nBatches).foreach { i =>
-      // an empty residue class (fewer docs than batches, or an id gap)
-      // writes no bt=i directory — that logical batch simply never
-      // arrives, which is exactly the empty-batch semantics
-      val parts = Option(new java.io.File(s"$staged/bt=$i").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-      parts.headOption.foreach { part =>
-        val dst = new java.io.File(s"$inDir/batch_$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // pinned, strictly increasing mtimes: the file source processes
-        // oldest-first, making batch order deterministic
-        dst.setLastModified(1700000000000L + i * 60000L)
+    timed("stage") {
+      docs.withColumn("bt", pmod(col("doc_id"), lit(nBatches)))
+        .repartition(nBatches, col("bt"))
+        .write.partitionBy("bt").mode("overwrite").parquet(staged)
+      (0 until nBatches).foreach { i =>
+        // an empty residue class (fewer docs than batches, or an id gap)
+        // writes no bt=i directory — that logical batch simply never
+        // arrives, which is exactly the empty-batch semantics
+        val parts = Option(new java.io.File(s"$staged/bt=$i").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        parts.headOption.foreach { part =>
+          val dst = new java.io.File(s"$inDir/batch_$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          // pinned, strictly increasing mtimes: the file source processes
+          // oldest-first, making batch order deterministic
+          dst.setLastModified(1700000000000L + i * 60000L)
+        }
       }
+      // empty index with the signature schema, so batch 0 probes cleanly
+      Dedup.portableSignatures(docs.limit(0), "doc_id", "text", n = 3, k = 32)
+        .write.mode("overwrite").parquet(idxDir)
+      // empty matches frame with the output schema (no-match corpora return
+      // an empty-but-typed result instead of a missing dir)
+      spark.range(0).select(col("id").as("new_id"), col("id").as("idx_id"),
+        col("id").cast("double").as("est_jaccard"))
+        .write.mode("overwrite").parquet(matchDir)
     }
-    // empty index with the signature schema, so batch 0 probes cleanly
-    Dedup.portableSignatures(docs.limit(0), "doc_id", "text", n = 3, k = 32)
-      .write.mode("overwrite").parquet(idxDir)
-    // empty matches frame with the output schema (no-match corpora return
-    // an empty-but-typed result instead of a missing dir)
-    spark.range(0).select(col("id").as("new_id"), col("id").as("idx_id"),
-      col("id").cast("double").as("est_jaccard"))
-      .write.mode("overwrite").parquet(matchDir)
 
     val schema = docs.schema
     val stream = spark.readStream.schema(schema)
@@ -1150,35 +1171,55 @@ object StreamingJobs {
           // every downstream action (match write, admit write) reads the
           // cached blocks instead of re-running the md5-per-shingle
           // pipeline, and no extra parquet round-trip is paid
-          val sigs = Dedup.portableSignatures(batch, "doc_id", "text", n = 3, k = 32)
-            .persist()
-          sigs.count()
+          val sigs = timed("sigs") {
+            val s = Dedup.portableSignatures(batch, "doc_id", "text", n = 3, k = 32)
+              .persist()
+            s.count()
+            s
+          }
           try {
-            val (matches, admitted) = Dedup.incrementalNearDupFromSigs(
+            val (matches0, admitted) = Dedup.incrementalNearDupFromSigs(
               index, sigs, k = 32, bands = 8, threshold = 0.5)
-            matches.write.mode("append").parquet(matchDir)
-            // materialize the delta OFF the index path, then file-move in:
-            // never append to a path the same job is reading
-            val delta = s"$base/delta_$batchId"
-            admitted.write.mode("overwrite").parquet(delta)
-            new java.io.File(delta).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-              .zipWithIndex.foreach { case (f, i) =>
-                java.nio.file.Files.move(f.toPath,
-                  new java.io.File(s"$idxDir/delta_${batchId}_$i.parquet").toPath)
+            // persist matches across the batch's TWO consumers: the match
+            // append below and admitted's anti-join both sit on top of the
+            // band-join probe plan, and without the cache the admit write
+            // re-runs the whole explode+join+verify pipeline a second time
+            // (measured ~1 s/batch-set at sf0.1, St22Profile). Populated
+            // by the match write, read by the admit write, dropped with
+            // the batch.
+            val matches = matches0.persist()
+            try {
+              timed("probe") {
+                matches.write.mode("append").parquet(matchDir)
               }
-            // in-flight compaction cadence (see the param doc): the
-            // batch's probe and delta move are complete, the NEXT batch's
-            // probe re-opens the index fresh — this is exactly the
-            // between-micro-batches window the compaction contract wants
-            if (compactEveryNBatches > 0 && (batchId + 1) % compactEveryNBatches == 0) {
-              Dedup.compactSignatureIndex(spark, idxDir, maxFiles = compactMaxFiles): Unit
-            }
+              timed("append") {
+                // materialize the delta OFF the index path, then file-move
+                // in: never append to a path the same job is reading
+                val delta = s"$base/delta_$batchId"
+                admitted.write.mode("overwrite").parquet(delta)
+                new java.io.File(delta).listFiles()
+                  .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+                  .zipWithIndex.foreach { case (f, i) =>
+                    java.nio.file.Files.move(f.toPath,
+                      new java.io.File(s"$idxDir/delta_${batchId}_$i.parquet").toPath)
+                  }
+                // in-flight compaction cadence (see the param doc): the
+                // batch's probe and delta move are complete, the NEXT
+                // batch's probe re-opens the index fresh — this is exactly
+                // the between-micro-batches window the compaction contract
+                // wants
+                if (compactEveryNBatches > 0 && (batchId + 1) % compactEveryNBatches == 0) {
+                  Dedup.compactSignatureIndex(spark, idxDir, maxFiles = compactMaxFiles): Unit
+                }
+              }
+            } finally matches.unpersist()
           } finally sigs.unpersist()
         }
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      timed("drain") {
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     }
     // post-drain compaction point: catches whatever the in-flight cadence
     // left behind (the tail batches since the last cadence firing, or

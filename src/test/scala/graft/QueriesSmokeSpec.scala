@@ -28,27 +28,42 @@ class QueriesSmokeSpec extends SparkSpecBase {
   }
 
   test("rows-only entries are exactly the documented sketch/seeded set") {
-    // every board entry must carry a DuckDB oracle EXCEPT the documented
-    // sketch/seeded-hash set (COVERAGE.md rows-only table — each has a
-    // hash-green twin or ground-truth spec) and the trained-ANN entries
-    // whose oracles are captured AFTER their models train (DedupQueries /
+    // every board entry must carry a DuckDB oracle EXCEPT the rows-only
+    // set documented in SparkEntry.rowsOnly (each pinned by a hash-green
+    // twin or ground-truth spec) and the trained-ANN entries whose
+    // oracles are captured AFTER their models train (DedupQueries /
     // TextQueries inline-the-model pattern). An oracle silently going
     // missing from any other entry fails here instead of surfacing as a
     // driver-side rows-only downgrade next round.
-    val documented = Set(
-      "a5b_approx_distinct", "a25b_rolling_actives_hll", "d2_minhash_lsh",
-      "d18b_incremental_fast",
-      "d3_simhash", "d13b_corpus_overlap_fast", "t5_rolling_fingerprint",
-      "t13_bpe_learned", "t14_compression_ratio",
-      "st17_stream_latency_quantiles", "x1_hash_split",
-      "x7b_quantile_shards_approx")
-    val trainedCaptured = Set(
-      "s3_ann_ivf", "s4_ann_pq", "s5_ann_ivfpq",
-      "t13b_bpe_encode_sample", "x6b_trained_ann_recall")
+    val documented = SparkEntry.rowsOnly.keySet
+    val trainedCaptured = SparkEntry.trainedCapturedOracles
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert((missing -- trainedCaptured) == documented,
       s"undocumented rows-only entries: ${(missing -- trainedCaptured) -- documented}; " +
-        s"documented-but-now-oracled (update the doc set): ${documented -- missing}")
+        s"documented-but-now-oracled (update SparkEntry.rowsOnly): ${documented -- missing}")
+  }
+
+  test("committed ROWS_ONLY.json mirrors SparkEntry.rowsOnly byte-for-byte") {
+    // the machine-readable companion to the driver's correctness artifact
+    // (Verify also drops the same content into its outDir): regenerate
+    // with  sbt "Test/runMain graft.RowsOnlyGen"  after editing the map
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("ROWS_ONLY.json"))
+    assert(committed == SparkEntry.rowsOnlyJson,
+      "ROWS_ONLY.json is stale — run: sbt \"Test/runMain graft.RowsOnlyGen\"")
+  }
+
+  test("every rows-only pin that names a board twin names a REAL board entry") {
+    // "twin <name>" references inside the pin strings must stay valid as
+    // the board evolves — a renamed twin would otherwise leave a dangling
+    // pointer in the artifact
+    val names = SparkEntry.queries.keySet
+    SparkEntry.rowsOnly.foreach { case (k, (_, pin)) =>
+      "twin ([A-Za-z0-9_]+)".r.findAllMatchIn(pin).foreach { m =>
+        assert(names.contains(m.group(1)),
+          s"$k: pin references unknown twin '${m.group(1)}'")
+      }
+    }
   }
 
   test("flagship entry returns enriched rows") {
