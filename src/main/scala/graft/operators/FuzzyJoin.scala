@@ -49,6 +49,14 @@ object FuzzyJoin {
       maxBlock: Option[Int] = Some(1000),
       lengthBucketWidth: Option[Int] = Some(8)
   ): DataFrame = {
+    lengthBucketWidth.foreach { w =>
+      require(w >= 1, s"lengthBucketWidth must be >= 1, got $w")
+      // the derived bucket column joins the block key; a caller column of
+      // the same name would silently double into the key (topKPerKey's
+      // collision rule)
+      require(!df.columns.contains("_len_b") && !blockCols.contains("_len_b"),
+        "input already has a column named '_len_b' — rename it or pass lengthBucketWidth = None")
+    }
     val lenCols = lengthBucketWidth.toSeq.map(w =>
       expr(s"length(${strCol}) div ${w}").as("_len_b"))
     val allBlockCols = blockCols ++ lengthBucketWidth.map(_ => "_len_b")

@@ -99,7 +99,7 @@ def main():
         # leg is overhead-dominated, so dividing by it manufactures ratio
         # noise (round-9 d17/st10); the raw quotient stays recorded for
         # cross-round trend reading
-        ratio = round(t / max(b, args.floor), 2)
+        ratio = round(t / max(b, args.floor, 1e-9), 2)
         raw = round(t / b, 2) if b > 0 else float("inf")
         queries[name] = {"base_sec": round(b, 4), "x10_sec": round(t, 4),
                          "ratio": ratio, "ratio_raw": raw}
