@@ -163,6 +163,55 @@ object TextFunctions {
       regexp_replace(c, pat, s"<${kind.toUpperCase(java.util.Locale.ROOT)}>")
     }
 
+  /** Invisible/hostile character classes for the pre-training unicode
+    * scrub (t27) — the C4/Dolma cleanup pass that runs BEFORE tokenizing
+    * or dedup-keying: control characters break tokenizers, zero-width
+    * characters and soft hyphens split dedup keys for visually-identical
+    * text, and NBSP masquerades as a space without matching one. All
+    * three patterns use the `\x{hhhh}` code-point syntax — the ONE
+    * escape form Java regex and RE2 share for non-ASCII classes (Java's
+    * `\uhhhh` is not RE2; RE2's bare `\C` is not Java), keeping the
+    * oracle replay verbatim. Tab/newline/CR are NOT control here — they
+    * are whitespace, handled by the collapse step. */
+  val ControlCharPattern: String =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+
+  /** Zero-width space/non-joiner/joiner, BOM/ZWNBSP, soft hyphen. */
+  val ZeroWidthPattern: String = "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]"
+
+  /** Whitespace run — EXPLICIT class, not \s: Java's \s includes \x0B
+    * where RE2's does not, so \s is outside the shared dialect. */
+  val WhitespaceRunPattern: String = "[ \\t\\n\\r]+"
+
+  /** Count of control + zero-width characters in the raw text (audit
+    * column for [[unicodeScrub]]): code-point length delta after
+    * removing the class — both engines count code points. */
+  def invisibleCount(text: Column, pattern: String): Column =
+    (length(text) - length(regexp_replace(text, pattern, ""))).cast("int")
+
+  /** The unicode scrub itself, in a FIXED order the oracle replays
+    * step-for-step: drop control chars, drop zero-width chars, NBSP →
+    * space, collapse whitespace runs to one space, trim. A pure
+    * codegen'd regexp_replace chain — zero shuffles, linear scan. */
+  def unicodeScrub(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, ControlCharPattern, ""),
+          ZeroWidthPattern, ""),
+        "\\x{00A0}", " "),
+      WhitespaceRunPattern, " "))
+
+  /** Normalized dedup key (d19): the standard "near-exact" duplicate key
+    * — [[unicodeScrub]], case-fold, strip everything but [a-z0-9 ],
+    * re-collapse, md5. Two documents that differ only in case,
+    * punctuation, invisible characters or whitespace share a key; both
+    * engines' md5() agree byte-for-byte on the same normalized string. */
+  def normalizedDedupKey(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(unicodeScrub(text)), "[^a-z0-9 ]", ""),
+      WhitespaceRunPattern, " ")))
+
   /** 16-digit payment-card candidates in the text (the PII class the
     * email/phone/IP patterns don't cover; \b guards keep longer digit
     * runs out). Pattern stays in the RE2∩Java subset. */

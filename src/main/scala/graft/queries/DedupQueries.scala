@@ -238,6 +238,36 @@ object DedupQueries {
       Dedup.incrementalNearDupFromSigs(index, newSigs,
         k = 32, bands = 8, threshold = 0.5, portable = false)._1
     }),
+    "d19_normalized_dedup" -> ((s, d) => {
+      // Near-exact dedup under text NORMALIZATION (the standard C4/Dolma
+      // pass between u4's byte-exact dedup and d1's n-gram Jaccard):
+      // documents differing only in case, punctuation, invisible
+      // characters or whitespace share a TextFunctions.normalizedDedupKey
+      // (unicode scrub -> casefold -> [a-z0-9 ] strip -> collapse -> md5)
+      // and all but the min-id keeper are reported. Planted in groups of
+      // four (raw / UPPERCASE / double-space+'!!' / ZWSP+NBSP variants of
+      // one base string per id div 4) with the IDENTICAL construction in
+      // the oracle, where both engines' md5 agree byte-for-byte. Plan:
+      // map-side key compute, ONE exchange (window min over the key) —
+      // at 100 TB this is a single hash-partitioned pass; the key is
+      // 32 bytes regardless of document size, so the shuffle moves keys,
+      // not text.
+      val id = col("doc_id")
+      val base = concat(lit("sample text Block "),
+        expr("doc_id div 4").cast("string"), lit(", para"))
+      val planted = when(id % 4 === 0, base)
+        .when(id % 4 === 1, upper(base))
+        .when(id % 4 === 2, concat(regexp_replace(base, " ", "  "), lit("!!")))
+        .otherwise(concat(lit("\u200B"), // ZWSP prefix
+          regexp_replace(base, " ", "\u00A0"))) // spaces -> NBSP
+      val keyed = Tables(s, d).documents.select(id, planted.as("t"))
+        .withColumn("norm_key", graft.functions.TextFunctions.normalizedDedupKey(col("t")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("norm_key"))
+      keyed
+        .withColumn("keeper_id", min(id).over(w))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .select(col("doc_id"), col("keeper_id"), col("norm_key"))
+    }),
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables(s, d).documents, "doc_id", "text")
     }),
@@ -550,6 +580,41 @@ object DedupQueries {
     })
   )
 
+  /** d19's oracle: the planted variant groups rebuilt via chr()
+    * (ZWSP 8203, NBSP 160 — the same code points the Scala \u literals
+    * plant), the normalization key replayed with the SAME scrub chain as
+    * t27's oracle ([[TextQueries.unicodeScrubSql]], single source) plus
+    * casefold/strip/collapse/md5, then the window-min keeper cut. */
+  private def d19OracleSql: String = {
+    val ws = graft.functions.TextFunctions.WhitespaceRunPattern
+    val key = s"""md5(trim(regexp_replace(
+       |      regexp_replace(lower(${TextQueries.unicodeScrubSql("t")}),
+       |        '[^a-z0-9 ]', '', 'g'),
+       |      '$ws', ' ', 'g')))""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    'sample text Block ' || CAST(doc_id // 4 AS VARCHAR) || ', para' AS base
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN base
+       |      WHEN 1 THEN upper(base)
+       |      WHEN 2 THEN regexp_replace(base, ' ', '  ', 'g') || '!!'
+       |      ELSE chr(8203) || regexp_replace(base, ' ', chr(160), 'g')
+       |    END AS t
+       |  FROM b),
+       |k AS (
+       |  SELECT doc_id,
+       |    $key AS norm_key
+       |  FROM p),
+       |m AS (
+       |  SELECT doc_id, norm_key,
+       |    min(doc_id) OVER (PARTITION BY norm_key) AS keeper_id
+       |  FROM k)
+       |SELECT doc_id, keeper_id, norm_key FROM m WHERE doc_id <> keeper_id""".stripMargin
+  }
+
   def oracle: Map[String, String] =
     baseOracle ++
       trainedForOracle.map { m =>
@@ -564,6 +629,7 @@ object DedupQueries {
     "u4_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+    "d19_normalized_dedup" -> d19OracleSql,
     "d1_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w

@@ -503,6 +503,36 @@ object TextQueries {
           // empty candidate array of the no-card class
           luhnValid16(try_element_at(cands, lit(1))).as("cc_valid"),
           regexp_replace(col("t"), "\\b\\d{16}\\b", "<CC>").as("scrubbed"))
+    }),
+    "t27_unicode_scrub" -> ((s, d) => {
+      // Invisible-character curation pass (TextFunctions.unicodeScrub) —
+      // the C4/Dolma cleanup that runs BEFORE tokenizing or dedup-keying:
+      // control chars break tokenizers, zero-width chars / soft hyphens
+      // split dedup keys for visually-identical text, NBSP fakes a space.
+      // Planted per residue class (ZWSP+ZWJ, BEL+DEL control pair,
+      // NBSP+space-run, BOM prefix, clean control group) with the
+      // IDENTICAL construction in the oracle via chr(); the scrub chain
+      // and both audit counts replay verbatim — the patterns use the
+      // \x{hhhh} code-point syntax Java regex and RE2 share. Map-only,
+      // zero exchanges, fully codegen'd.
+      val id = col("doc_id")
+      // \u escapes only — literal invisibles in source would be
+      // editor/diff-hostile and silently strippable
+      val planted = concat(
+        when(id % 5 === 3, lit("\uFEFF")).otherwise(lit("")), // BOM
+        lit("doc "), id.cast("string"), lit(" alpha"),
+        when(id % 5 === 0, lit("\u200Bbe\u200Dta")) // ZWSP + ZWJ
+          .otherwise(lit(" beta")),
+        when(id % 5 === 1, lit(" ga\u0007mma\u007F")) // BEL + DEL
+          .otherwise(lit(" gamma")),
+        when(id % 5 === 2, lit("\u00A0delta   end")) // NBSP + space run
+          .otherwise(lit(" delta end")))
+      Tables(s, d).documents.select(id, planted.as("t"))
+        .select(col("doc_id"),
+          unicodeScrub(col("t")).as("scrubbed"),
+          invisibleCount(col("t"), ControlCharPattern).as("n_control"),
+          invisibleCount(col("t"), ZeroWidthPattern).as("n_zero_width"),
+          (unicodeScrub(col("t")) =!= col("t")).as("changed"))
     })
   )
 
@@ -941,7 +971,8 @@ object TextQueries {
         |FROM parts2""".stripMargin,
     "t24_registrable_domain" -> t24OracleSql,
     "t25_url_blocklist" -> t25OracleSql,
-    "t26_cc_luhn" -> t26OracleSql
+    "t26_cc_luhn" -> t26OracleSql,
+    "t27_unicode_scrub" -> t27OracleSql
   )
 
   /** Canonical SQL replica of [[UrlFunctions.urlHost]]'s bounded
@@ -1084,5 +1115,55 @@ object TextQueries {
        |       ELSE ($terms) % 10 = 0 END AS cc_valid,
        |  regexp_replace(t, '\\b\\d{16}\\b', '<CC>', 'g') AS scrubbed
        |FROM c""".stripMargin
+  }
+
+  /** t27's oracle: the planted invisibles rebuilt via chr() (BOM 65279,
+    * ZWSP 8203, ZWJ 8205, BEL 7, DEL 127, NBSP 160 — the same code
+    * points the Scala \u literals plant), then the scrub chain replayed
+    * step-for-step with the SAME pattern vals spliced from
+    * [[graft.functions.TextFunctions]] (single source; `\x{hhhh}` is the
+    * Java∩RE2 code-point syntax) — DuckDB's regexp_replace needs the 'g'
+    * flag to match Spark's replace-all. */
+  /** SQL twin of [[graft.functions.TextFunctions.unicodeScrub]] over an
+    * arbitrary inner expression — the SINGLE SOURCE for every oracle that
+    * replays the scrub chain (t27 here, d19 in DedupQueries splices it
+    * too), pattern vals spliced from the same TextFunctions constants. */
+  private[queries] def unicodeScrubSql(inner: String): String = {
+    val ctrl = graft.functions.TextFunctions.ControlCharPattern
+    val zw = graft.functions.TextFunctions.ZeroWidthPattern
+    val ws = graft.functions.TextFunctions.WhitespaceRunPattern
+    val nbsp = "\\x{00A0}"
+    s"""trim(regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace($inner, '$ctrl', '', 'g'),
+       |          '$zw', '', 'g'),
+       |        '$nbsp', ' ', 'g'),
+       |      '$ws', ' ', 'g'))""".stripMargin
+  }
+
+  private def t27OracleSql: String = {
+    val ctrl = graft.functions.TextFunctions.ControlCharPattern
+    val zw = graft.functions.TextFunctions.ZeroWidthPattern
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 5 = 3 THEN chr(65279) ELSE '' END) ||
+       |    'doc ' || CAST(doc_id AS VARCHAR) || ' alpha' ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN chr(8203) || 'be' || chr(8205) || 'ta'
+       |          ELSE ' beta' END) ||
+       |    (CASE WHEN doc_id % 5 = 1 THEN ' ga' || chr(7) || 'mma' || chr(127)
+       |          ELSE ' gamma' END) ||
+       |    (CASE WHEN doc_id % 5 = 2 THEN chr(160) || 'delta   end'
+       |          ELSE ' delta end' END) AS t
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, t,
+       |    ${unicodeScrubSql("t")} AS scrubbed
+       |  FROM p)
+       |SELECT doc_id, scrubbed,
+       |  CAST(length(t) - length(regexp_replace(t, '$ctrl', '', 'g')) AS INTEGER) AS n_control,
+       |  CAST(length(t) - length(regexp_replace(t, '$zw', '', 'g')) AS INTEGER) AS n_zero_width,
+       |  scrubbed <> t AS changed
+       |FROM s""".stripMargin
   }
 }

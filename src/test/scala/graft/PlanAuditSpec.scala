@@ -112,6 +112,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d17_fuzzy_join" -> 1,
     "d18_incremental_neardup" -> 7,
     "d18b_incremental_fast" -> 3,
+    "d19_normalized_dedup" -> 1,
     "d1_ngram_jaccard" -> 4,
     "d2_minhash_lsh" -> 1,
     "d2b_minhash_portable" -> 3,
@@ -222,6 +223,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "t24_registrable_domain" -> 0,
     "t25_url_blocklist" -> 0,
     "t26_cc_luhn" -> 0,
+    "t27_unicode_scrub" -> 0,
     "x18_domain_quota" -> 1,
     "x18b_domain_topk" -> 1,
     "t2_quality_score" -> 0,

@@ -95,6 +95,72 @@ class Wave10Spec extends SparkSpecBase {
     }
   }
 
+  // ---- t27 unicode scrub / d19 normalized dedup -----------------------------
+
+  test("unicodeScrub: pinned transformations, idempotent, clean text untouched") {
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      ("abc", "abc"),                       // control chars dropped
+      ("a​b‌c‍d﻿e­f", "abcdef"), // zero-width + soft hyphen
+      ("a b", "a b"),                              // NBSP -> space
+      ("  a \t b \r\n c  ", "a b c"),                   // collapse + trim
+      ("already clean", "already clean"),
+      ("﻿​", "")                        // nothing but invisibles
+    )
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextFunctions.unicodeScrub(col("t")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"'$in'") }
+    // idempotence: scrubbing a scrubbed string is a no-op
+    val twice = cases.map(_._2).toDF("t")
+      .select(col("t"), TextFunctions.unicodeScrub(col("t")).as("s")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("t27 board entry: counts match the planted classes at sf0.001") {
+    val rows = SparkEntry.queries("t27_unicode_scrub")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, scrubbed, nc, nz, changed) = (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getInt(3), r.getBoolean(4))
+      (id % 5).toInt match {
+        case 0 => assert(nz == 2 && nc == 0 && changed, s"doc $id")
+        case 1 => assert(nc == 2 && nz == 0 && changed, s"doc $id")
+        case 2 => assert(nc == 0 && nz == 0 && changed, s"doc $id") // NBSP+run: ws only
+        case 3 => assert(nz == 1 && nc == 0 && changed, s"doc $id") // BOM is zero-width class
+        case _ => assert(nc == 0 && nz == 0 && !changed, s"doc $id")
+      }
+      assert(!scrubbed.exists(c => c < ' ' || c == ' ' || c == '​'))
+    }
+  }
+
+  test("normalizedDedupKey unifies case/punct/invisible/whitespace variants only") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "Hello, World!", "hello world", "HELLO WORLD", "hello  world​",
+      "different text"
+    ).toDF("t").select(col("t"), TextFunctions.normalizedDedupKey(col("t")).as("k"))
+    val ks = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ks("Hello, World!") == ks("hello world"))
+    assert(ks("hello world") == ks("HELLO WORLD"))
+    assert(ks("hello world") == ks("hello  world​"))
+    assert(ks("different text") != ks("hello world"))
+    assert(ks.values.forall(_.matches("[0-9a-f]{32}"))) // md5 hex
+  }
+
+  test("d19 board entry: exactly the non-keeper variants per planted group at sf0.001") {
+    val rows = SparkEntry.queries("d19_normalized_dedup")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables(spark, Sf0001).documents.count()
+    // complete groups of 4 yield 3 dup rows each; keeper is the min id
+    rows.foreach { r =>
+      val (id, keeper) = (r.getLong(0), r.getLong(1))
+      assert(keeper == (id / 4) * 4 && id != keeper, s"$id -> $keeper")
+    }
+    val completeGroups = total / 4
+    assert(rows.length >= (completeGroups * 3 - 3).toInt && rows.length <= (completeGroups * 3).toInt)
+  }
+
   // ---- loud-fail guards ----------------------------------------------------
 
   test("hitsInt rejects iterations < 1 instead of returning a frame over freed blocks") {
