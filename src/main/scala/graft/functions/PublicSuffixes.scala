@@ -109,4 +109,75 @@ object PublicSuffixes {
   /** Exception rules (`!name` in the source list): names a wildcard rule
     * would otherwise swallow that ARE registrable. */
   val exceptions: Seq[String] = Seq("www.ck")
+
+  /** A parsed suffix snapshot — the four tiers the registrable-domain
+    * joins consume ([[graft.functions.UrlFunctions.withRegistrableDomainFromHost]]). */
+  final case class Snapshot(
+      suffixes2: Seq[String],
+      suffixes3: Seq[String],
+      wildcardTlds: Seq[String],
+      exceptions: Seq[String])
+
+  /** The literal fallback Seqs above as a [[Snapshot]] — the form the
+    * SQL-oracle splices (t24/t25 inline these as VALUES/IN lists) and the
+    * inline-Column path ([[UrlFunctions.registrableDomainPsl]]) compiles. */
+  def literalSnapshot: Snapshot = Snapshot(suffixes2, suffixes3, wildcardTlds, exceptions)
+
+  /** Parse public-suffix SOURCE-LIST format (publicsuffix.org syntax:
+    * one rule per line, `//` comments, `*.tld` wildcards, `!name`
+    * exceptions) into the snapshot tiers. Scope rules of this engine's
+    * join shapes, enforced loudly rather than silently dropped:
+    *
+    *   - 1-label rules are SKIPPED: every bare TLD is implicitly a public
+    *     suffix (the 2-label fallback), so listing them adds nothing;
+    *   - 2-/3-label rules land in their tier;
+    *   - deeper rules THROW — the promotion joins stop at the 3-label
+    *     tier (a deployment needing `pvt.k12.ma.us`-class depth must add
+    *     a 4-label tier, not silently lose rules);
+    *   - wildcards must be `*.tld` (the PSL also allows deeper wildcards;
+    *     same fail-loudly contract);
+    *   - exceptions must be 2-label (the promotion CASE tests last2). */
+  def parse(lines: Iterator[String]): Snapshot = {
+    val s2, s3, wild, exc = Seq.newBuilder[String]
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).foreach { l =>
+      if (l.startsWith("!")) {
+        val name = l.substring(1)
+        require(name.count(_ == '.') == 1,
+          s"only 2-label exception rules are supported by the promotion joins: '$l'")
+        exc += name
+      } else if (l.startsWith("*.")) {
+        val tld = l.substring(2)
+        require(tld.nonEmpty && !tld.contains('.'),
+          s"only *.tld wildcard rules are supported by the promotion joins: '$l'")
+        wild += tld
+      } else l.count(_ == '.') match {
+        case 0 => () // bare TLD: covered by the implicit 2-label fallback
+        case 1 => s2 += l
+        case 2 => s3 += l
+        case n => throw new IllegalArgumentException(
+          s"${n + 1}-label rule unsupported by this snapshot's join tiers: '$l'")
+      }
+    }
+    Snapshot(s2.result(), s3.result(), wild.result(), exc.result())
+  }
+
+  /** The COMMITTED resource snapshot (`src/main/resources/public_suffixes.txt`,
+    * source-list format) — the production input of the broadcast-join
+    * path, so growing toward full-PSL coverage is a data-file edit, not a
+    * Scala-literal edit. Regenerate from the literal Seqs with
+    * `sbt "Test/runMain graft.PslResourceGen"`, or swap in a filtered
+    * full publicsuffix.org list (same syntax). UrlFunctionsSpec pins
+    * resource == literal tier-for-tier, so the SQL oracles (spliced from
+    * the literals) and the broadcast path can never desynchronize
+    * silently. */
+  lazy val fromResource: Snapshot = {
+    val in = Option(getClass.getResourceAsStream("/public_suffixes.txt"))
+      .getOrElse(throw new IllegalStateException(
+        "public_suffixes.txt missing from the classpath — the broadcast " +
+          "registrable-domain path has no suffix snapshot"))
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try parse(src.getLines()) finally src.close()
+    } finally in.close()
+  }
 }

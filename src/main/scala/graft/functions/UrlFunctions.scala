@@ -151,11 +151,16 @@ object UrlFunctions {
       out: String = "domain"): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // RESOURCE-driven snapshot (src/main/resources/public_suffixes.txt):
+    // the production path's suffix universe is a committed data file, so
+    // full-PSL growth never edits Scala literals. Spec-pinned equal to
+    // the literal fallback the oracles splice (UrlFunctionsSpec).
+    val snap = PublicSuffixes.fromResource
     // the two list-shaped tiers are broadcast seed frames (they grow with
     // the full PSL); the wildcard-TLD and exception tiers stay inline IN
     // lists — single-digit entries even on the full list
-    val psl2 = PublicSuffixes.suffixes2.toDF("psl_suffix")
-    val psl3 = PublicSuffixes.suffixes3.toDF("psl3_suffix")
+    val psl2 = snap.suffixes2.toDF("psl_suffix")
+    val psl3 = snap.suffixes3.toDF("psl3_suffix")
     df.withColumn("__rd_last2", regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1))
       .withColumn("__rd_last3", regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
       .withColumn("__rd_last4",
@@ -164,11 +169,11 @@ object UrlFunctions {
       .join(broadcast(psl2), col("__rd_last2") === col("psl_suffix"), "left")
       .join(broadcast(psl3), col("__rd_last3") === col("psl3_suffix"), "left")
       .withColumn(out,
-        when(col("__rd_last2").isin(PublicSuffixes.exceptions: _*), col("__rd_last2"))
+        when(col("__rd_last2").isin(snap.exceptions: _*), col("__rd_last2"))
           .when(col("psl3_suffix").isNotNull && col("__rd_last4") =!= "",
             col("__rd_last4"))
           .when((col("psl_suffix").isNotNull ||
-              col("__rd_tld").isin(PublicSuffixes.wildcardTlds: _*)) &&
+              col("__rd_tld").isin(snap.wildcardTlds: _*)) &&
               col("__rd_last3") =!= "",
             col("__rd_last3"))
           .otherwise(col("__rd_last2")))

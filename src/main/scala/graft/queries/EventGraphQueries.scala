@@ -27,22 +27,94 @@ object EventGraphQueries {
     * computes it fresh) and results stay bit-identical: the pair SET is
     * what downstream integer recurrences consume, and they are
     * order-free. Keyed by (session, dir) so Verify/Bench session
-    * recycling and multi-SF runs can't cross wires; the checkpoint
-    * blocks (a few MB of long pairs at bench SFs) live until the
-    * session ends — the deliberate trade for 3 saved joins. */
+    * recycling and multi-SF runs can't cross wires.
+    *
+    * Lifecycle (bounded, not until-JVM-death): each entry carries the
+    * checkpointed RDD handle so its blocks are releasable —
+    * [[releaseTradePairs]] frees one session's entries (call on session
+    * recycle), every access purges entries whose session has stopped
+    * (their blocks died with the executor; the map reference was the
+    * leak), and insertion beyond [[TradePairsMaxEntries]] evicts the
+    * oldest live entry with an unpersist. Eviction only costs the next
+    * caller the join+distinct recompute — results are unaffected. */
+  private val TradePairsMaxEntries = 8
   private val tradePairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, org.apache.spark.rdd.RDD[_])]()
+  /** Insertion order for the max-entries eviction (oldest first). */
+  private val tradePairsOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String)]()
 
-  private def tradePairs(s: SparkSession, d: String): DataFrame =
-    tradePairsCache.computeIfAbsent((s, d), { key =>
+  /** The persisted RDD behind an eagerly localCheckpoint'd Dataset — the
+    * handle unpersist needs (Dataset.unpersist only covers CacheManager
+    * entries, not checkpoint blocks). Fails loudly if the plan shape ever
+    * stops being a LogicalRDD: a silently un-releasable entry would
+    * reintroduce the unbounded-growth bug this cap exists to close. */
+  private def checkpointedRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd(df).getOrElse(
+      throw new IllegalStateException(
+        "expected LogicalRDD behind localCheckpoint for the trade-pairs memo"))
+
+  /** Release hook: frees the checkpoint blocks and map entries of one
+    * session (or, default, every entry whose session has stopped). Call
+    * when recycling a long-lived session; graph results are unaffected —
+    * the next access recomputes. */
+  private[graft] def releaseTradePairs(session: Option[SparkSession] = None): Unit = {
+    val it = tradePairsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, _) = (e.getKey._1, e.getKey._2)
+      if (session.forall(_ eq s)) {
+        if (!s.sparkContext.isStopped) e.getValue._2.unpersist(blocking = false): Unit
+        tradePairsOrder.remove(e.getKey): Unit
+        it.remove()
+      }
+    }
+  }
+
+  /** Test hook: ids of the currently-memoized checkpoint RDDs. */
+  private[graft] def tradePairsRddIds: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    tradePairsCache.values().forEach(v => b += v._2.id)
+    b.result()
+  }
+
+  private def tradePairs(s: SparkSession, d: String): DataFrame = {
+    // purge dead sessions first: their blocks died with the executors,
+    // the map/queue references were the remaining leak
+    tradePairsCache.keySet().forEach { k =>
+      if (k._1.sparkContext.isStopped) {
+        tradePairsOrder.remove(k): Unit
+        tradePairsCache.remove(k): Unit
+      }
+    }
+    val (df, _) = tradePairsCache.computeIfAbsent((s, d), { key =>
       val t = Tables(key._1, key._2)
-      t.orders.select(col("o_orderkey"), col("o_custkey"))
+      val cp = t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
         .distinct()
         .localCheckpoint(true)
+      tradePairsOrder.add(key): Unit
+      (cp, checkpointedRdd(cp))
     })
+    // bounded footprint: beyond the cap, the oldest live entry goes.
+    // The attempt bound makes the loop total even if queue/map desync
+    // (the only re-added key is the one being served).
+    var attempts = tradePairsOrder.size
+    while (tradePairsCache.size > TradePairsMaxEntries && attempts > 0) {
+      attempts -= 1
+      val oldest = tradePairsOrder.poll()
+      if (oldest == null) attempts = 0
+      else if (oldest != ((s, d))) {
+        Option(tradePairsCache.remove(oldest)).foreach { case (_, rdd) =>
+          if (!oldest._1.sparkContext.isStopped) rdd.unpersist(blocking = false): Unit
+        }
+      } else tradePairsOrder.add(oldest): Unit // never evict the entry being served
+    }
+    df
+  }
 
   /** The symmetrized (undirected) form g1/g2 run on. */
   private def tradeEdgesSym(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PublicSuffixes, UrlFunctions}
+import graft.queries.EventGraphQueries
+
+/** Round-12 hardening: trade-pairs memo lifecycle, the resource-driven
+  * PSL snapshot, and adversarial coverage of the PSL precedence chain. */
+class Wave11Spec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // ---- tradePairs memo lifecycle --------------------------------------
+
+  test("tradePairs memo: release frees the checkpoint blocks; recompute is bit-identical") {
+    val g1 = SparkEntry.queries("g1_pagerank")
+    val r1 = g1(spark, Sf0001).collect().map(_.toString).sorted
+    val ids = EventGraphQueries.tradePairsRddIds
+    assert(ids.nonEmpty, "graph run should memoize the trade-pairs checkpoint")
+    assert(ids.forall(spark.sparkContext.getPersistentRDDs.contains),
+      "memoized checkpoint RDDs should be persisted while cached")
+    EventGraphQueries.releaseTradePairs()
+    assert(EventGraphQueries.tradePairsRddIds.isEmpty, "release must empty the memo")
+    assert(ids.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
+      "release must unpersist the checkpoint blocks")
+    val r2 = g1(spark, Sf0001).collect().map(_.toString).sorted
+    assert(r1.sameElements(r2), "recompute after release must be bit-identical")
+  }
+
+  test("tradePairs memo: per-session release evicts only that session's entries") {
+    // two sessions over the shared context (one SparkContext per JVM, so
+    // a genuinely stopped second context is untestable here; the
+    // stopped-session purge shares the same removal path)
+    val extra = spark.newSession()
+    SparkEntry.queries("g2_label_propagation")(spark, Sf0001).collect(): Unit
+    SparkEntry.queries("g2_label_propagation")(extra, Sf0001).collect(): Unit
+    val before = EventGraphQueries.tradePairsRddIds
+    assert(before.size >= 2, "expected one memo entry per session")
+    EventGraphQueries.releaseTradePairs(Some(extra))
+    val after = EventGraphQueries.tradePairsRddIds
+    assert(after.size == before.size - 1, "exactly the extra session's entry should go")
+    EventGraphQueries.releaseTradePairs()
+  }
+
+  // ---- resource-driven PSL snapshot ------------------------------------
+
+  test("PSL resource snapshot == literal snapshot, tier for tier") {
+    val res = PublicSuffixes.fromResource
+    val lit = PublicSuffixes.literalSnapshot
+    assert(res.suffixes2 == lit.suffixes2, "2-label tier desynced from literals")
+    assert(res.suffixes3 == lit.suffixes3, "3-label tier desynced from literals")
+    assert(res.wildcardTlds == lit.wildcardTlds, "wildcard tier desynced from literals")
+    assert(res.exceptions == lit.exceptions, "exception tier desynced from literals")
+  }
+
+  test("PSL parser: comments/blank lines skipped, bare TLDs ignored, tiers split by depth") {
+    val s = PublicSuffixes.parse(Iterator(
+      "// comment", "", "  ", "com", "co.uk", "act.edu.au", "*.ck", "!www.ck"))
+    assert(s.suffixes2 == Seq("co.uk"))
+    assert(s.suffixes3 == Seq("act.edu.au"))
+    assert(s.wildcardTlds == Seq("ck"))
+    assert(s.exceptions == Seq("www.ck"))
+  }
+
+  test("PSL parser fails loudly on rule shapes the join tiers cannot honor") {
+    intercept[IllegalArgumentException] {
+      PublicSuffixes.parse(Iterator("pvt.k12.ma.us")) // 4-label rule
+    }
+    intercept[IllegalArgumentException] {
+      PublicSuffixes.parse(Iterator("*.kawasaki.jp")) // deep wildcard
+    }
+    intercept[IllegalArgumentException] {
+      PublicSuffixes.parse(Iterator("!city.kawasaki.jp")) // 3-label exception
+    }
+  }
+
+  // ---- adversarial PSL precedence --------------------------------------
+
+  /** Broadcast-path domain for a single planted url. */
+  private def broadcastDomain(url: String): String =
+    UrlFunctions.withRegistrableDomain(
+      Seq(url).toDF("url"), col("url"), "domain")
+      .select("domain").head().getString(0)
+
+  private def inlineDomain(url: String): String =
+    Seq(url).toDF("url")
+      .select(UrlFunctions.registrableDomainPsl(col("url")).as("d"))
+      .head().getString(0)
+
+  test("PSL precedence pins under adversarial hosts (both paths, identical verdicts)") {
+    val cases = Seq(
+      // exception rule at exactly 2 labels beats the *.ck wildcard
+      "https://www.ck/p" -> "www.ck",
+      // a deeper host under the exception keys to the exception name
+      "https://a.www.ck/p" -> "www.ck",
+      // wildcard TLD: brand.ck is itself a public suffix -> site is 3 labels
+      "https://foo.brand.ck/p" -> "foo.brand.ck",
+      // host that IS a wildcard-derived public suffix falls through to last2
+      "https://brand.ck/p" -> "brand.ck",
+      // 3-label suffix promotes to 4 labels...
+      "https://x.act.edu.au/p" -> "x.act.edu.au",
+      // ...at any depth (last4 of the host)
+      "https://deep.x.act.edu.au/p" -> "x.act.edu.au",
+      // host that IS the 3-label suffix falls through (2-label hit: edu.au -> last3)
+      "https://act.edu.au/p" -> "act.edu.au",
+      // 2-label suffix with a 3rd label
+      "https://bbc.co.uk/p" -> "bbc.co.uk",
+      // mixed case folds before every tier test
+      "https://WWW.BbC.Co.UK/p" -> "bbc.co.uk",
+      // plain gTLD fallback
+      "https://a.b.example.com/p" -> "example.com",
+      // trailing-dot FQDN form: the label regexes do not match a host
+      // ending in '.', so BOTH paths agree on '' (out of the planted
+      // universe; pinned so a future "fix" must change both sides)
+      "https://example.com./p" -> ""
+    )
+    cases.foreach { case (url, want) =>
+      assert(inlineDomain(url) == want, s"inline path: $url")
+      assert(broadcastDomain(url) == want, s"broadcast path: $url")
+    }
+  }
+
+  test("PSL precedence property: inline and broadcast paths agree on 400 composed hostile hosts") {
+    val rnd = new scala.util.Random(421202L)
+    val labels = Seq("www", "sub", "a", "brand", "x", "foo", "WWW", "Act", "K12")
+    val tails = Seq("com", "co.uk", "ck", "act.edu.au", "www.ck", "edu.au",
+      "k12.ca.us", "org", "bd", "uk")
+    val urls = (1 to 400).map { _ =>
+      val depth = rnd.nextInt(4)
+      val host = ((1 to depth).map(_ => labels(rnd.nextInt(labels.length))) :+
+        tails(rnd.nextInt(tails.length))).mkString(".")
+      val cased = host.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+      val dot = if (rnd.nextInt(10) == 0) "." else ""
+      s"https://$cased$dot/p"
+    }
+    val df = urls.toDF("url")
+    val joined = UrlFunctions.withRegistrableDomain(df, col("url"), "bcast")
+      .withColumn("inline", UrlFunctions.registrableDomainPsl(col("url")))
+    val diverged = joined.filter(col("bcast") =!= col("inline")).collect()
+    assert(diverged.isEmpty,
+      s"paths diverged on: ${diverged.take(5).mkString("; ")}")
+  }
+}
