@@ -253,14 +253,7 @@ object DedupQueries {
       // 32 bytes regardless of document size, so the shuffle moves keys,
       // not text.
       val id = col("doc_id")
-      val base = concat(lit("sample text Block "),
-        expr("doc_id div 4").cast("string"), lit(", para"))
-      val planted = when(id % 4 === 0, base)
-        .when(id % 4 === 1, upper(base))
-        .when(id % 4 === 2, concat(regexp_replace(base, " ", "  "), lit("!!")))
-        .otherwise(concat(lit("\u200B"), // ZWSP prefix
-          regexp_replace(base, " ", "\u00A0"))) // spaces -> NBSP
-      val keyed = Tables(s, d).documents.select(id, planted.as("t"))
+      val keyed = Tables(s, d).documents.select(id, d19Planted.col.as("t"))
         .withColumn("norm_key", graft.functions.TextFunctions.normalizedDedupKey(col("t")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("norm_key"))
       keyed
@@ -585,25 +578,30 @@ object DedupQueries {
     * plant), the normalization key replayed with the SAME scrub chain as
     * t27's oracle ([[TextQueries.unicodeScrubSql]], single source) plus
     * casefold/strip/collapse/md5, then the window-min keeper cut. */
+  /** d19's planted variant groups — ONE construction site for both
+    * engines ([[Planted]] shared-builder rule): raw / UPPERCASE /
+    * double-space+'!!' / ZWSP+NBSP variants of one base string per
+    * id div 4. */
+  private[queries] val d19Planted: Planted = {
+    import Planted._
+    val base = lit("sample text Block ") || idDivStr(4) || lit(", para")
+    caseMod(4)(
+      0 -> base,
+      1 -> upper(base),
+      2 -> (replaceAll(base, " ", lit("  ")) || lit("!!"))
+    )(chr(0x200B) || replaceAll(base, " ", chr(0xA0)))
+  }
+
   private def d19OracleSql: String = {
     val ws = graft.functions.TextFunctions.WhitespaceRunPattern
     val key = s"""md5(trim(regexp_replace(
        |      regexp_replace(lower(${TextQueries.unicodeScrubSql("t")}),
        |        '[^a-z0-9 ]', '', 'g'),
        |      '$ws', ' ', 'g')))""".stripMargin
-    s"""WITH b AS (
+    s"""WITH p AS (
        |  SELECT doc_id,
-       |    'sample text Block ' || CAST(doc_id // 4 AS VARCHAR) || ', para' AS base
+       |    ${d19Planted.sql} AS t
        |  FROM documents),
-       |p AS (
-       |  SELECT doc_id,
-       |    CASE doc_id % 4
-       |      WHEN 0 THEN base
-       |      WHEN 1 THEN upper(base)
-       |      WHEN 2 THEN regexp_replace(base, ' ', '  ', 'g') || '!!'
-       |      ELSE chr(8203) || regexp_replace(base, ' ', chr(160), 'g')
-       |    END AS t
-       |  FROM b),
        |k AS (
        |  SELECT doc_id,
        |    $key AS norm_key

@@ -486,17 +486,8 @@ object TextQueries {
       // The 16-term unrolled checksum is pure codegen'd arithmetic,
       // map-only, zero exchanges, replayed term-for-term in the oracle.
       val id = col("doc_id")
-      val cc = when(id % 6 === 0, "4111111111111111")
-        .when(id % 6 === 1, "5555555555554444")
-        .when(id % 6 === 2, "4111111111111112")
-        .when(id % 6 === 3, "1234567890123456")
-        .when(id % 6 === 4, "4012888888881881")
-        .otherwise("")
-      val planted = concat(lit("order note "), id.cast("string"),
-        when(cc === "", lit(""))
-          .otherwise(concat(lit(" card "), cc, lit(" on file"))))
       val cands = ccCandidates(col("t"))
-      Tables(s, d).documents.select(id, planted.as("t"))
+      Tables(s, d).documents.select(id, t26Planted.col.as("t"))
         .select(col("doc_id"),
           size(cands).as("n_cc"),
           // try_element_at: ANSI mode makes bare element_at THROW on the
@@ -516,18 +507,7 @@ object TextQueries {
       // \x{hhhh} code-point syntax Java regex and RE2 share. Map-only,
       // zero exchanges, fully codegen'd.
       val id = col("doc_id")
-      // \u escapes only — literal invisibles in source would be
-      // editor/diff-hostile and silently strippable
-      val planted = concat(
-        when(id % 5 === 3, lit("\uFEFF")).otherwise(lit("")), // BOM
-        lit("doc "), id.cast("string"), lit(" alpha"),
-        when(id % 5 === 0, lit("\u200Bbe\u200Dta")) // ZWSP + ZWJ
-          .otherwise(lit(" beta")),
-        when(id % 5 === 1, lit(" ga\u0007mma\u007F")) // BEL + DEL
-          .otherwise(lit(" gamma")),
-        when(id % 5 === 2, lit("\u00A0delta   end")) // NBSP + space run
-          .otherwise(lit(" delta end")))
-      Tables(s, d).documents.select(id, planted.as("t"))
+      Tables(s, d).documents.select(id, t27Planted.col.as("t"))
         .select(col("doc_id"),
           unicodeScrub(col("t")).as("scrubbed"),
           invisibleCount(col("t"), ControlCharPattern).as("n_control"),
@@ -589,6 +569,37 @@ object TextQueries {
       .when(id % 8 === 6, "act.edu.au")
       .otherwise("ck"),
     lit("/p/"), id.cast("string"))
+
+  /** t26's planted card surface — ONE construction site for both engines
+    * ([[Planted]] shared-builder rule): three Luhn-valid PUBLIC test-card
+    * literals, two invalid, one residue class with no candidate at all. */
+  private[queries] val t26Planted: Planted = {
+    import Planted._
+    lit("order note ") || idStr ||
+      whenMod(6, 5)(
+        empty,
+        lit(" card ") || caseMod(6)(
+          0 -> lit("4111111111111111"),
+          1 -> lit("5555555555554444"),
+          2 -> lit("4111111111111112"),
+          3 -> lit("1234567890123456")
+        )(lit("4012888888881881")) || lit(" on file"))
+  }
+
+  /** t27's planted invisibles — ONE construction site for both engines:
+    * the Spark side plants code points as `\u` literals, the SQL side
+    * renders the same points via chr() (BOM 65279, ZWSP 8203, ZWJ 8205,
+    * BEL 7, DEL 127, NBSP 160). One residue class per invisible family
+    * (ZWSP+ZWJ, BEL+DEL control pair, NBSP+space-run, BOM prefix, clean
+    * control group). */
+  private[queries] val t27Planted: Planted = {
+    import Planted._
+    whenMod(5, 3)(chr(0xFEFF), empty) ||
+      lit("doc ") || idStr || lit(" alpha") ||
+      whenMod(5, 0)(chr(0x200B) || lit("be") || chr(0x200D) || lit("ta"), lit(" beta")) ||
+      whenMod(5, 1)(lit(" ga") || chr(7) || lit("mma") || chr(127), lit(" gamma")) ||
+      whenMod(5, 2)(chr(0xA0) || lit("delta   end"), lit(" delta end"))
+  }
 
   /** Merge table captured by the t13b query run (Verify runs queries before
     * dumping oracle_sql.json — same process), so the oracle below can
@@ -1099,13 +1110,7 @@ object TextQueries {
     }.mkString(" + ")
     s"""WITH p AS (
        |  SELECT doc_id,
-       |    'order note ' || CAST(doc_id AS VARCHAR) ||
-       |    (CASE WHEN doc_id % 6 = 5 THEN '' ELSE ' card ' ||
-       |      (CASE doc_id % 6 WHEN 0 THEN '4111111111111111'
-       |       WHEN 1 THEN '5555555555554444'
-       |       WHEN 2 THEN '4111111111111112'
-       |       WHEN 3 THEN '1234567890123456'
-       |       ELSE '4012888888881881' END) || ' on file' END) AS t
+       |    ${t26Planted.sql} AS t
        |  FROM documents),
        |e AS (SELECT doc_id, t, regexp_extract_all(t, '\\b\\d{16}\\b') AS ccs FROM p),
        |c AS (SELECT doc_id, t, CAST(len(ccs) AS INTEGER) AS n_cc,
@@ -1147,14 +1152,7 @@ object TextQueries {
     val zw = graft.functions.TextFunctions.ZeroWidthPattern
     s"""WITH p AS (
        |  SELECT doc_id,
-       |    (CASE WHEN doc_id % 5 = 3 THEN chr(65279) ELSE '' END) ||
-       |    'doc ' || CAST(doc_id AS VARCHAR) || ' alpha' ||
-       |    (CASE WHEN doc_id % 5 = 0 THEN chr(8203) || 'be' || chr(8205) || 'ta'
-       |          ELSE ' beta' END) ||
-       |    (CASE WHEN doc_id % 5 = 1 THEN ' ga' || chr(7) || 'mma' || chr(127)
-       |          ELSE ' gamma' END) ||
-       |    (CASE WHEN doc_id % 5 = 2 THEN chr(160) || 'delta   end'
-       |          ELSE ' delta end' END) AS t
+       |    ${t27Planted.sql} AS t
        |  FROM documents),
        |s AS (
        |  SELECT doc_id, t,
