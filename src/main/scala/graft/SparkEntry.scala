@@ -76,6 +76,9 @@ object SparkEntry {
     "st17_stream_latency_quantiles" -> (
       ("mergeable approx_percentile sketch",
         "twin a22_latency_quantiles (exact) hash-green; Streaming2Spec rank-correctness spec")),
+    "st22b_stream_incremental_fast" -> (
+      ("seeded xxhash64 minhash",
+        "twin st22_stream_incremental_neardup (md5) hash-green; Wave11Spec pins stream == batch xxhash64 replay")),
     "t5_rolling_fingerprint" -> (
       ("xxhash64 rolling hash",
         "twin t5b_rolling_fingerprint_portable (md5) hash-green")),

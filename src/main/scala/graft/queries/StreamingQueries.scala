@@ -95,7 +95,15 @@ object StreamingQueries {
       // parquet signature index grown by its predecessors' admits.
       // State-store footprint zero; oracle replays the 3-stage
       // recurrence in SQL
-      StreamingJobs.streamingIncrementalNearDup(s, d))
+      StreamingJobs.streamingIncrementalNearDup(s, d)),
+    "st22b_stream_incremental_fast" -> ((s, d) =>
+      // st22's PRODUCTION twin (the d18/d18b precedent): identical
+      // pipeline and plans, seeded-xxhash64 signatures instead of the
+      // md5 portability tax st22 pays so DuckDB can replay its bits —
+      // St22Profile attributes ~46% of st22's wall to that tax.
+      // Rows-only by design; pinned by st22 + the Wave11 equality spec
+      // (stream == batch 3-stage xxhash64 replay).
+      StreamingJobs.streamingIncrementalNearDup(s, d, portable = false))
   )
 
   def oracle: Map[String, String] = Map(

@@ -405,34 +405,63 @@ object StreamingJobs {
     * DuckDB oracle as d8. State per cell is the cell's seen vectors; at
     * 100 TB that is bounded the same way the batch op is: k grows with the
     * corpus so cells stay small (production adds per-cell caps/TTL). */
+  /** st10's row-local stage as a standalone stream: source scan +
+    * codegen'd nearest-centroid cell assignment + normalization, no
+    * state. Shared by the full operator below and St10Profile's
+    * stage-attribution runs (profiling the assign stage in isolation
+    * must run EXACTLY the production plan). Vectors leave as primitive
+    * Array[Double]: the state tuples then encode as UnsafeArrayData
+    * primitive arrays, and the dup-scan dot loop reads unboxed doubles —
+    * the Seq[Double] predecessor paid a boxed element read per multiply
+    * in the state scan (St10Profile's table in BASELINE.md attributes
+    * the stage walls). */
+  private[graft] def semanticAssignStream(
+      spark: SparkSession,
+      sfDir: String,
+      dim: Int = 64,
+      k: Int = 64,
+      seed: Long = 42L
+  ): org.apache.spark.sql.Dataset[(Long, Int, Array[Double])] = {
+    import spark.implicits._
+    import graft.plans.VectorExpressions.{nearest_centroids, vector_normalize}
+    val cents = graft.operators.Similarity.seededCentroids(dim, k, seed)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select(
+        col("vec_id").as[Long],
+        nearest_centroids(vector_normalize(col("embedding")), cents, 1)(0).as[Int],
+        vector_normalize(col("embedding")).as[Array[Double]])
+  }
+
   def streamingSemanticDedup(
       spark: SparkSession,
       sfDir: String,
       threshold: Double = 0.4,
       dim: Int = 64,
       k: Int = 64,
-      seed: Long = 42L
+      seed: Long = 42L,
+      phaseNanos: Option[scala.collection.concurrent.TrieMap[String, Long]] = None
   ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import graft.plans.VectorExpressions.{nearest_centroids, vector_normalize}
-    val cents = graft.operators.Similarity.seededCentroids(dim, k, seed)
-    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(sfDir)
-      .select(
-        col("vec_id").as[Long],
-        nearest_centroids(vector_normalize(col("embedding")), cents, 1)(0).as[Int],
-        vector_normalize(col("embedding")).as[Seq[Double]])
+    val stream = semanticAssignStream(spark, sfDir, dim, k, seed)
 
-    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    // per-cell state-stage wall, summed across executor threads (the
+    // profile collector's numerator; a no-op when not profiling beyond
+    // two nanoTime reads per cell per batch). Includes the lazy state
+    // decode, the sorted dup scan and the state write-back.
+    val fnNanos = spark.sparkContext.longAccumulator("st10_fn_nanos")
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    def fn(cell: Int, rows: Iterator[(Long, Int, Seq[Double])],
-           state: GroupState[Seq[(Long, Seq[Double])]]): Iterator[(Long, Int, Boolean)] = {
+    def fn(cell: Int, rows: Iterator[(Long, Int, Array[Double])],
+           state: GroupState[Seq[(Long, Array[Double])]]): Iterator[(Long, Int, Boolean)] = {
+      val t0 = System.nanoTime()
       val sorted = rows.toArray.sortBy(_._1)
       var seen = state.getOption.getOrElse(Seq.empty).toList
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Boolean)](sorted.length)
@@ -442,6 +471,7 @@ object StreamingJobs {
         seen = (id, nv) :: seen
       }
       state.update(seen)
+      fnNanos.add(System.nanoTime() - t0)
       out.iterator
     }
 
@@ -453,7 +483,12 @@ object StreamingJobs {
     withScopedShufflePartitions(spark, 8) {
       val q = flagged.writeStream.outputMode("append").format("memory").queryName(name).start()
       try {
+        val t0 = System.nanoTime()
         q.processAllAvailable()
+        phaseNanos.foreach { acc =>
+          acc.updateWith("drain") { v => Some(v.getOrElse(0L) + (System.nanoTime() - t0)) }: Unit
+          acc.updateWith("fn") { v => Some(v.getOrElse(0L) + fnNanos.value) }: Unit
+        }
         // The d8-oracle equivalence (min-id-wins inside each cell) holds only
         // when the corpus lands in ONE microbatch; across batches the flag set
         // becomes first-seen (arrival-order) semantics. Assert the assumption
@@ -1025,8 +1060,17 @@ object StreamingJobs {
       compactEveryNBatches: Int = 64,
       compactMaxFiles: Int = 16,
       stagingBase: Option[String] = None,
-      phaseNanos: Option[scala.collection.concurrent.TrieMap[String, Long]] = None
+      phaseNanos: Option[scala.collection.concurrent.TrieMap[String, Long]] = None,
+      portable: Boolean = true
   ): DataFrame = {
+    // portable = true  -> md5 portableSignatures: the ORACLE pin (st22) —
+    //   DuckDB replays the signature bits, so the full recurrence is
+    //   hash-checked; ~46% of the leg's wall is this portability tax
+    //   (St22Profile attribution in BASELINE.md).
+    // portable = false -> seeded-xxhash64 minHashSignatures: the
+    //   PRODUCTION twin (st22b) — same pipeline, same banding/join plan,
+    //   engine-native hashes; rows-only on the board, pinned by st22 +
+    //   the Wave11 batch-replay equality spec (the d18/d18b precedent).
     def timed[T](phase: String)(body: => T): T = phaseNanos match {
       case None => body
       case Some(acc) =>
@@ -1038,6 +1082,9 @@ object StreamingJobs {
         }
     }
     import graft.operators.Dedup
+    def signaturesOf(df: DataFrame): DataFrame =
+      if (portable) Dedup.portableSignatures(df, "doc_id", "text", n = 3, k = 32)
+      else Dedup.minHashSignatures(df, "doc_id", "text", n = 3, k = 32)
     val docs = graft.core.Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
     // pid in the path: the counter restarts with every JVM, so two
     // concurrent processes (parallel test + bench runs) would otherwise
@@ -1148,7 +1195,7 @@ object StreamingJobs {
         }
       }
       // empty index with the signature schema, so batch 0 probes cleanly
-      Dedup.portableSignatures(docs.limit(0), "doc_id", "text", n = 3, k = 32)
+      signaturesOf(docs.limit(0))
         .write.mode("overwrite").parquet(idxDir)
       // empty matches frame with the output schema (no-match corpora return
       // an empty-but-typed result instead of a missing dir)
@@ -1172,14 +1219,13 @@ object StreamingJobs {
           // cached blocks instead of re-running the md5-per-shingle
           // pipeline, and no extra parquet round-trip is paid
           val sigs = timed("sigs") {
-            val s = Dedup.portableSignatures(batch, "doc_id", "text", n = 3, k = 32)
-              .persist()
+            val s = signaturesOf(batch).persist()
             s.count()
             s
           }
           try {
             val (matches0, admitted) = Dedup.incrementalNearDupFromSigs(
-              index, sigs, k = 32, bands = 8, threshold = 0.5)
+              index, sigs, k = 32, bands = 8, threshold = 0.5, portable = portable)
             // persist matches across the batch's TWO consumers: the match
             // append below and admitted's anti-join both sit on top of the
             // band-join probe plan, and without the cache the admit write

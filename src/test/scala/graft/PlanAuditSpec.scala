@@ -200,6 +200,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "st20_stream_attribution" -> 0,
     "st21_stream_dp_release" -> 0,
     "st22_stream_incremental_neardup" -> 0,
+    "st22b_stream_incremental_fast" -> 0,
     "st5_stream_tumbling" -> 0,
     "st6_stream_sliding" -> 0,
     "st7_stream_join" -> 0,

@@ -43,6 +43,30 @@ class Wave11Spec extends SparkSpecBase {
     EventGraphQueries.releaseTradePairs()
   }
 
+  // ---- st22b production twin -------------------------------------------
+
+  test("st22b stream == batch 3-stage xxhash64 replay (the d18b-pin, stream edition)") {
+    import graft.operators.Dedup
+    val got = SparkEntry.queries("st22b_stream_incremental_fast")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // batch replay of the same recurrence: batch 0 seeds the index (an
+    // empty probe admits everything), batches 1 and 2 probe the index
+    // grown by their predecessors' admits
+    val docs = graft.core.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    def sigs(bt: Int) = Dedup.minHashSignatures(
+      docs.filter(col("doc_id") % 3 === bt), "doc_id", "text", n = 3, k = 32)
+    val idx0 = sigs(0)
+    val (m1, adm1) = Dedup.incrementalNearDupFromSigs(
+      idx0, sigs(1), k = 32, bands = 8, threshold = 0.5, portable = false)
+    val idx1 = idx0.unionByName(adm1)
+    val (m2, _) = Dedup.incrementalNearDupFromSigs(
+      idx1, sigs(2), k = 32, bands = 8, threshold = 0.5, portable = false)
+    val want = m1.unionByName(m2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(want.nonEmpty, "the sf0.001 corpus should produce cross-batch near-dup matches")
+    assert(got.sameElements(want))
+  }
+
   // ---- resource-driven PSL snapshot ------------------------------------
 
   test("PSL resource snapshot == literal snapshot, tier for tier") {
