@@ -189,6 +189,21 @@ object Bench {
     // self-evident in the artifact instead of requiring a manual re-run
     val cores = Runtime.getRuntime.availableProcessors
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // tree-identity stamp: which code this artifact measured ("+dirty" =
+    // uncommitted tree — the number pins nothing), so cross-round "code
+    // is identical" claims are checkable mechanically
+    val commit = {
+      def run(cmd: String*): Option[String] =
+        try {
+          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+          if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+        } catch { case _: Throwable => None }
+      run("git", "rev-parse", "HEAD").map { h =>
+        val dirty = run("git", "status", "--porcelain", "--untracked-files=no")
+        h + (if (dirty.exists(_.nonEmpty)) "+dirty" else "")
+      }.getOrElse("unknown")
+    }
     val excluded =
       if (twins) "[]"
       else twinEntries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -199,7 +214,7 @@ object Bench {
     val raised = results.map(_._1).filter(n => ceilingFor(n) > retryCeiling).sorted
       .map(n => s"\"" + n + "\":" + fmt(ceilingFor(n), 2)).mkString("{", ",", "}")
     val refTag = if (refTimes.isEmpty) "null" else s""""$ceilingRefPath""""
-    val env = s""""sf":"$sfDir","cores":$cores,"load_avg_1m":$load,"cold":$cold,""" +
+    val env = s""""sf":"$sfDir","commit":"$commit","cores":$cores,"load_avg_1m":$load,"cold":$cold,""" +
       s""""recycle_every":$blockSize,"passes":$passes,"retry_ceiling_sec":$retryCeiling,""" +
       s""""ceiling_ref":$refTag,""" +
       s""""retries":$retried,"n_failed":$nFailed,"twins_excluded":$excluded"""

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Conservative changed-query detector for incremental round-closing legs.
+
+Given the commit a previous (green) artifact was generated at, decide
+which board queries could have changed behavior or cost since:
+
+  FULL          any change outside the per-query layer — build config,
+                core/plans/sources/functions/operators/streaming/em
+                packages, top-level mains (Bench/Verify/SparkEntry), test
+                resources — or a queries/ helper file that defines no
+                board entries (e.g. Planted.scala: shared by many
+                entries). Library-level changes can shift ANY plan, so
+                everything re-runs.
+  <name,list>   only files under src/main/scala/graft/queries/ that
+                define board entries changed: re-run exactly the entries
+                those files define (whole file, not a finer diff — a
+                file-local helper edit must re-run its neighbors).
+  (empty line)  no src/main change at all: a pure re-stamp round.
+
+Prints one line: FULL, a comma-separated query list, or an empty line.
+Exit 0 always (the caller branches on the output, not the code).
+
+Usage: changed_queries.py <since_commit>
+"""
+import re
+import subprocess
+import sys
+
+
+def sh(*cmd):
+    return subprocess.check_output(cmd).decode()
+
+
+def main():
+    if len(sys.argv) != 2:
+        sys.exit("usage: changed_queries.py <since_commit>")
+    since = sys.argv[1]
+    changed = set()
+    # committed changes since the artifact's tree...
+    changed.update(sh("git", "diff", "--name-only", since, "HEAD").split())
+    # ...plus anything dirty in the working tree right now
+    for line in sh("git", "status", "--porcelain", "--untracked-files=no").splitlines():
+        changed.add(line[3:].split(" -> ")[-1])
+
+    src = {c for c in changed if c.startswith("src/main/") or c == "build.sbt"
+           or c.startswith("project/")}
+    if not src:
+        print("")
+        return
+    queries_files = {c for c in src if c.startswith("src/main/scala/graft/queries/")}
+    if src - queries_files:
+        print("FULL")
+        return
+    names = set()
+    for f in sorted(queries_files):
+        try:
+            txt = open(f).read()
+        except FileNotFoundError:   # deleted file: its entries left the board
+            continue
+        # every '"name" ->' binding in the file: query entries AND their
+        # oracle rows share the query's name, so the union is the file's
+        # board surface; the caller intersects with the timed board
+        defined = re.findall(r'"([a-z][a-z0-9_]*)"\s*->', txt)
+        if not defined:
+            # a queries/ file with no board entries is a shared helper
+            # (Planted.scala class): any entry may splice it
+            print("FULL")
+            return
+        names.update(defined)
+    print(",".join(sorted(names)))
+
+
+if __name__ == "__main__":
+    main()

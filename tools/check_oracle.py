@@ -115,6 +115,11 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
         print(f"{q:28s} OK rows={len(g)}")
         record(q, True, True, True, len(g), len(e))
 if json_out:
+    # "_meta" sorts first and carries no per-query fields, so artifact
+    # consumers iterating query records can skip it by name; the commit
+    # stamp makes "artifact measured THIS tree" mechanically checkable
+    from git_commit import commit_stamp
+    results["_meta"] = {"commit": commit_stamp()}
     with open(json_out, "w") as f:
         json.dump(results, f, indent=2, sort_keys=True)
 print(f"\n{fails} failing")

@@ -28,11 +28,19 @@ Usage:
       [--round N] [--ceiling 10] [--floor 1.0]
       [--retry-base F --retry-x10 F]   # isolated re-runs, merged by min
       [--expect-fail NAME]             # selftest: exit 0 iff NAME violates
+      [--merge-base PREV_SCALE.json]   # incremental: carry prev-round
+          # times for queries NOT re-run this round. Refused unless the
+          # previous artifact was fully green (a carried failure would
+          # vanish instead of re-running); carried entries are marked
+          # "carried": true and the artifact records the provenance
+          # (base artifact path + its commit stamp + the re-run list).
 Exit 0 = gate green; 1 = violations (or selftest expectation unmet).
 """
 import argparse
 import json
 import sys
+
+from git_commit import commit_stamp
 
 # fixture-construction allowances, NOT operator excuses: reserved for an
 # axis that the x10 fixture scales but production holds fixed. EMPTY since
@@ -70,10 +78,29 @@ def main():
     ap.add_argument("--retry-base")
     ap.add_argument("--retry-x10")
     ap.add_argument("--expect-fail")
+    ap.add_argument("--merge-base")
     args = ap.parse_args()
 
     base, base_failed = load_queries(args.base)
     x10, x10_failed = load_queries(args.x10)
+    incremental = None
+    if args.merge_base:
+        with open(args.merge_base) as f:
+            prev = json.load(f)
+        if prev.get("violations") or prev.get("failed_at_base") or prev.get("failed_at_x10"):
+            sys.exit(f"[scale] refusing --merge-base {args.merge_base}: the previous "
+                     "artifact was not fully green; run the full sweep")
+        reran = sorted(set(base) | set(x10))
+        carried = 0
+        for name, rec in prev.get("queries", {}).items():
+            if name in base or name in x10:
+                continue
+            base[name] = rec["base_sec"]
+            x10[name] = rec["x10_sec"]
+            carried += 1
+        incremental = {"base_artifact": args.merge_base,
+                       "base_commit": prev.get("commit", "unknown"),
+                       "reran": reran, "carried_n": carried}
     # isolated re-runs of suspected outliers override by per-query MIN —
     # the "judge scale legs from isolated runs" discipline, automated
     if args.retry_base:
@@ -103,6 +130,8 @@ def main():
         raw = round(t / b, 2) if b > 0 else float("inf")
         queries[name] = {"base_sec": round(b, 4), "x10_sec": round(t, 4),
                          "ratio": ratio, "ratio_raw": raw}
+        if incremental and name not in incremental["reran"]:
+            queries[name]["carried"] = True
         if t <= args.floor:
             continue
         ceiling = ALLOW.get(name, args.ceiling)
@@ -114,6 +143,8 @@ def main():
 
     out = {
         "round": args.round,
+        "commit": commit_stamp(),
+        "incremental": incremental,
         "gate": {"ratio_ceiling": args.ceiling, "x10_floor_sec": args.floor,
                  "ratio_formula": "x10_sec / max(base_sec, x10_floor_sec)",
                  "allowlist": ALLOW},

@@ -25,6 +25,8 @@ Usage:
 Exit 0 = gate green; 1 = violations.
 """
 import argparse
+
+from git_commit import commit_stamp
 import json
 import sys
 
@@ -89,6 +91,7 @@ def main():
 
     out = {
         "round": args.round,
+        "commit": commit_stamp(),
         "gate": {"capped_ratio_ceiling": args.capped_ratio,
                  "min_blowup_multiplier": args.min_blowup},
         "families": families,

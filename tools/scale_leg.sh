@@ -13,6 +13,15 @@
 #
 # Usage:
 #   tools/scale_leg.sh <round>       # e.g. tools/scale_leg.sh 8
+#   tools/scale_leg.sh <round> --incremental
+#       # re-run ONLY queries whose code paths changed since the previous
+#       # green artifact's commit stamp (tools/changed_queries.py decides;
+#       # any shared-code change falls back to the full sweep), carry the
+#       # rest from that artifact with provenance recorded. The merged
+#       # artifact still covers the whole board (ScaleRefSpec-exact), the
+#       # gate still evaluates every query, and a previous artifact that
+#       # was not fully green refuses to merge. A no-new-entries round
+#       # closes in minutes instead of ~35.
 #   tools/scale_leg.sh --selftest    # prove the gate catches a planted
 #                                    # quadratic (Bench's toy_quadratic
 #                                    # negative control) -> SCALE_selftest.json
@@ -35,7 +44,7 @@ run_bench() { # sf_dir out_file [extra env pairs...]
     | grep '"metric":"total_full"' | sed 's/^\[info\] //' > "$out"
 }
 
-if [ "${1:?usage: scale_leg.sh <round>|--selftest}" = "--selftest" ]; then
+if [ "${1:?usage: scale_leg.sh <round> [--incremental]|--selftest}" = "--selftest" ]; then
   echo "[scale] selftest: planted quadratic must trip the gate"
   run_bench "$SF01" /tmp/scale_self_base.json \
     SPARK_GRAFT_BENCH_EXTRA=toy_quadratic SPARK_GRAFT_BENCH_QUERIES=toy_quadratic
@@ -47,6 +56,63 @@ if [ "${1:?usage: scale_leg.sh <round>|--selftest}" = "--selftest" ]; then
 fi
 
 ROUND="$1"
+MERGE_ARGS=()
+
+if [ "${2:-}" = "--incremental" ]; then
+  # the previous round's artifact + the re-run set, decided by the
+  # committed commit stamps (never by builder memory)
+  PLAN=$(python3 - "$ROUND" <<'EOF'
+import glob, json, re, subprocess, sys
+round_now = int(sys.argv[1])
+prevs = []
+for f in glob.glob("SCALE_r*.json"):
+    m = re.match(r"SCALE_r(\d+)\.json$", f)
+    if m and int(m.group(1)) < round_now:
+        prevs.append((int(m.group(1)), f))
+if not prevs:
+    print("FULL no-previous-artifact"); sys.exit()
+prev_file = max(prevs)[1]
+prev = json.load(open(prev_file))
+commit = prev.get("commit", "unknown")
+if commit in ("", "unknown") or "+dirty" in commit:
+    print(f"FULL previous-artifact-unstamped({prev_file})"); sys.exit()
+if prev.get("violations") or prev.get("failed_at_base") or prev.get("failed_at_x10"):
+    print(f"FULL previous-artifact-not-green({prev_file})"); sys.exit()
+changed = subprocess.check_output(
+    ["python3", "tools/changed_queries.py", commit]).decode().strip()
+if changed == "FULL":
+    print(f"FULL shared-code-changed-since({commit[:12]})"); sys.exit()
+board = set(json.load(open("tools/bench_ref_sf0.01.json")))
+changed_set = set(changed.split(",")) if changed else set()
+new_entries = board - set(prev.get("queries", {}))
+rerun = sorted((changed_set & board) | new_entries)
+print("INCR", prev_file, ",".join(rerun))
+EOF
+)
+  read -r MODE PREV_FILE RERUN <<<"$PLAN"
+  if [ "$MODE" = "FULL" ]; then
+    echo "[scale] incremental fallback -> full sweep ($PREV_FILE)"
+  else
+    echo "[scale] incremental vs $PREV_FILE; re-running: ${RERUN:-<none>}"
+    MERGE_ARGS=(--merge-base "$PREV_FILE")
+    if [ -z "${RERUN:-}" ]; then
+      # pure re-stamp: nothing to run, carry everything
+      echo '{"metric":"total_full","queries":{}}' > /tmp/scale_base.json
+      echo '{"metric":"total_full","queries":{}}' > /tmp/scale_x10.json
+    else
+      run_bench "$SF01" /tmp/scale_base.json SPARK_GRAFT_BENCH_QUERIES="$RERUN"
+      run_bench "$SF1_DIR" /tmp/scale_x10.json SPARK_GRAFT_BENCH_QUERIES="$RERUN"
+    fi
+    set +e
+    python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
+      "${MERGE_ARGS[@]}" --json "SCALE_r${ROUND}.json" --round "$ROUND"
+    rc=$?
+    set -e
+    echo "[scale] wrote SCALE_r${ROUND}.json (rc=$rc, incremental)"
+    exit $rc
+  fi
+fi
+
 echo "[scale] base sweep at $SF01"
 run_bench "$SF01" /tmp/scale_base.json
 echo "[scale] x10 sweep at $SF1_DIR"
