@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit forked-run stdout bare (no sbt "[info] " prefix): the bench/verify
+// mains print machine-read JSON lines, and downstream parsers should get
+// them verbatim. tools/*.sh strip the prefix defensively either way.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
