@@ -199,8 +199,15 @@ object Bench {
           val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
           if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
         } catch { case _: Throwable => None }
+      // sibling generated artifacts don't dirty the stamp: they are
+      // measurement outputs, not measured code (tools/git_commit.py is
+      // the python twin of this rule)
+      val artifact =
+        "(?i)^(SCALE|SKEW|EM100|BENCH|CORRECTNESS)_[a-z0-9_]+\\.json$|^SCALE_selftest\\.json$|^LEAKCHECK\\.json$".r
       run("git", "rev-parse", "HEAD").map { h =>
         val dirty = run("git", "status", "--porcelain", "--untracked-files=no")
+          .map(_.linesIterator.map(_.drop(3).split(" -> ").last)
+            .filterNot(p => artifact.pattern.matcher(p).matches()).toSeq)
         h + (if (dirty.exists(_.nonEmpty)) "+dirty" else "")
       }.getOrElse("unknown")
     }
