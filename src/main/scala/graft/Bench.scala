@@ -205,8 +205,12 @@ object Bench {
       val artifact =
         "(?i)^(SCALE|SKEW|EM100|BENCH|CORRECTNESS)_[a-z0-9_]+\\.json$|^SCALE_selftest\\.json$|^LEAKCHECK\\.json$".r
       run("git", "rev-parse", "HEAD").map { h =>
+        // run() trims the captured output, which eats the first porcelain
+        // line's leading status space — parse the path by whitespace-split
+        // rather than a fixed 3-char drop (rename lines keep the new name)
         val dirty = run("git", "status", "--porcelain", "--untracked-files=no")
-          .map(_.linesIterator.map(_.drop(3).split(" -> ").last)
+          .map(_.linesIterator.filter(_.nonEmpty)
+            .map(_.split(" -> ").last.split("\\s+").last)
             .filterNot(p => artifact.pattern.matcher(p).matches()).toSeq)
         h + (if (dirty.exists(_.nonEmpty)) "+dirty" else "")
       }.getOrElse("unknown")
