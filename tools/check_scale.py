@@ -75,6 +75,14 @@ def main():
     ap.add_argument("--round", type=int, default=0)
     ap.add_argument("--ceiling", type=float, default=10.0)
     ap.add_argument("--floor", type=float, default=1.0)
+    # secondary UNFLOORED gate: the floored denominator makes a sub-second
+    # base leg ungateable by design (overhead-dominated bases manufacture
+    # ratio noise), but that also blinds the primary gate to an
+    # early-stage quadratic — base 0.3 s -> x10 9 s (raw 30x) passes
+    # 9/1.0 < 10. The raw ceiling catches that shape while keeping 2.3x
+    # headroom over the board's worst legitimate raw quotient (d9 12.92,
+    # a fixed eval set scaled with the corpus by fixture design).
+    ap.add_argument("--raw-ceiling", type=float, default=30.0)
     ap.add_argument("--retry-base")
     ap.add_argument("--retry-x10")
     ap.add_argument("--expect-fail")
@@ -138,6 +146,9 @@ def main():
         if ratio > ceiling:
             violations.append({"query": name, "ratio": ratio, "x10_sec": round(t, 3),
                                "ceiling": ceiling})
+        elif raw > args.raw_ceiling:
+            violations.append({"query": name, "kind": "raw_ratio", "ratio_raw": raw,
+                               "x10_sec": round(t, 3), "ceiling": args.raw_ceiling})
         elif name in ALLOW and ratio > args.ceiling:
             allowlisted.append({"query": name, "ratio": ratio, "ceiling": ceiling})
 
@@ -147,6 +158,7 @@ def main():
         "incremental": incremental,
         "gate": {"ratio_ceiling": args.ceiling, "x10_floor_sec": args.floor,
                  "ratio_formula": "x10_sec / max(base_sec, x10_floor_sec)",
+                 "raw_ratio_ceiling": args.raw_ceiling,
                  "allowlist": ALLOW},
         "n_queries": len(shared),
         "failed_at_base": base_failed,
