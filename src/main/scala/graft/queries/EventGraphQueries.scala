@@ -34,9 +34,12 @@ object EventGraphQueries {
     * [[releaseTradePairs]] frees one session's entries (call on session
     * recycle), every access purges entries whose session has stopped
     * (their blocks died with the executor; the map reference was the
-    * leak), and insertion beyond [[TradePairsMaxEntries]] evicts the
-    * oldest live entry with an unpersist. Eviction only costs the next
-    * caller the join+distinct recompute — results are unaffected. */
+    * leak), and insertion beyond [[TradePairsMaxEntries]] drops the
+    * oldest entry — reference-drop only, no eager unpersist, so an
+    * in-flight caller holding the evicted DataFrame keeps its blocks
+    * (the ContextCleaner reclaims them once unreferenced). Eviction only
+    * costs the next caller the join+distinct recompute — results are
+    * unaffected. */
   private val TradePairsMaxEntries = 8
   private val tradePairsCache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -56,9 +59,13 @@ object EventGraphQueries {
         "expected LogicalRDD behind localCheckpoint for the trade-pairs memo"))
 
   /** Release hook: frees the checkpoint blocks and map entries of one
-    * session (or, default, every entry whose session has stopped). Call
-    * when recycling a long-lived session; graph results are unaffected —
-    * the next access recomputes. */
+    * session — or, with the None default, of EVERY entry, live sessions
+    * included. Call when recycling a long-lived session, and only when no
+    * previously-returned graph DataFrame is still in flight: the blocks
+    * are unpersisted EAGERLY here (the recycle contract — Wave11Spec pins
+    * it) and a localCheckpoint's truncated lineage cannot recompute them
+    * for a concurrent reader. The next access recomputes from source;
+    * results are unaffected. */
   private[graft] def releaseTradePairs(session: Option[SparkSession] = None): Unit = {
     val it = tradePairsCache.entrySet().iterator()
     while (it.hasNext) {
@@ -108,9 +115,14 @@ object EventGraphQueries {
       val oldest = tradePairsOrder.poll()
       if (oldest == null) attempts = 0
       else if (oldest != ((s, d))) {
-        Option(tradePairsCache.remove(oldest)).foreach { case (_, rdd) =>
-          if (!oldest._1.sparkContext.isStopped) rdd.unpersist(blocking = false): Unit
-        }
+        // drop the entry WITHOUT an explicit unpersist: a DataFrame handed
+        // out before the eviction may still reference these blocks, and a
+        // localCheckpoint's truncated lineage cannot recompute them — an
+        // eager unpersist would crash that in-flight caller, not slow it.
+        // Dropping the map's strong reference is enough: the ContextCleaner
+        // (localCheckpoint persists, so the RDD is registered for cleanup)
+        // unpersists the blocks once no live handle references them.
+        tradePairsCache.remove(oldest): Unit
       } else tradePairsOrder.add(oldest): Unit // never evict the entry being served
     }
     df

@@ -51,11 +51,40 @@ def main():
     if src - queries_files:
         print("FULL")
         return
+
+    # Queries files splice each other's helpers (d19's oracle uses
+    # TextQueries.unicodeScrubSql, st22's uses DedupQueries.minhashSigCtes),
+    # so an edit must also re-run every file that REFERENCES the edited
+    # file's object, transitively — otherwise the incremental legs carry
+    # stale results for queries whose oracle/plan actually changed.
+    import glob
+    import os
+    all_files = sorted(glob.glob("src/main/scala/graft/queries/*.scala"))
+    texts = {f: open(f).read() for f in all_files}
+    obj_of = {}          # file -> object names it defines
+    for f, txt in texts.items():
+        obj_of[f] = set(re.findall(r"\bobject\s+(\w+)", txt))
+    affected = set(queries_files)
+    grew = True
+    while grew:
+        grew = False
+        for f, txt in texts.items():
+            if f in affected:
+                continue
+            for dep in list(affected):
+                deleted_objs = obj_of.get(dep)
+                if deleted_objs is None and dep in changed:
+                    continue  # deleted file: nothing can reference it anymore
+                if any(re.search(r"\b" + re.escape(o) + r"\s*\.", txt)
+                       for o in (deleted_objs or set())):
+                    affected.add(f)
+                    grew = True
+                    break
+
     names = set()
-    for f in sorted(queries_files):
-        try:
-            txt = open(f).read()
-        except FileNotFoundError:   # deleted file: its entries left the board
+    for f in sorted(affected):
+        txt = texts.get(f)
+        if txt is None:             # deleted file: its entries left the board
             continue
         # every '"name" ->' binding in the file: query entries AND their
         # oracle rows share the query's name, so the union is the file's

@@ -98,17 +98,31 @@ def main():
         if prev.get("violations") or prev.get("failed_at_base") or prev.get("failed_at_x10"):
             sys.exit(f"[scale] refusing --merge-base {args.merge_base}: the previous "
                      "artifact was not fully green; run the full sweep")
-        reran = sorted(set(base) | set(x10))
-        carried = 0
+        # provenance counts crashed re-runs as reran (they WERE re-run;
+        # their failure surfaces via failed_at_*, never via stale greens)
+        reran = sorted(set(base) | set(x10) | set(base_failed) | set(x10_failed))
+        # only carry entries still on the timed board — a query deleted
+        # after the previous round must leave the artifact, not ghost on
+        # in n_queries/coverage (and possibly trip gates) forever
+        try:
+            with open("tools/bench_ref_sf0.01.json") as f:
+                board = set(json.load(f))
+        except OSError:
+            board = None    # no ref available: carry everything (old rule)
+        carried, dropped = 0, []
         for name, rec in prev.get("queries", {}).items():
-            if name in base or name in x10:
+            if name in reran:
+                continue    # fresh numbers (or a fresh failure) win
+            if board is not None and name not in board:
+                dropped.append(name)
                 continue
             base[name] = rec["base_sec"]
             x10[name] = rec["x10_sec"]
             carried += 1
         incremental = {"base_artifact": args.merge_base,
                        "base_commit": prev.get("commit", "unknown"),
-                       "reran": reran, "carried_n": carried}
+                       "reran": reran, "carried_n": carried,
+                       "dropped_off_board": sorted(dropped)}
     # isolated re-runs of suspected outliers override by per-query MIN —
     # the "judge scale legs from isolated runs" discipline, automated
     if args.retry_base:
@@ -128,6 +142,10 @@ def main():
     # explicitly instead of letting the intersection drop it
     for name in sorted(set(x10_failed) & (set(base) | set(base_failed))):
         violations.append({"query": name, "kind": "failed_at_x10"})
+    # a base-SF crash with a green x10 leg can't sneak through either —
+    # the intersection would silently drop it from the gate
+    for name in sorted(set(base_failed) - set(x10_failed)):
+        violations.append({"query": name, "kind": "failed_at_base"})
     for name in shared:
         b, t = base[name], x10[name]
         # gated ratio floors the DENOMINATOR at --floor: a sub-second base

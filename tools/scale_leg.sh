@@ -108,6 +108,24 @@ EOF
       "${MERGE_ARGS[@]}" --json "SCALE_r${ROUND}.json" --round "$ROUND"
     rc=$?
     set -e
+    if [ $rc -ne 0 ]; then
+      # same isolated-retry/min-merge discipline as the full sweep: a
+      # steal burst on a re-run leg must not close the round red (and a
+      # red artifact would force the NEXT round back to the full sweep)
+      SUSPECTS=$(python3 -c "
+import json
+print(','.join(sorted(v['query'] for v in json.load(open('SCALE_r${ROUND}.json'))['violations'])))")
+      echo "[scale] isolated re-run of suspects (incremental): $SUSPECTS"
+      run_bench "$SF01" /tmp/scale_base_retry.json SPARK_GRAFT_BENCH_QUERIES="$SUSPECTS"
+      run_bench "$SF1_DIR" /tmp/scale_x10_retry.json SPARK_GRAFT_BENCH_QUERIES="$SUSPECTS"
+      set +e
+      python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
+        "${MERGE_ARGS[@]}" \
+        --retry-base /tmp/scale_base_retry.json --retry-x10 /tmp/scale_x10_retry.json \
+        --json "SCALE_r${ROUND}.json" --round "$ROUND"
+      rc=$?
+      set -e
+    fi
     echo "[scale] wrote SCALE_r${ROUND}.json (rc=$rc, incremental)"
     exit $rc
   fi

@@ -27,9 +27,12 @@ if [ "${2:-}" = "--since" ]; then
   else
     # intersect with the board (changed_queries also reports oracle-only
     # names from edited files; Verify ignores unknown names silently, so
-    # filter here to keep the log honest)
+    # filter here to keep the log honest). An EMPTY intersection means the
+    # detector's names don't map onto the board — fall back to the FULL
+    # board rather than passing unknown names Verify would silently skip
+    # (which would report green having checked nothing).
     ONLY=$(python3 - "$CHANGED" <<'EOF'
-import subprocess, sys
+import sys
 changed = set(sys.argv[1].split(","))
 # the board = Verify's query map; bench_ref covers the timed board but
 # NOT the oracle-timed twins, so take names from the dumped oracle keys
@@ -40,14 +43,21 @@ try:
     names |= set(json.load(open("ROWS_ONLY.json")))
 except Exception:
     pass
-print(",".join(sorted(changed & names)) or ",".join(sorted(changed)))
+print(",".join(sorted(changed & names)))
 EOF
 )
-    echo "[verify] incremental since $SINCE: $ONLY"
+    if [ -z "$ONLY" ]; then
+      echo "[verify] changed names match no board entry -> full board"
+    else
+      echo "[verify] incremental since $SINCE: $ONLY"
+    fi
   fi
 fi
 
 rm -rf "$OUT"
+# no trailing '|| true': with the header's pipefail a Verify crash must
+# fail the leg, not leave a partial dump for check_oracle to grade as
+# green-by-omission (the grep group alone may no-match harmlessly)
 SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SFDIR $OUT ${ONLY}" \
-  | grep -E '\[verify\]|error' | tail -5 || true
+  | { grep -E '\[verify\]|error' || true; } | tail -5
 python3 tools/check_oracle.py "$SFDIR" "$OUT"
