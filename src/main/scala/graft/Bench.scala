@@ -205,12 +205,15 @@ object Bench {
       val artifact =
         "(?i)^(SCALE|SKEW|EM100|BENCH|CORRECTNESS)_[a-z0-9_]+\\.json$|^SCALE_selftest\\.json$|^LEAKCHECK\\.json$".r
       run("git", "rev-parse", "HEAD").map { h =>
-        // run() trims the captured output, which eats the first porcelain
-        // line's leading status space — parse the path by whitespace-split
-        // rather than a fixed 3-char drop (rename lines keep the new name)
+        // run() trims the captured output, which can eat the first
+        // porcelain line's leading status char — strip the 1-2-char XY
+        // status prefix with a regex (BEFORE the rename split, so a renamed
+        // path whose first token is short isn't truncated) instead of
+        // whitespace-splitting, which reduced a path containing a space to
+        // its last token and could mis-exclude real code dirt
         val dirty = run("git", "status", "--porcelain", "--untracked-files=no")
           .map(_.linesIterator.filter(_.nonEmpty)
-            .map(_.split(" -> ").last.split("\\s+").last)
+            .map(_.replaceFirst("^\\s*\\S{1,2}\\s+", "").split(" -> ").last)
             .filterNot(p => artifact.pattern.matcher(p).matches()).toSeq)
         h + (if (dirty.exists(_.nonEmpty)) "+dirty" else "")
       }.getOrElse("unknown")

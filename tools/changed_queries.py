@@ -61,9 +61,17 @@ def main():
     import os
     all_files = sorted(glob.glob("src/main/scala/graft/queries/*.scala"))
     texts = {f: open(f).read() for f in all_files}
-    obj_of = {}          # file -> object names it defines
+    # index every top-level object/class/trait name a file defines, and
+    # match BARE-word references, not just dotted ones: a class imported
+    # bare (`import graft.queries.Helper` then `extends Helper`) or an
+    # object renamed at import (`{TextQueries => TQ}`) never appears as
+    # `Name.`, so the dotted-only closure carried stale results for
+    # genuinely affected queries. Bare-word matching over-approximates
+    # (a name in a comment re-runs a neighbor) — over-running is the
+    # conservative direction for this detector.
+    obj_of = {}          # file -> top-level type/object names it defines
     for f, txt in texts.items():
-        obj_of[f] = set(re.findall(r"\bobject\s+(\w+)", txt))
+        obj_of[f] = set(re.findall(r"\b(?:object|class|trait)\s+(\w+)", txt))
     affected = set(queries_files)
     grew = True
     while grew:
@@ -75,7 +83,7 @@ def main():
                 deleted_objs = obj_of.get(dep)
                 if deleted_objs is None and dep in changed:
                     continue  # deleted file: nothing can reference it anymore
-                if any(re.search(r"\b" + re.escape(o) + r"\s*\.", txt)
+                if any(re.search(r"\b" + re.escape(o) + r"\b", txt)
                        for o in (deleted_objs or set())):
                     affected.add(f)
                     grew = True

@@ -38,6 +38,7 @@ Exit 0 = gate green; 1 = violations (or selftest expectation unmet).
 """
 import argparse
 import json
+import subprocess
 import sys
 
 from git_commit import commit_stamp
@@ -93,6 +94,17 @@ def main():
     x10, x10_failed = load_queries(args.x10)
     incremental = None
     if args.merge_base:
+        # the carried artifact is an INPUT here, not just a prior output:
+        # its timings and embedded commit field flow into the new artifact,
+        # which will itself stamp clean (generated artifacts are excluded
+        # from the dirt probe). So unlike sibling outputs it must be
+        # git-clean — an uncommitted working-tree edit to it could smuggle
+        # tampered carried numbers past the stamp contract.
+        st = subprocess.run(["git", "status", "--porcelain", "--", args.merge_base],
+                            capture_output=True, text=True)
+        if st.returncode != 0 or st.stdout.strip():
+            sys.exit(f"[scale] refusing --merge-base {args.merge_base}: not "
+                     "git-clean (uncommitted edit or untracked); commit it first")
         with open(args.merge_base) as f:
             prev = json.load(f)
         if prev.get("violations") or prev.get("failed_at_base") or prev.get("failed_at_x10"):
@@ -124,16 +136,23 @@ def main():
                        "reran": reran, "carried_n": carried,
                        "dropped_off_board": sorted(dropped)}
     # isolated re-runs of suspected outliers override by per-query MIN —
-    # the "judge scale legs from isolated runs" discipline, automated
+    # the "judge scale legs from isolated runs" discipline, automated.
+    # A retry can only IMPROVE a query's standing: a green retry min-merges
+    # its time and clears any main-run failure; a retry-only crash never
+    # poisons a query that already has a valid main-run time (the main run
+    # is the measurement of record — the retry exists to exonerate, not to
+    # convict), and a query that failed BOTH runs stays failed because it
+    # was already in the failed set and no green retry removes it.
     if args.retry_base:
         ok, _ = load_queries(args.retry_base)
         for k, v in ok.items():
             base[k] = min(base.get(k, v), v)
+        base_failed = sorted(set(base_failed) - set(ok))
     if args.retry_x10:
-        ok, failed = load_queries(args.retry_x10)
+        ok, _ = load_queries(args.retry_x10)
         for k, v in ok.items():
             x10[k] = min(x10.get(k, v), v)
-        x10_failed = sorted((set(x10_failed) | set(failed)) - set(ok))
+        x10_failed = sorted(set(x10_failed) - set(ok))
 
     shared = sorted(set(base) & set(x10))
     queries, violations, allowlisted = {}, [], []
