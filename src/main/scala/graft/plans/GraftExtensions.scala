@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(t, n) => WordShinglesExpr(t, literalInt(n, "word_shingles_all width"), distinct = false)
       case other => throw new IllegalArgumentException(s"word_shingles_all expects 2 arguments, got ${other.length}")
     }
+    register(ext, "top_repeated_gram",
+      "top_repeated_gram(text, n) - struct(cnt, g) of the most frequent word n-gram (Gopher repetition rules); null below n tokens") {
+      case Seq(t, n) => TopRepeatedGram(t, literalInt(n, "top_repeated_gram width"))
+      case other => throw new IllegalArgumentException(s"top_repeated_gram expects 2 arguments, got ${other.length}")
+    }
     register(ext, "normalize_text",
       "normalize_text(text[, form[, lowercase[, collapse_ws]]]) - Unicode canonicalization (NFC/NFD/NFKC/NFKD + lower + whitespace collapse)") {
       case Seq(t) => NormalizeText(t, "NFKC", lowercase = true, collapseWs = true)

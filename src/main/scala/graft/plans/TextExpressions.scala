@@ -124,6 +124,97 @@ object WordShingles {
   }
 }
 
+/** Most-repeated word n-gram of a document — the inner loop of the Gopher
+  * repetition rules (Rae et al. 2021 §A1.1 Table A1: drop when the single
+  * most frequent word 2-/3-gram covers too many of the document's
+  * characters). Returns `struct(cnt BIGINT, g STRING)` — occurrence count
+  * and the gram itself, ties broken by the LARGEST gram under binary
+  * (UTF8) string order, i.e. exactly `max(struct(cnt, g))` over the
+  * exploded gram multiset — or NULL when the document has fewer than `n`
+  * tokens (matching the oracle's `WHERE len(w) >= n` guard).
+  *
+  * This expression exists to make the repetition filter a ZERO-SHUFFLE
+  * map. The exploded formulation (word_shingles_all → explode → two keyed
+  * aggregations → join back) is linear too, but it pushes ~2 rows per
+  * corpus word through a wide (doc_id, n, gram) exchange — at 100 TB that
+  * shuffle IS the query. Per-document gram counting needs no cross-row
+  * state at all: one boundary scan (same byte-slice trick as
+  * [[WordShingles.compute]] — UTF-8 multibyte sequences never contain
+  * 0x20), one open-addressed count pass over byte-range slices, one max
+  * scan. O(bytes) per document, codegen'd dispatch, perfectly parallel.
+  */
+case class TopRepeatedGram(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram width must be >= 1")
+
+  // null for < n-token documents even when the input is non-null
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("g", StringType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_repeated_gram expects a string column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TopRepeatedGram.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.plans.TopRepeatedGram.compute($s, $n);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object TopRepeatedGram {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
+
+  def top_repeated_gram(text: Column, n: Int): Column =
+    toCol(TopRepeatedGram(toExpr(text), n))
+
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var numToks = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) numToks += 1; i += 1 }
+    if (numToks < n) return null
+    val starts = new Array[Int](numToks + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(numToks) = len + 1 // sentinel: end of token numToks-1 is len
+
+    val count = numToks - n + 1
+    val counts = new java.util.HashMap[UTF8String, java.lang.Integer](count * 2)
+    i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(i + n) - 1 // end of token i+n-1
+      val g = UTF8String.fromBytes(bytes, from, until - from)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var bestCnt = 0
+    var bestG: UTF8String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c > bestCnt || (c == bestCnt && e.getKey.compareTo(bestG) > 0)) {
+        bestCnt = c
+        bestG = e.getKey
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCnt.toLong, bestG))
+  }
+}
+
 /** Unicode text canonicalization — the first pass of every training-corpus
   * cleanup (mirrors the reference's normalize-before-fingerprint step,
   * ops/data_ingestion_ops.py:180-200, widened to real Unicode): a

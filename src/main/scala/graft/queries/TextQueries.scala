@@ -236,37 +236,26 @@ object TextQueries {
       // most frequent word 2-gram / 3-gram; drop when top-2gram > 0.20 or
       // top-3gram > 0.18 of chars. (Line-level dup rules are degenerate on
       // this corpus — no newlines — so the n-gram family is the active
-      // half of the table.) Shape: gram explode is map-side; ONE wide
-      // shuffle on (doc_id, n, gram) with partial aggregation, then two
-      // doc-keyed reductions — the same skeleton as d10, linear in corpus
-      // bytes, no self-joins. Tie-break = max count then max gram, encoded
-      // identically on both engines (struct max / ORDER BY cnt DESC, g DESC).
-      def gramsOf(n: Int) =
-        when(size(col("w")) >= n,
-          transform(sequence(lit(1), size(col("w")) - (n - 1)),
-            i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k)): _*)))
-          .otherwise(array().cast("array<string>"))
-      val base = Tables(s, d).documents
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
-      val counted = base
-        .select(col("doc_id"), col("n_chars"),
-          explode(concat(
-            transform(gramsOf(2), g => struct(lit(2).as("n"), g.as("g"))),
-            transform(gramsOf(3), g => struct(lit(3).as("n"), g.as("g"))))).as("ng"))
-        .groupBy(col("doc_id"), col("n_chars"), col("ng.n").as("n"), col("ng.g").as("g"))
-        .agg(count(lit(1)).as("cnt"))
-      val top = counted
-        .groupBy("doc_id", "n_chars", "n")
-        .agg(max(struct(col("cnt"), col("g"))).as("t"))
-        .select(col("doc_id"), col("n"), col("t.g").as("g"),
-          (col("t.cnt") * length(col("t.g")).cast("double") / col("n_chars")).as("frac"))
-      val pivoted = top.groupBy("doc_id").agg(
-        max(when(col("n") === 2, col("g"))).as("top_2gram"),
-        max(when(col("n") === 2, col("frac"))).as("top_2gram_char_frac"),
-        max(when(col("n") === 3, col("g"))).as("top_3gram"),
-        max(when(col("n") === 3, col("frac"))).as("top_3gram_char_frac"))
-      Tables(s, d).documents.select(col("doc_id"))
-        .join(pivoted, Seq("doc_id"), "left")
+      // half of the table.) Shape: a ZERO-SHUFFLE map — per-document gram
+      // counting needs no cross-row state, so the native
+      // plans/TopRepeatedGram expression (one boundary scan + hash count +
+      // max scan per doc, O(bytes)) replaces the round-12 explode → wide
+      // (doc_id, n, gram) exchange → two keyed reductions → join-back
+      // skeleton, whose shuffle of ~2 rows per corpus word was the whole
+      // ×10 cost (T18Profile attribution table in BASELINE.md). Tie-break
+      // = max count then max gram, identical on both engines (struct-max
+      // semantics inside the expression / ORDER BY cnt DESC, g DESC).
+      val t2 = graft.plans.TopRepeatedGram.top_repeated_gram(col("text"), 2)
+      val t3 = graft.plans.TopRepeatedGram.top_repeated_gram(col("text"), 3)
+      Tables(s, d).documents
+        .select(col("doc_id"), col("n_chars"), t2.as("t2"), t3.as("t3"))
+        .select(col("doc_id"),
+          col("t2.g").as("top_2gram"),
+          (col("t2.cnt") * length(col("t2.g")).cast("double") / col("n_chars"))
+            .as("top_2gram_char_frac"),
+          col("t3.g").as("top_3gram"),
+          (col("t3.cnt") * length(col("t3.g")).cast("double") / col("n_chars"))
+            .as("top_3gram_char_frac"))
         .select(col("doc_id"), col("top_2gram"), col("top_2gram_char_frac"),
           col("top_3gram"), col("top_3gram_char_frac"),
           (coalesce(col("top_2gram_char_frac") <= 0.20, lit(true)) &&

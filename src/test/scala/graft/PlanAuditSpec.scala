@@ -214,7 +214,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "t15_chunking" -> 0,
     "t16_bigram_lm" -> 5,
     "t17_gopher_filter" -> 0,
-    "t18_repetition_filter" -> 3,
+    "t18_repetition_filter" -> 0,
     "t19_lm_quality_filter" -> 7,
     "t1_token_stats" -> 0,
     "t20_token_entropy" -> 2,
