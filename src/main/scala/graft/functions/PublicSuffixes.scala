@@ -11,16 +11,20 @@ package graft.functions
   * `.co.uk` site into one "domain" — the wrong key for per-domain quotas
   * (x18) and crawl dedup on any real corpus.
   *
-  * Scope: the 2-label entries for the ccTLDs that dominate crawl volume,
-  * plus (round 10) the 3-label tier for the registries that use it
-  * (Australian state second-level domains, US `k12/cc/lib.<state>.us`),
-  * the wildcard-TLD rules (`*.ck`-class: EVERY 2-label name under the
-  * TLD is a public suffix), and their exceptions (`!www.ck`). The full
-  * list's remaining depth (4-label `pvt.k12.ma.us`-class, per-prefecture
-  * JP geographic wildcards) has negligible crawl share; a deployment
-  * needing it swaps in the full snapshot — same shapes, same joins.
-  * Every 1-label TLD is implicitly a public suffix — that is the
-  * 2-label fallback rule, not a list entry.
+  * Scope of the COMMITTED snapshot: the 2-label entries for the ccTLDs
+  * that dominate crawl volume, plus (round 10) the 3-label tier for the
+  * registries that use it (Australian state second-level domains, US
+  * `k12/cc/lib.<state>.us`), the wildcard-TLD rules (`*.ck`-class: EVERY
+  * 2-label name under the TLD is a public suffix), and their exceptions
+  * (`!www.ck`). The full list's remaining depth (4-label
+  * `pvt.k12.ma.us`-class, per-city JP wildcards `*.kawasaki.jp` with
+  * `!city.kawasaki.jp` exceptions, 5-label private-section entries) has
+  * negligible crawl share, so it stays out of the committed snapshot —
+  * but since round 13 [[parse]] and both promotion paths handle EVERY
+  * depth, so swapping in the full downloaded publicsuffix.org list is a
+  * data-file edit that round-trips as-is (Wave12Spec pins a real-list-
+  * shaped fixture end to end). Every 1-label TLD is implicitly a public
+  * suffix — that is the 2-label fallback rule, not a list entry.
   */
 object PublicSuffixes {
 
@@ -110,55 +114,96 @@ object PublicSuffixes {
     * would otherwise swallow that ARE registrable. */
   val exceptions: Seq[String] = Seq("www.ck")
 
-  /** A parsed suffix snapshot — the four tiers the registrable-domain
-    * joins consume ([[graft.functions.UrlFunctions.withRegistrableDomainFromHost]]). */
+  /** A parsed suffix snapshot in the GENERAL form (round 13): rules keyed
+    * by depth, so the promotion machinery
+    * ([[graft.functions.UrlFunctions.withRegistrableDomainFromHost]] /
+    * [[graft.functions.UrlFunctions.registrableDomainPsl]]) handles every
+    * rule shape the real publicsuffix.org list contains — 4-/5-label
+    * literals (`pvt.k12.ma.us`, `s3.cn-north-1.amazonaws.com.cn`-class),
+    * deep wildcards (`*.kawasaki.jp`) and deep exceptions
+    * (`!city.kawasaki.jp`) — not just the compact snapshot's tiers.
+    *
+    *   - `suffixesByDepth(k)`: literal rules with k labels (k ≥ 2) —
+    *     a matching host registers one label deeper (last k+1 labels);
+    *   - `wildcardBasesByDepth(b)`: bases of `*.base` rules with b labels
+    *     (b ≥ 1; `*.ck` → base "ck" at b=1) — every (b+1)-label name
+    *     under the base is a public suffix, so a matching host registers
+    *     at the last b+2 labels;
+    *   - `exceptionsByDepth(k)`: `!name` rules with k labels — the PSL
+    *     algorithm gives exceptions absolute precedence, and a matching
+    *     host keys to the exception name itself (last k labels).
+    *
+    * The named accessors keep the compact-snapshot call sites and the
+    * SQL-oracle splices (t24/t25 inline them as IN lists) stable. */
   final case class Snapshot(
-      suffixes2: Seq[String],
-      suffixes3: Seq[String],
-      wildcardTlds: Seq[String],
-      exceptions: Seq[String])
+      suffixesByDepth: Map[Int, Seq[String]],
+      wildcardBasesByDepth: Map[Int, Seq[String]],
+      exceptionsByDepth: Map[Int, Seq[String]]) {
+    def suffixes2: Seq[String] = suffixesByDepth.getOrElse(2, Nil)
+    def suffixes3: Seq[String] = suffixesByDepth.getOrElse(3, Nil)
+    def wildcardTlds: Seq[String] = wildcardBasesByDepth.getOrElse(1, Nil)
+    def exceptions: Seq[String] =
+      exceptionsByDepth.toSeq.sortBy(_._1).flatMap(_._2)
+    /** Deepest label count any rule can promote a host to (the longest
+      * registrable domain this snapshot can produce). ≥ 3 even when empty
+      * (the 2-label suffix fallback promotes to 3). */
+    def maxRegistrableLabels: Int =
+      ((suffixesByDepth.keysIterator.map(_ + 1) ++
+        wildcardBasesByDepth.keysIterator.map(_ + 2) ++
+        exceptionsByDepth.keysIterator ++ Iterator(3)).max)
+  }
 
   /** The literal fallback Seqs above as a [[Snapshot]] — the form the
     * SQL-oracle splices (t24/t25 inline these as VALUES/IN lists) and the
     * inline-Column path ([[UrlFunctions.registrableDomainPsl]]) compiles. */
-  def literalSnapshot: Snapshot = Snapshot(suffixes2, suffixes3, wildcardTlds, exceptions)
+  def literalSnapshot: Snapshot = Snapshot(
+    Map(2 -> suffixes2, 3 -> suffixes3),
+    Map(1 -> wildcardTlds),
+    Map(2 -> exceptions))
 
   /** Parse public-suffix SOURCE-LIST format (publicsuffix.org syntax:
-    * one rule per line, `//` comments, `*.tld` wildcards, `!name`
-    * exceptions) into the snapshot tiers. Scope rules of this engine's
-    * join shapes, enforced loudly rather than silently dropped:
+    * one rule per line read up to the first whitespace, `//` comments,
+    * `*.base` wildcards, `!name` exceptions) into depth-keyed tiers.
+    * Since round 13 EVERY rule depth the real list contains is accepted
+    * — the full downloaded publicsuffix.org snapshot round-trips as-is.
+    * Malformed shapes the PSL grammar itself forbids still fail loudly:
     *
     *   - 1-label rules are SKIPPED: every bare TLD is implicitly a public
     *     suffix (the 2-label fallback), so listing them adds nothing;
-    *   - 2-/3-label rules land in their tier;
-    *   - deeper rules THROW — the promotion joins stop at the 3-label
-    *     tier (a deployment needing `pvt.k12.ma.us`-class depth must add
-    *     a 4-label tier, not silently lose rules);
-    *   - wildcards must be `*.tld` (the PSL also allows deeper wildcards;
-    *     same fail-loudly contract);
-    *   - exceptions must be 2-label (the promotion CASE tests last2). */
+    *   - wildcards must be a single LEADING `*.` (the list has never
+    *     contained mid-rule or multi-star forms; accepting one silently
+    *     would mis-key every host under it);
+    *   - exceptions must carry ≥ 2 labels and no '*'. */
   def parse(lines: Iterator[String]): Snapshot = {
-    val s2, s3, wild, exc = Seq.newBuilder[String]
-    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).foreach { l =>
+    import scala.collection.mutable
+    val sfx, wild, exc = mutable.SortedMap.empty[Int, mutable.Builder[String, Seq[String]]]
+    def add(m: mutable.SortedMap[Int, mutable.Builder[String, Seq[String]]],
+        depth: Int, rule: String): Unit =
+      m.getOrElseUpdate(depth, Seq.newBuilder[String]) += rule
+    // a rule line ends at the first whitespace (official list format —
+    // some mirrors carry trailing annotations)
+    lines.map(_.trim.takeWhile(!_.isWhitespace)).filter(l => l.nonEmpty && !l.startsWith("//")).foreach { l =>
       if (l.startsWith("!")) {
         val name = l.substring(1)
-        require(name.count(_ == '.') == 1,
-          s"only 2-label exception rules are supported by the promotion joins: '$l'")
-        exc += name
+        require(name.count(_ == '.') >= 1 && !name.contains('*'),
+          s"malformed exception rule (need >= 2 labels, no '*'): '$l'")
+        add(exc, name.count(_ == '.') + 1, name)
       } else if (l.startsWith("*.")) {
-        val tld = l.substring(2)
-        require(tld.nonEmpty && !tld.contains('.'),
-          s"only *.tld wildcard rules are supported by the promotion joins: '$l'")
-        wild += tld
-      } else l.count(_ == '.') match {
-        case 0 => () // bare TLD: covered by the implicit 2-label fallback
-        case 1 => s2 += l
-        case 2 => s3 += l
-        case n => throw new IllegalArgumentException(
-          s"${n + 1}-label rule unsupported by this snapshot's join tiers: '$l'")
+        val base = l.substring(2)
+        require(base.nonEmpty && !base.contains('*'),
+          s"malformed wildcard rule (single leading '*.' only): '$l'")
+        add(wild, base.count(_ == '.') + 1, base)
+      } else {
+        require(!l.contains('*'), s"malformed rule (mid-rule '*'): '$l'")
+        l.count(_ == '.') match {
+          case 0 => () // bare TLD: covered by the implicit 2-label fallback
+          case n => add(sfx, n + 1, l)
+        }
       }
     }
-    Snapshot(s2.result(), s3.result(), wild.result(), exc.result())
+    def freeze(m: mutable.SortedMap[Int, mutable.Builder[String, Seq[String]]]) =
+      m.iterator.map { case (k, b) => k -> b.result() }.toMap
+    Snapshot(freeze(sfx), freeze(wild), freeze(exc))
   }
 
   /** The COMMITTED resource snapshot (`src/main/resources/public_suffixes.txt`,

@@ -90,18 +90,22 @@ object UrlFunctions {
   def registrableDomain(url: Column): Column =
     regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
 
-  /** PSL-aware registrable domain as a pure Column — longest-match over
-    * all four snapshot tiers, most specific first:
+  /** PSL-aware registrable domain as a pure Column — the publicsuffix.org
+    * algorithm over a depth-keyed [[PublicSuffixes.Snapshot]] (since
+    * round 13 EVERY rule depth the real list contains), most specific
+    * rule first:
     *
-    *   1. exception rule (`!www.ck`): the name a wildcard would swallow
-    *      IS registrable — any host ending there keys to it (last2);
-    *   2. 3-label suffix ([[PublicSuffixes.suffixes3]], `act.edu.au` /
-    *      `k12.ma.us`-class) with a 4th label present → last FOUR labels;
-    *   3. 2-label suffix ([[PublicSuffixes.suffixes2]]) OR wildcard TLD
-    *      ([[PublicSuffixes.wildcardTlds]], `*.ck`-class — every 2-label
-    *      name under the TLD is a public suffix) with a 3rd label
-    *      present → last THREE labels;
-    *   4. fallback: last two labels (every bare TLD is implicitly a
+    *   1. exception rules (`!www.ck`, `!city.kawasaki.jp`), deepest
+    *      first — absolute precedence per the PSL algorithm: a name a
+    *      wildcard would otherwise swallow IS registrable, and any host
+    *      ending there keys to the exception name itself;
+    *   2. for each rule depth L from deepest down to 2: a host whose
+    *      last L labels are a literal suffix (`co.uk` at L=2,
+    *      `act.edu.au` at L=3, `pvt.k12.ma.us` at L=4, ...) OR whose
+    *      last L−1 labels are a wildcard base (`*.ck` at L=2,
+    *      `*.kawasaki.jp` at L=3) registers one label deeper → last L+1
+    *      labels, when present;
+    *   3. fallback: last two labels (every bare TLD is implicitly a
     *      public suffix).
     *
     * A host that IS a bare public suffix (`co.uk`, `act.edu.au` itself)
@@ -110,22 +114,41 @@ object UrlFunctions {
     * silently merge them all.
     *
     * The suffix tests compile to `IN` lists over the snapshot —
-    * map-side O(1), fine at this snapshot size. For the FULL 9k-entry
-    * PSL, prefer [[withRegistrableDomain]]: broadcast joins keep the
-    * lists out of the generated code and off every task's expression
-    * tree. */
-  def registrableDomainPsl(url: Column): Column = {
+    * map-side O(1), fine at the committed snapshot size. For the FULL
+    * ~9k-entry PSL, prefer [[withRegistrableDomain]]: broadcast joins
+    * keep the lists out of the generated code and off every task's
+    * expression tree. */
+  def registrableDomainPsl(
+      url: Column,
+      snap: PublicSuffixes.Snapshot = PublicSuffixes.literalSnapshot): Column = {
     val host = urlHost(url)
-    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    val last4 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
-    val tld = regexp_extract(host, "([^.]+)$", 1)
-    when(last2.isin(PublicSuffixes.exceptions: _*), last2)
-      .when(last4 =!= "" && last3.isin(PublicSuffixes.suffixes3: _*), last4)
-      .when(last3 =!= "" && (last2.isin(PublicSuffixes.suffixes2: _*) ||
-        tld.isin(PublicSuffixes.wildcardTlds: _*)), last3)
-      .otherwise(last2)
+    val last = (1 to snap.maxRegistrableLabels).map(k => k -> lastLabels(host, k)).toMap
+    // exceptions carry absolute precedence (PSL algorithm), deepest first
+    val excWhens = snap.exceptionsByDepth.toSeq.sortBy(-_._1).collect {
+      case (k, names) if names.nonEmpty => (last(k).isin(names: _*), last(k))
+    }
+    // tier L = "the host's last L labels are a public suffix": literal
+    // L-label rule, or wildcard base at L-1 (*.base makes every L-label
+    // name under it a suffix). A hit registers one label deeper.
+    val maxRuleDepth = (snap.suffixesByDepth.keySet ++
+      snap.wildcardBasesByDepth.keySet.map(_ + 1) + 2).max
+    val tierWhens = (maxRuleDepth to 2 by -1).flatMap { l =>
+      val lit = snap.suffixesByDepth.getOrElse(l, Nil)
+      val wild = snap.wildcardBasesByDepth.getOrElse(l - 1, Nil)
+      val hit = (Option.when(lit.nonEmpty)(last(l).isin(lit: _*)) ++
+        Option.when(wild.nonEmpty)(last(l - 1).isin(wild: _*)))
+        .reduceOption(_ || _)
+      hit.map(h => (last(l + 1) =!= "" && h, last(l + 1)))
+    }
+    (excWhens ++ tierWhens)
+      .foldRight(last(2)) { case ((cond, value), rest) => when(cond, value).otherwise(rest) }
   }
+
+  /** Last k dot-labels of a host as a Column ('' when the host has fewer
+    * than k labels or ends in a dot) — the probe key every PSL tier
+    * matches on. */
+  private[functions] def lastLabels(host: Column, k: Int): Column =
+    regexp_extract(host, "(" + Seq.fill(k)("[^.]+").mkString("\\.") + ")$", 1)
 
   /** PSL-aware registrable domain via the scale-correct broadcast join:
     * the suffix snapshot becomes a seed frame (S9 pattern), the host's
@@ -148,37 +171,60 @@ object UrlFunctions {
   def withRegistrableDomainFromHost(
       df: org.apache.spark.sql.DataFrame,
       hostCol: Column,
-      out: String = "domain"): org.apache.spark.sql.DataFrame = {
+      out: String = "domain",
+      snapshot: Option[PublicSuffixes.Snapshot] = None): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // RESOURCE-driven snapshot (src/main/resources/public_suffixes.txt):
-    // the production path's suffix universe is a committed data file, so
-    // full-PSL growth never edits Scala literals. Spec-pinned equal to
-    // the literal fallback the oracles splice (UrlFunctionsSpec).
-    val snap = PublicSuffixes.fromResource
-    // the two list-shaped tiers are broadcast seed frames (they grow with
-    // the full PSL); the wildcard-TLD and exception tiers stay inline IN
-    // lists — single-digit entries even on the full list
-    val psl2 = snap.suffixes2.toDF("psl_suffix")
-    val psl3 = snap.suffixes3.toDF("psl3_suffix")
-    df.withColumn("__rd_last2", regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1))
-      .withColumn("__rd_last3", regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
-      .withColumn("__rd_last4",
-        regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1))
-      .withColumn("__rd_tld", regexp_extract(hostCol, "([^.]+)$", 1))
-      .join(broadcast(psl2), col("__rd_last2") === col("psl_suffix"), "left")
-      .join(broadcast(psl3), col("__rd_last3") === col("psl3_suffix"), "left")
-      .withColumn(out,
-        when(col("__rd_last2").isin(snap.exceptions: _*), col("__rd_last2"))
-          .when(col("psl3_suffix").isNotNull && col("__rd_last4") =!= "",
-            col("__rd_last4"))
-          .when((col("psl_suffix").isNotNull ||
-              col("__rd_tld").isin(snap.wildcardTlds: _*)) &&
-              col("__rd_last3") =!= "",
-            col("__rd_last3"))
-          .otherwise(col("__rd_last2")))
-      .drop("__rd_last2", "__rd_last3", "__rd_last4", "__rd_tld",
-        "psl_suffix", "psl3_suffix")
+    // RESOURCE-driven snapshot (src/main/resources/public_suffixes.txt)
+    // by default: the production path's suffix universe is a committed
+    // data file, so full-PSL growth never edits Scala literals.
+    // Spec-pinned equal to the literal fallback the oracles splice
+    // (Wave11Spec); Wave12Spec drives a full-list-shaped snapshot with
+    // 4-/5-label literals and deep wildcards through this same path.
+    val snap = snapshot.getOrElse(PublicSuffixes.fromResource)
+    // list-shaped tiers (literal suffixes at every depth, wildcard bases
+    // of >= 2 labels — hundreds of amazonaws/JP-city entries on the full
+    // list) are broadcast seed frames: the corpus side never moves, each
+    // probe is a map-side hash lookup. The wildcard-TLD and exception
+    // tiers stay inline IN lists — single digits even on the full list.
+    val maxLabels = snap.maxRegistrableLabels
+    def lastCol(k: Int) = s"__rd_last$k"
+    var cur = (1 to maxLabels).foldLeft(df) { (d, k) =>
+      d.withColumn(lastCol(k), lastLabels(hostCol, k))
+    }
+    def markCol(kind: String, depth: Int) = s"__rd_${kind}_$depth"
+    val litDepths = snap.suffixesByDepth.collect { case (k, v) if v.nonEmpty => k }.toSeq.sorted
+    val wildDepths = snap.wildcardBasesByDepth
+      .collect { case (b, v) if b >= 2 && v.nonEmpty => b }.toSeq.sorted
+    for (k <- litDepths) {
+      val seed = snap.suffixesByDepth(k).toDF(markCol("sfx", k))
+      cur = cur.join(broadcast(seed), col(lastCol(k)) === col(markCol("sfx", k)), "left")
+    }
+    for (b <- wildDepths) {
+      val seed = snap.wildcardBasesByDepth(b).toDF(markCol("wc", b))
+      cur = cur.join(broadcast(seed), col(lastCol(b)) === col(markCol("wc", b)), "left")
+    }
+    // verdict CASE mirrors registrableDomainPsl: exceptions (deepest
+    // first), then tier L from deepest down, then the last2 fallback
+    val excWhens = snap.exceptionsByDepth.toSeq.sortBy(-_._1).collect {
+      case (k, names) if names.nonEmpty =>
+        (col(lastCol(k)).isin(names: _*), col(lastCol(k)))
+    }
+    val maxRuleDepth = (snap.suffixesByDepth.keySet ++
+      snap.wildcardBasesByDepth.keySet.map(_ + 1) + 2).max
+    val tierWhens = (maxRuleDepth to 2 by -1).flatMap { l =>
+      val lit = Option.when(litDepths.contains(l))(col(markCol("sfx", l)).isNotNull)
+      val wcDeep = Option.when(wildDepths.contains(l - 1))(col(markCol("wc", l - 1)).isNotNull)
+      val wc1 = Option.when(l == 2 && snap.wildcardTlds.nonEmpty)(
+        col(lastCol(1)).isin(snap.wildcardTlds: _*))
+      (lit ++ wcDeep ++ wc1).reduceOption(_ || _)
+        .map(h => (col(lastCol(l + 1)) =!= "" && h, col(lastCol(l + 1))))
+    }
+    val verdict = (excWhens ++ tierWhens)
+      .foldRight(col(lastCol(2))) { case ((cond, value), rest) => when(cond, value).otherwise(rest) }
+    cur.withColumn(out, verdict)
+      .drop((1 to maxLabels).map(lastCol) ++
+        litDepths.map(markCol("sfx", _)) ++ wildDepths.map(markCol("wc", _)): _*)
   }
 
   /** Domain-blocklist scrub (the C4/Dolma curation rule: drop every

@@ -23,9 +23,9 @@ object PslResourceGen {
     body ++= "// one rule per line, '//' comments, '*.tld' wildcards, '!name' exceptions).\n"
     body ++= "// Compact crawl-volume subset — see PublicSuffixes.scala scope note.\n"
     body ++= "// REGENERATE from the literal Seqs:  sbt \"Test/runMain graft.PslResourceGen\"\n"
-    body ++= "// or swap in a filtered full publicsuffix.org list (the parser accepts\n"
-    body ++= "// 2-/3-label rules, *.tld wildcards, 2-label !exceptions; deeper rules\n"
-    body ++= "// fail loudly). UrlFunctionsSpec pins this file == the literal Seqs.\n"
+    body ++= "// or swap in the FULL downloaded publicsuffix.org list as-is (since\n"
+    body ++= "// round 13 the parser and both promotion paths accept every rule depth\n"
+    body ++= "// the real list contains). Wave11Spec pins this file == the literal Seqs.\n"
     body ++= "\n// --- 2-label public suffixes ---\n"
     s.suffixes2.foreach(r => body ++= s"$r\n")
     body ++= "\n// --- 3-label public suffixes ---\n"

@@ -87,15 +87,28 @@ class Wave11Spec extends SparkSpecBase {
     assert(s.exceptions == Seq("www.ck"))
   }
 
-  test("PSL parser fails loudly on rule shapes the join tiers cannot honor") {
+  test("PSL parser accepts every real-list rule depth (round 13) and keys by depth") {
+    val s = PublicSuffixes.parse(Iterator(
+      "pvt.k12.ma.us",                               // 4-label literal
+      "s3.cn-north-1.amazonaws.com.cn",              // 5-label literal (private section)
+      "*.kawasaki.jp",                               // deep wildcard (base 2)
+      "!city.kawasaki.jp"))                          // 3-label exception
+    assert(s.suffixesByDepth(4) == Seq("pvt.k12.ma.us"))
+    assert(s.suffixesByDepth(5) == Seq("s3.cn-north-1.amazonaws.com.cn"))
+    assert(s.wildcardBasesByDepth(2) == Seq("kawasaki.jp"))
+    assert(s.exceptionsByDepth(3) == Seq("city.kawasaki.jp"))
+    assert(s.maxRegistrableLabels == 6)
+  }
+
+  test("PSL parser still fails loudly on shapes the PSL grammar forbids") {
     intercept[IllegalArgumentException] {
-      PublicSuffixes.parse(Iterator("pvt.k12.ma.us")) // 4-label rule
+      PublicSuffixes.parse(Iterator("foo.*.bar")) // mid-rule wildcard
     }
     intercept[IllegalArgumentException] {
-      PublicSuffixes.parse(Iterator("*.kawasaki.jp")) // deep wildcard
+      PublicSuffixes.parse(Iterator("*.*.jp")) // multi-star
     }
     intercept[IllegalArgumentException] {
-      PublicSuffixes.parse(Iterator("!city.kawasaki.jp")) // 3-label exception
+      PublicSuffixes.parse(Iterator("!com")) // 1-label exception
     }
   }
 
