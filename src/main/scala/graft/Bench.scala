@@ -221,6 +221,28 @@ object Bench {
     val excluded =
       if (twins) "[]"
       else twinEntries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // graph-memo traffic (trade-pairs join+distinct): hits vs recomputes
+    // across the whole run. Expected shape: one recompute per (session
+    // block, dir) the graph legs touch; more means the memo thrashed
+    // (cap eviction or dead-session purges) and the graph legs paid the
+    // join+distinct again — the attribution the round-12 verdict asked
+    // the artifact to carry for g1b/g3 band-reading.
+    val (memoHits, memoRecomputes) = graft.queries.EventGraphQueries.tradePairsMemoStats
+    // the builder's official idle closing run (committed JSON written by
+    // tools/record_closing_board.sh at round close) rides the artifact so
+    // round-over-round comparisons use like-for-like idle numbers instead
+    // of whatever load the driver's single run happened to see. Absent or
+    // malformed file -> null, never a crash (the driver's run must not
+    // depend on builder bookkeeping).
+    val closingBoard = {
+      val f = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_CLOSING_BOARD", "tools/closing_board.json"))
+      val txt =
+        if (!f.isFile) None
+        else try Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .replaceAll("\\s+", " ").trim) catch { case _: Throwable => None }
+      txt.filter(t => t.startsWith("{") && t.endsWith("}")).getOrElse("null")
+    }
     val retried = results.collect { case (k, _, r) if r > 0 => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     // per-class ceilings actually raised above the flat base — the sf0.01
@@ -231,6 +253,8 @@ object Bench {
     val env = s""""sf":"$sfDir","commit":"$commit","cores":$cores,"load_avg_1m":$load,"cold":$cold,""" +
       s""""recycle_every":$blockSize,"passes":$passes,"retry_ceiling_sec":$retryCeiling,""" +
       s""""ceiling_ref":$refTag,""" +
+      s""""graph_memo":{"hits":$memoHits,"recomputes":$memoRecomputes},""" +
+      s""""closing_board":$closingBoard,""" +
       s""""retries":$retried,"n_failed":$nFailed,"twins_excluded":$excluded"""
     // the raised-ceiling map rides the FULL line only — the compact final
     // line must stay inside the driver's bounded stdout tail

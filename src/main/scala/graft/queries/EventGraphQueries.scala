@@ -86,6 +86,21 @@ object EventGraphQueries {
     b.result()
   }
 
+  /** Memo traffic counters, JVM-lifetime: every [[tradePairs]] access is
+    * either a hit (memoized pairs reused) or a recompute (join+distinct+
+    * checkpoint ran). Bench emits both in its JSON env so a per-round
+    * artifact shows whether the graph block recomputed pairs more than
+    * once per (session, dir) — the observable that separates "graph legs
+    * drifted because the memo thrashed" from host noise (round-12 verdict
+    * item: g1b/g3 moved inside the noise band right after the eviction
+    * change; this counter is the cheap attribution). */
+  private val tradePairsAccessCount = new java.util.concurrent.atomic.AtomicLong
+  private val tradePairsRecomputeCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def tradePairsMemoStats: (Long, Long) = {
+    val r = tradePairsRecomputeCount.get()
+    (tradePairsAccessCount.get() - r, r) // (hits, recomputes)
+  }
+
   private def tradePairs(s: SparkSession, d: String): DataFrame = {
     // purge dead sessions first: their blocks died with the executors,
     // the map/queue references were the remaining leak
@@ -95,7 +110,9 @@ object EventGraphQueries {
         tradePairsCache.remove(k): Unit
       }
     }
+    tradePairsAccessCount.incrementAndGet(): Unit
     val (df, _) = tradePairsCache.computeIfAbsent((s, d), { key =>
+      tradePairsRecomputeCount.incrementAndGet(): Unit
       val t = Tables(key._1, key._2)
       val cp = t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
