@@ -260,18 +260,56 @@ object Dedup {
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The band hash of rows-per-band signature columns `hs` — md5-over-
+    * concat when portable (SQL-replayable, string bh), native xxhash64
+    * otherwise (the fast-twin banding). Cast to string either way so the
+    * two variants share the probe-key schema. */
+  private def bandHash(hs: Seq[Column], portable: Boolean): Column =
+    if (portable) md5(concat_ws("|", hs: _*)).cast("string")
+    else xxhash64(hs: _*).cast("string")
+
+  /** Attach the per-band hash columns `bh0..bh{bands-1}` to a signature
+    * frame — the PRE-BANDED index row shape (round 13, st22 probe trim).
+    * Banding costs `bands` hashes per document; an index stored as bare
+    * signatures pays that for its ENTIRE history on EVERY probe batch
+    * (B batches re-band the whole index B times), while an index stored
+    * pre-banded pays it once per document at admit time and the probe
+    * unpivots stored columns. Pure projection, no shuffle; the variant
+    * must match the probe side's `portable` flag ([[bandRows]] detects
+    * the columns and skips recomputation). */
+  def withBandHashCols(
+      sigs: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      portable: Boolean = true): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val bhCols = (0 until bands).map { bIdx =>
+      val hs = (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i"))
+      bandHash(hs, portable).as(s"bh$bIdx")
+    }
+    sigs.select(sigs.columns.map(col).toSeq ++ bhCols: _*)
+  }
+
+  /** True when a signature frame already carries [[withBandHashCols]]'s
+    * pre-banded columns. */
+  private def isPreBanded(sigs: DataFrame, bands: Int): Boolean =
+    (0 until bands).forall(b => sigs.columns.contains(s"bh$b"))
+
   /** Band rows (doc_id, band, bh) of a signature frame — the probe key
-    * layout of the LSH index. `portable = true` hashes bands with
-    * md5-over-concat (SQL-replayable, string bh); `false` uses native
-    * xxhash64 (the fast-twin banding, long bh). The band hash only has to
-    * agree between the index and probe sides, so either works for
+    * layout of the LSH index. A pre-banded frame ([[withBandHashCols]])
+    * unpivots its stored columns instead of re-hashing; otherwise the
+    * band hash is computed inline. The band hash only has to agree
+    * between the index and probe sides, so either variant works for
     * [[incrementalNearDupFromSigs]] as long as both sides pick the same
-    * variant. */
+    * `portable` flag (a pre-banded frame must have been banded with it). */
   private def bandRows(sigs: DataFrame, k: Int, bands: Int, portable: Boolean): DataFrame = {
     val rows = k / bands
+    val pre = isPreBanded(sigs, bands)
     val bandCols = (0 until bands).map { bIdx =>
-      val hs = (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i"))
-      val bh = if (portable) md5(concat_ws("|", hs: _*)).cast("string") else xxhash64(hs: _*).cast("string")
+      val bh =
+        if (pre) col(s"bh$bIdx")
+        else bandHash((bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i")), portable)
       struct(lit(bIdx).as("band"), bh.as("bh"))
     }
     sigs
@@ -381,7 +419,14 @@ object Dedup {
       .join(index.as("b"), col("idx_id") === col("b.doc_id"))
       .select(col("new_id"), col("idx_id"), simExpr.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    val admitted = newSigs.join(
+    // a pre-banded index stays uniformly pre-banded: admitted rows carry
+    // the same bh columns so the caller's append preserves the schema
+    // (and tomorrow's probe keeps skipping the re-band)
+    val admitBase =
+      if (isPreBanded(index, bands) && !isPreBanded(newSigs, bands))
+        withBandHashCols(newSigs, k, bands, portable)
+      else newSigs
+    val admitted = admitBase.join(
       matches.select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     (matches, admitted)

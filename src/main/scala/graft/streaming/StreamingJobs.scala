@@ -1194,8 +1194,13 @@ object StreamingJobs {
           dst.setLastModified(1700000000000L + i * 60000L)
         }
       }
-      // empty index with the signature schema, so batch 0 probes cleanly
-      signaturesOf(docs.limit(0))
+      // empty index with the PRE-BANDED signature schema (bh0..bh7
+      // alongside h0..h31), so batch 0 probes cleanly AND every probe
+      // unpivots stored band hashes instead of re-hashing the whole
+      // index per batch (Dedup.withBandHashCols — admitted deltas come
+      // back pre-banded, keeping the index uniform)
+      Dedup.withBandHashCols(signaturesOf(docs.limit(0)), k = 32, bands = 8,
+          portable = portable)
         .write.mode("overwrite").parquet(idxDir)
       // empty matches frame with the output schema (no-match corpora return
       // an empty-but-typed result instead of a missing dir)

@@ -81,6 +81,40 @@ class Wave12Spec extends SparkSpecBase {
     assert(r.getLong(0) == 3L && r.getString(1) == "a b")
   }
 
+  // ---- pre-banded signature index (st22 probe trim) --------------------
+
+  test("pre-banded signature index probes identically to a bare one") {
+    import graft.operators.Dedup
+    val docs = graft.core.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val idxSigs = Dedup.portableSignatures(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3, k = 32)
+    val probeSigs = Dedup.portableSignatures(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", n = 3, k = 32)
+    def run(index: org.apache.spark.sql.DataFrame) = {
+      val (m, a) = Dedup.incrementalNearDupFromSigs(
+        index, probeSigs, k = 32, bands = 8, threshold = 0.5)
+      (m.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq,
+        a)
+    }
+    val (mBare, aBare) = run(idxSigs)
+    val (mBanded, aBanded) = run(Dedup.withBandHashCols(idxSigs, 32, 8, portable = true))
+    assert(mBare.nonEmpty, "fixture should produce cross-half matches")
+    assert(mBanded == mBare, "stored band hashes must probe identically to recomputed ones")
+    // a banded index keeps itself banded: admitted deltas carry bh cols...
+    assert((0 until 8).forall(b => aBanded.columns.contains(s"bh$b")))
+    // ...with the same doc set either way, and the SAME band hash values
+    // a fresh banding would produce (append-then-probe stays consistent)
+    val admIds = aBanded.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(admIds == aBare.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val rebanded = Dedup.withBandHashCols(
+        aBare.select(probeSigs.columns.map(col).toSeq: _*), 32, 8, portable = true)
+      .selectExpr("doc_id", "bh0", "bh7")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val stored = aBanded.selectExpr("doc_id", "bh0", "bh7")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(stored == rebanded)
+  }
+
   // ---- full-depth PSL ingestion (round-12 verdict items 2 + 7) ---------
 
   /** A real-publicsuffix.org-SHAPED fixture: section markers, bare TLDs,
