@@ -59,15 +59,19 @@ ROUND="$1"
 MERGE_ARGS=()
 
 if [ "${2:-}" = "--incremental" ]; then
-  # the previous round's artifact + the re-run set, decided by the
-  # committed commit stamps (never by builder memory)
+  # the newest green artifact AT OR BEFORE this round + the re-run set,
+  # decided by the committed commit stamps (never by builder memory).
+  # "At" covers the same-round refresh: a localized queries/ edit landed
+  # AFTER this round's full sweep re-runs only its entries and overwrites
+  # the round artifact in place (check_scale re-verifies the merge base
+  # is green and git-clean before carrying anything).
   PLAN=$(python3 - "$ROUND" <<'EOF'
 import glob, json, re, subprocess, sys
 round_now = int(sys.argv[1])
 prevs = []
 for f in glob.glob("SCALE_r*.json"):
     m = re.match(r"SCALE_r(\d+)\.json$", f)
-    if m and int(m.group(1)) < round_now:
+    if m and int(m.group(1)) <= round_now:
         prevs.append((int(m.group(1)), f))
 if not prevs:
     print("FULL no-previous-artifact"); sys.exit()
