@@ -69,9 +69,18 @@ def main():
     # genuinely affected queries. Bare-word matching over-approximates
     # (a name in a comment re-runs a neighbor) — over-running is the
     # conservative direction for this detector.
+    # definitions are extracted from COMMENT-STRIPPED code with the keyword
+    # anchored at a declaration position — prose like "the object is" in a
+    # Scaladoc block otherwise yields junk names ("is", "with") that make
+    # every file affected and collapse the incremental mode to FULL
+    def strip_comments(txt):
+        return re.sub(r"//.*", "", re.sub(r"/\*.*?\*/", "", txt, flags=re.S))
+    decl = re.compile(
+        r"^\s*(?:(?:private|protected|final|case|abstract|sealed|implicit)"
+        r"(?:\[\w+\])?\s+)*(?:object|class|trait)\s+(\w+)", re.M)
     obj_of = {}          # file -> top-level type/object names it defines
     for f, txt in texts.items():
-        obj_of[f] = set(re.findall(r"\b(?:object|class|trait)\s+(\w+)", txt))
+        obj_of[f] = set(decl.findall(strip_comments(txt)))
     affected = set(queries_files)
     grew = True
     while grew:
