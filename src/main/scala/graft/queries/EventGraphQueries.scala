@@ -253,6 +253,31 @@ object EventGraphQueries {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     }),
 
+    "a31_stickiness" -> ((s, d) => {
+      // DAU/WAU stickiness — the product-analytics card sitting directly
+      // on a25's machinery: daily distinct actives over trailing-7-day
+      // distinct actives, per day. The trailing distinct reuses a25's
+      // bounded map-side window expansion (COUNT(DISTINCT) cannot ride a
+      // window frame and a day-grid range join plans as a BNLJ — the ×7
+      // explode is the scale-correct shape); the DAU side is a count
+      // over the already-distinct (day, user) frame. Both reduce to
+      // |days| rows, so the ratio join is trivially small at any SF.
+      val e = Tables(s, d).events
+      val perDay = e.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = e.select(to_date(col("ts")).as("day")).distinct()
+      val dau = perDay.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+      val wau = perDay
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("s"), col("d"))
+        .select(col("user_id"), date_add(col("d"), col("s")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("wau_7d"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau_7d"),
+          round(col("dau").cast("double") / col("wau_7d"), 6).as("stickiness"))
+    }),
+
     "a26_mad_outliers" -> ((s, d) => {
       // Robust outlier card: median absolute deviation with the 1.4826
       // normal-consistency factor (the robust-statistics complement of
@@ -643,6 +668,21 @@ object EventGraphQueries {
         |SELECT CAST(e.day AS VARCHAR) AS day, count(DISTINCT e.user_id) AS au_7d
         |FROM expanded e JOIN days USING (day)
         |GROUP BY 1""".stripMargin,
+    "a31_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM du GROUP BY 1),
+        |expanded AS (
+        |  SELECT du.user_id, du.d + CAST(t.s AS INTEGER) AS day
+        |  FROM du, unnest(range(0, 7)) AS t(s)),
+        |wau AS (
+        |  SELECT e.day, count(DISTINCT e.user_id) AS wau_7d
+        |  FROM expanded e JOIN days USING (day)
+        |  GROUP BY 1)
+        |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau_7d,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau_7d, 6) AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
     "a26_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

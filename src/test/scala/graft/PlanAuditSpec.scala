@@ -93,6 +93,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "a29_cusum_changepoint" -> 2,
     "a2_daily_rollup" -> 1,
     "a30_groupwise_ols" -> 1,
+    "a31_stickiness" -> 6,
     "a3_privacy_rollup" -> 1,
     "a4_quality_union" -> 6,
     "a5_count_distinct" -> 2,
