@@ -268,15 +268,27 @@ object Dedup {
     if (portable) md5(concat_ws("|", hs: _*)).cast("string")
     else xxhash64(hs: _*).cast("string")
 
-  /** Attach the per-band hash columns `bh0..bh{bands-1}` to a signature
-    * frame — the PRE-BANDED index row shape (round 13, st22 probe trim).
-    * Banding costs `bands` hashes per document; an index stored as bare
-    * signatures pays that for its ENTIRE history on EVERY probe batch
-    * (B batches re-band the whole index B times), while an index stored
-    * pre-banded pays it once per document at admit time and the probe
-    * unpivots stored columns. Pure projection, no shuffle; the variant
-    * must match the probe side's `portable` flag ([[bandRows]] detects
-    * the columns and skips recomputation). */
+  /** Column-name prefix of the pre-banded hash columns. The VARIANT AND
+    * PARAMETERS are part of the name (`bh_md5_32_8_0`, not `bh0`): a
+    * pre-banded index probed with a different `portable` flag, k or
+    * bands must NOT be detected as pre-banded — stored hashes from a
+    * different scheme would never collide with the probe side's and the
+    * join would return zero matches silently (every duplicate admitted,
+    * no error). With the parameters in the name a mismatch simply fails
+    * the [[isPreBanded]] probe and [[bandRows]] recomputes from the
+    * always-present h-columns: correct results, one re-band of cost. */
+  private def bandColPrefix(k: Int, bands: Int, portable: Boolean): String =
+    s"bh_${if (portable) "md5" else "xxh"}_${k}_${bands}_"
+
+  /** Attach the per-band hash columns (`bh_<variant>_<k>_<bands>_0..`)
+    * to a signature frame — the PRE-BANDED index row shape (round 13,
+    * st22 probe trim). Banding costs `bands` hashes per document; an
+    * index stored as bare signatures pays that for its ENTIRE history on
+    * EVERY probe batch (B batches re-band the whole index B times),
+    * while an index stored pre-banded pays it once per document at
+    * admit time and the probe unpivots stored columns. Pure projection,
+    * no shuffle; [[bandRows]] detects the matching columns and skips
+    * recomputation. */
   def withBandHashCols(
       sigs: DataFrame,
       k: Int = 32,
@@ -284,31 +296,35 @@ object Dedup {
       portable: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
+    val prefix = bandColPrefix(k, bands, portable)
     val bhCols = (0 until bands).map { bIdx =>
       val hs = (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i"))
-      bandHash(hs, portable).as(s"bh$bIdx")
+      bandHash(hs, portable).as(s"$prefix$bIdx")
     }
     sigs.select(sigs.columns.map(col).toSeq ++ bhCols: _*)
   }
 
   /** True when a signature frame already carries [[withBandHashCols]]'s
-    * pre-banded columns. */
-  private def isPreBanded(sigs: DataFrame, bands: Int): Boolean =
-    (0 until bands).forall(b => sigs.columns.contains(s"bh$b"))
+    * pre-banded columns FOR EXACTLY this (k, bands, portable) scheme. */
+  private def isPreBanded(sigs: DataFrame, k: Int, bands: Int, portable: Boolean): Boolean = {
+    val prefix = bandColPrefix(k, bands, portable)
+    (0 until bands).forall(b => sigs.columns.contains(s"$prefix$b"))
+  }
 
   /** Band rows (doc_id, band, bh) of a signature frame — the probe key
-    * layout of the LSH index. A pre-banded frame ([[withBandHashCols]])
-    * unpivots its stored columns instead of re-hashing; otherwise the
-    * band hash is computed inline. The band hash only has to agree
-    * between the index and probe sides, so either variant works for
-    * [[incrementalNearDupFromSigs]] as long as both sides pick the same
-    * `portable` flag (a pre-banded frame must have been banded with it). */
+    * layout of the LSH index. A frame pre-banded with the SAME
+    * (k, bands, portable) scheme ([[withBandHashCols]]) unpivots its
+    * stored columns instead of re-hashing; any other frame (bare
+    * signatures, or banded under a different scheme) recomputes inline
+    * from the h-columns, so a scheme mismatch can cost a re-band but
+    * never a wrong probe. */
   private def bandRows(sigs: DataFrame, k: Int, bands: Int, portable: Boolean): DataFrame = {
     val rows = k / bands
-    val pre = isPreBanded(sigs, bands)
+    val pre = isPreBanded(sigs, k, bands, portable)
+    val prefix = bandColPrefix(k, bands, portable)
     val bandCols = (0 until bands).map { bIdx =>
       val bh =
-        if (pre) col(s"bh$bIdx")
+        if (pre) col(s"$prefix$bIdx")
         else bandHash((bIdx * rows until (bIdx + 1) * rows).map(i => col(s"h$i")), portable)
       struct(lit(bIdx).as("band"), bh.as("bh"))
     }
@@ -423,7 +439,7 @@ object Dedup {
     // the same bh columns so the caller's append preserves the schema
     // (and tomorrow's probe keeps skipping the re-band)
     val admitBase =
-      if (isPreBanded(index, bands) && !isPreBanded(newSigs, bands))
+      if (isPreBanded(index, k, bands, portable) && !isPreBanded(newSigs, k, bands, portable))
         withBandHashCols(newSigs, k, bands, portable)
       else newSigs
     val admitted = admitBase.join(

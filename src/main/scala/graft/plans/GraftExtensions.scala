@@ -64,6 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(t, n) => TopRepeatedGram(t, literalInt(n, "top_repeated_gram width"))
       case other => throw new IllegalArgumentException(s"top_repeated_gram expects 2 arguments, got ${other.length}")
     }
+    register(ext, "top_repeated_gram_pair",
+      "top_repeated_gram_pair(text, n1, n2) - struct(a, b) of top_repeated_gram at both widths from one tokenization") {
+      case Seq(t, n1, n2) => TopRepeatedGramPair(t,
+        literalInt(n1, "top_repeated_gram_pair width"), literalInt(n2, "top_repeated_gram_pair width"))
+      case other => throw new IllegalArgumentException(s"top_repeated_gram_pair expects 3 arguments, got ${other.length}")
+    }
     register(ext, "normalize_text",
       "normalize_text(text[, form[, lowercase[, collapse_ws]]]) - Unicode canonicalization (NFC/NFD/NFKC/NFKD + lower + whitespace collapse)") {
       case Seq(t) => NormalizeText(t, "NFKC", lowercase = true, collapseWs = true)

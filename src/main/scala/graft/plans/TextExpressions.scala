@@ -175,22 +175,34 @@ object TopRepeatedGram {
   def top_repeated_gram(text: Column, n: Int): Column =
     toCol(TopRepeatedGram(toExpr(text), n))
 
-  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
-    val bytes = text.getBytes
+  def top_repeated_gram_pair(text: Column, n1: Int, n2: Int): Column =
+    toCol(TopRepeatedGramPair(toExpr(text), n1, n2))
+
+  private[plans] val resultType: StructType = StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("g", StringType, nullable = false)))
+
+  /** Token start offsets (0 and every position after a 0x20 byte) plus
+    * the token count — ONE boundary scan shared by every gram width. */
+  private def tokenStarts(bytes: Array[Byte]): (Array[Int], Int) = {
     val len = bytes.length
     var numToks = 1
     var i = 0
     while (i < len) { if (bytes(i) == ' '.toByte) numToks += 1; i += 1 }
-    if (numToks < n) return null
     val starts = new Array[Int](numToks + 1)
     var t = 1
     i = 0
     while (i < len) { if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }; i += 1 }
     starts(numToks) = len + 1 // sentinel: end of token numToks-1 is len
+    (starts, numToks)
+  }
 
+  private def topOf(bytes: Array[Byte], starts: Array[Int], numToks: Int,
+      n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    if (numToks < n) return null
     val count = numToks - n + 1
     val counts = new java.util.HashMap[UTF8String, java.lang.Integer](count * 2)
-    i = 0
+    var i = 0
     while (i < count) {
       val from = starts(i)
       val until = starts(i + n) - 1 // end of token i+n-1
@@ -213,6 +225,50 @@ object TopRepeatedGram {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestCnt.toLong, bestG))
   }
+
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val (starts, numToks) = tokenStarts(bytes)
+    topOf(bytes, starts, numToks, n)
+  }
+
+  /** Both gram widths from ONE tokenization (the t18 shape: the boundary
+    * scan and starts allocation are byte-identical across the 2-gram and
+    * 3-gram calls, so fusing them saves a full extra pass per document). */
+  def computePair(text: UTF8String, n1: Int, n2: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val (starts, numToks) = tokenStarts(bytes)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topOf(bytes, starts, numToks, n1), topOf(bytes, starts, numToks, n2)))
+  }
+}
+
+/** [[TopRepeatedGram]] for TWO gram widths in one pass — returns
+  * `struct(a struct(cnt, g), b struct(cnt, g))` with per-field null below
+  * the respective width's token count. Exists because the Gopher
+  * repetition rules always need the 2-gram AND 3-gram top in the same
+  * projection, and two independent expressions each redo the full
+  * token-boundary scan over the same text. */
+case class TopRepeatedGramPair(child: Expression, n1: Int, n2: Int) extends UnaryExpression {
+  require(n1 >= 1 && n2 >= 1, "gram widths must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("a", TopRepeatedGram.resultType, nullable = true),
+    StructField("b", TopRepeatedGram.resultType, nullable = true)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_repeated_gram_pair expects a string column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TopRepeatedGram.computePair(v.asInstanceOf[UTF8String], n1, n2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.TopRepeatedGram.computePair($s, $n1, $n2);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
 /** Unicode text canonicalization — the first pass of every training-corpus

@@ -245,10 +245,13 @@ object TextQueries {
       // ×10 cost (T18Profile attribution table in BASELINE.md). Tie-break
       // = max count then max gram, identical on both engines (struct-max
       // semantics inside the expression / ORDER BY cnt DESC, g DESC).
-      val t2 = graft.plans.TopRepeatedGram.top_repeated_gram(col("text"), 2)
-      val t3 = graft.plans.TopRepeatedGram.top_repeated_gram(col("text"), 3)
+      // The PAIR form tokenizes once for both widths (the boundary scan
+      // is byte-identical across the 2-/3-gram calls).
+      val tg = graft.plans.TopRepeatedGram.top_repeated_gram_pair(col("text"), 2, 3)
       Tables(s, d).documents
-        .select(col("doc_id"), col("n_chars"), t2.as("t2"), t3.as("t3"))
+        .select(col("doc_id"), col("n_chars"), tg.as("t"))
+        .select(col("doc_id"), col("n_chars"),
+          col("t.a").as("t2"), col("t.b").as("t3"))
         .select(col("doc_id"),
           col("t2.g").as("top_2gram"),
           (col("t2.cnt") * length(col("t2.g")).cast("double") / col("n_chars"))

@@ -1194,11 +1194,13 @@ object StreamingJobs {
           dst.setLastModified(1700000000000L + i * 60000L)
         }
       }
-      // empty index with the PRE-BANDED signature schema (bh0..bh7
-      // alongside h0..h31), so batch 0 probes cleanly AND every probe
-      // unpivots stored band hashes instead of re-hashing the whole
-      // index per batch (Dedup.withBandHashCols — admitted deltas come
-      // back pre-banded, keeping the index uniform)
+      // empty index with the PRE-BANDED signature schema (scheme-tagged
+      // bh_* columns alongside h0..h31), so batch 0 probes cleanly AND
+      // every probe unpivots stored band hashes instead of re-hashing
+      // the whole index per batch (Dedup.withBandHashCols — admitted
+      // deltas come back pre-banded, keeping the index uniform; the
+      // variant/k/bands ride the column names so a mismatched probe
+      // recomputes instead of silently missing)
       Dedup.withBandHashCols(signaturesOf(docs.limit(0)), k = 32, bands = 8,
           portable = portable)
         .write.mode("overwrite").parquet(idxDir)

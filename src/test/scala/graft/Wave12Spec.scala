@@ -75,6 +75,23 @@ class Wave12Spec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"repetition pass must not shuffle:\n$plan")
   }
 
+  test("top_repeated_gram_pair equals two single-width calls (one tokenization)") {
+    val docs = graft.core.Tables(spark, Sf0001).documents.limit(200)
+    val both = docs.select(col("doc_id"),
+        TopRepeatedGram.top_repeated_gram(col("text"), 2).as("s2"),
+        TopRepeatedGram.top_repeated_gram(col("text"), 3).as("s3"),
+        TopRepeatedGram.top_repeated_gram_pair(col("text"), 2, 3).as("p"))
+      .collect()
+    both.foreach { r =>
+      def f(i: Int) = if (r.isNullAt(i)) null
+        else { val s = r.getStruct(i); (s.getLong(0), s.getString(1)) }
+      val p = r.getStruct(3)
+      def pf(i: Int) = if (p.isNullAt(i)) null
+        else { val s = p.getStruct(i); (s.getLong(0), s.getString(1)) }
+      assert(pf(0) == f(1) && pf(1) == f(2), s"pair mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("top_repeated_gram is registered in SQL") {
     val r = spark.sql(
       "SELECT top_repeated_gram('a b a b a b c', 2) AS s").head().getStruct(0)
@@ -100,19 +117,39 @@ class Wave12Spec extends SparkSpecBase {
     val (mBanded, aBanded) = run(Dedup.withBandHashCols(idxSigs, 32, 8, portable = true))
     assert(mBare.nonEmpty, "fixture should produce cross-half matches")
     assert(mBanded == mBare, "stored band hashes must probe identically to recomputed ones")
-    // a banded index keeps itself banded: admitted deltas carry bh cols...
-    assert((0 until 8).forall(b => aBanded.columns.contains(s"bh$b")))
+    // a banded index keeps itself banded: admitted deltas carry the
+    // scheme-tagged bh cols (variant+k+bands ride the NAME so a mismatch
+    // falls back to recompute instead of silently probing wrong)...
+    val bh = (i: Int) => s"bh_md5_32_8_$i"
+    assert((0 until 8).forall(b => aBanded.columns.contains(bh(b))))
     // ...with the same doc set either way, and the SAME band hash values
     // a fresh banding would produce (append-then-probe stays consistent)
     val admIds = aBanded.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(admIds == aBare.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
     val rebanded = Dedup.withBandHashCols(
         aBare.select(probeSigs.columns.map(col).toSeq: _*), 32, 8, portable = true)
-      .selectExpr("doc_id", "bh0", "bh7")
+      .select(col("doc_id"), col(bh(0)), col(bh(7)))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
-    val stored = aBanded.selectExpr("doc_id", "bh0", "bh7")
+    val stored = aBanded.select(col("doc_id"), col(bh(0)), col(bh(7)))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
     assert(stored == rebanded)
+    // scheme mismatch is SAFE, not silent corruption: probing the
+    // md5-banded index with portable=false ignores the stored columns
+    // (different scheme tag), recomputes xxh bands on both sides, and
+    // returns the same match SET the bare xxh probe does
+    val (mXxhOnBanded, _) = {
+      val (m, a) = Dedup.incrementalNearDupFromSigs(
+        Dedup.withBandHashCols(idxSigs, 32, 8, portable = true), probeSigs,
+        k = 32, bands = 8, threshold = 0.5, portable = false)
+      (m.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq, a)
+    }
+    val (mXxhBare, _) = {
+      val (m, a) = Dedup.incrementalNearDupFromSigs(
+        idxSigs, probeSigs, k = 32, bands = 8, threshold = 0.5, portable = false)
+      (m.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq, a)
+    }
+    assert(mXxhOnBanded == mXxhBare,
+      "a scheme-mismatched pre-banded index must recompute, never probe stored hashes")
   }
 
   // ---- full-depth PSL ingestion (round-12 verdict items 2 + 7) ---------
@@ -190,11 +227,29 @@ class Wave12Spec extends SparkSpecBase {
     pslCases.foreach { case (u, want) =>
       assert(got(u) == want, s"broadcast: $u -> ${got(u)}, want $want") }
     // every tier probe must be a broadcast hash join: the corpus side of
-    // a 100 TB crawl never moves for bounded reference data
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange") && !plan.contains("SortMergeJoin"),
-      s"PSL promotion must stay broadcast:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"))
+    // a 100 TB crawl never moves for bounded reference data. Count REAL
+    // ShuffleExchangeExec nodes (AQE off — PlanAudit contract) instead of
+    // string-matching: ShuffleExchangeExec prints as plain "Exchange",
+    // which a "ShuffleExchange" token never matches (vacuous guard), and
+    // a bare "Exchange" match would false-positive on the allowed
+    // BroadcastExchange nodes.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val replanned = graft.functions.UrlFunctions.withRegistrableDomainFromHost(
+        pslCases.map(_._1).toDF("url"),
+        graft.functions.UrlFunctions.urlHost(col("url")), "d", Some(fullSnap))
+      assert(PlanAudit.shuffleCount(replanned) == 0,
+        s"PSL promotion must not shuffle the corpus side:\n${replanned.queryExecution.executedPlan}")
+      val plan = replanned.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => "bhj"
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "smj"
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => "shj"
+      }
+      assert(joins.nonEmpty && joins.forall(_ == "bhj"),
+        s"every PSL tier probe must be a BroadcastHashJoin, got $joins:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("full-depth PSL: committed-resource semantics are unchanged (both paths agree)") {

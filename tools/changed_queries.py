@@ -69,11 +69,17 @@ def main():
     # genuinely affected queries. Bare-word matching over-approximates
     # (a name in a comment re-runs a neighbor) — over-running is the
     # conservative direction for this detector.
-    # definitions are extracted from COMMENT-STRIPPED code with the keyword
-    # anchored at a declaration position — prose like "the object is" in a
-    # Scaladoc block otherwise yields junk names ("is", "with") that make
-    # every file affected and collapse the incremental mode to FULL
+    # definitions are extracted from STRING- then COMMENT-stripped code
+    # with the keyword anchored at a declaration position — Scaladoc prose
+    # like "the object is" otherwise yields junk names ("is", "with") that
+    # make every file affected, and a '/*' INSIDE a string literal (a glob
+    # like "SCALE_r*/*.json", a '/*+ ...' SQL hint in an oracle) would
+    # otherwise swallow every declaration up to the next '*/', dropping
+    # real dependencies from the closure. Strings go first: triple-quoted
+    # blocks (the oracle SQL), then ordinary literals.
     def strip_comments(txt):
+        txt = re.sub(r'"""[\s\S]*?"""', '""', txt)
+        txt = re.sub(r'"(?:\\.|[^"\\\n])*"', '""', txt)
         return re.sub(r"//.*", "", re.sub(r"/\*.*?\*/", "", txt, flags=re.S))
     decl = re.compile(
         r"^\s*(?:(?:private|protected|final|case|abstract|sealed|implicit)"

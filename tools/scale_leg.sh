@@ -107,9 +107,16 @@ EOF
       run_bench "$SF01" /tmp/scale_base.json SPARK_GRAFT_BENCH_QUERIES="$RERUN"
       run_bench "$SF1_DIR" /tmp/scale_x10.json SPARK_GRAFT_BENCH_QUERIES="$RERUN"
     fi
+    # gate into a TEMP artifact first and only install over
+    # SCALE_r<N>.json at the end: in the same-round refresh PREV_FILE IS
+    # the output path, and writing the first (possibly red) attempt
+    # directly would clobber the committed green merge base — the retry
+    # invocation below would then refuse its own --merge-base as dirty/
+    # not-green and the retry discipline could never exonerate anything
+    TRY=/tmp/scale_incr_try.json
     set +e
     python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
-      "${MERGE_ARGS[@]}" --json "SCALE_r${ROUND}.json" --round "$ROUND"
+      "${MERGE_ARGS[@]}" --json "$TRY" --round "$ROUND"
     rc=$?
     set -e
     if [ $rc -ne 0 ]; then
@@ -118,7 +125,7 @@ EOF
       # red artifact would force the NEXT round back to the full sweep)
       SUSPECTS=$(python3 -c "
 import json
-print(','.join(sorted(v['query'] for v in json.load(open('SCALE_r${ROUND}.json'))['violations'])))")
+print(','.join(sorted(v['query'] for v in json.load(open('$TRY'))['violations'])))")
       echo "[scale] isolated re-run of suspects (incremental): $SUSPECTS"
       run_bench "$SF01" /tmp/scale_base_retry.json SPARK_GRAFT_BENCH_QUERIES="$SUSPECTS"
       run_bench "$SF1_DIR" /tmp/scale_x10_retry.json SPARK_GRAFT_BENCH_QUERIES="$SUSPECTS"
@@ -126,10 +133,14 @@ print(','.join(sorted(v['query'] for v in json.load(open('SCALE_r${ROUND}.json')
       python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
         "${MERGE_ARGS[@]}" \
         --retry-base /tmp/scale_base_retry.json --retry-x10 /tmp/scale_x10_retry.json \
-        --json "SCALE_r${ROUND}.json" --round "$ROUND"
+        --json "$TRY" --round "$ROUND"
       rc=$?
       set -e
     fi
+    # install the final verdict (green or red — a red final state must be
+    # visible in the tree; `git checkout` restores the old green base if
+    # the builder decides to investigate instead of committing)
+    mv "$TRY" "SCALE_r${ROUND}.json"
     echo "[scale] wrote SCALE_r${ROUND}.json (rc=$rc, incremental)"
     exit $rc
   fi
