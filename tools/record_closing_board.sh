@@ -19,6 +19,18 @@ ROUND="${1:?usage: record_closing_board.sh <round>}"
 OUT=tools/closing_board.json
 LINE=/tmp/closing_board_line.json
 
+# fail FAST on a dirty tree instead of discovering it from the bench
+# line's +dirty stamp after a wasted ~10-minute run — in particular,
+# $OUT itself from a previous uncommitted attempt counts as dirt (it is
+# a Bench INPUT): commit it or `git checkout` it first
+if ! python3 -c "
+import sys; sys.path.insert(0, 'tools')
+from git_commit import commit_stamp
+sys.exit(1 if '+dirty' in commit_stamp() else 0)"; then
+  echo "[closing-board] tree is dirty (stamp would read +dirty) — commit or restore first" >&2
+  exit 1
+fi
+
 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" \
   | grep '"metric":"total_full"' | sed 's/^\[info\] //' > "$LINE"
