@@ -32,11 +32,34 @@ object Bench {
 
   /** Portable-oracle twins excluded from the timed pass by default (see
     * the comment at the use site). Exposed so BenchRefSpec can assert the
-    * committed retry-ceiling reference covers exactly the timed board. */
+    * committed retry-ceiling reference covers exactly the timed board.
+    * st22 joined in round 14 (verdict item 2): ~3.5 s of its wall is md5
+    * signature math that exists only so DuckDB can replay the index —
+    * st22b (xxhash64, the production path) holds the timed slot; st22
+    * stays fully hash-graded in Verify/CORRECTNESS like the other twins. */
   val TwinEntries: Set[String] =
-    Set("t5b_rolling_fingerprint_portable", "d2b_minhash_portable", "d13_corpus_overlap")
+    Set("t5b_rolling_fingerprint_portable", "d2b_minhash_portable", "d13_corpus_overlap",
+      "st22_stream_incremental_neardup")
+
+  /** (steal, total) jiffy counters from /proc/stat's aggregate cpu line —
+    * field 8 is time stolen by the hypervisor. Sampled at run start and
+    * end so the artifact self-labels hot runs (round-13 verdict item 4:
+    * the driver sweep read +43% purely from steal and only commit-message
+    * prose said so). None off-Linux / on parse failure — the metric must
+    * never fail a bench run. */
+  private def stealSample(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        src.getLines().find(_.startsWith("cpu ")).flatMap { l =>
+          val f = l.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
+          if (f.length >= 8) Some((f(7), f.sum)) else None
+        }
+      } finally src.close()
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
+    val stealStart = stealSample()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_BENCH_COLD=1 skips every warmup so the timed pass absorbs
     // one-time JIT/codegen/footer-cache costs — the cold single-pass number
@@ -228,6 +251,22 @@ object Bench {
     // join+distinct again — the attribution the round-12 verdict asked
     // the artifact to carry for g1b/g3 band-reading.
     val (memoHits, memoRecomputes) = graft.queries.EventGraphQueries.tradePairsMemoStats
+    // every registered FrameMemo (graph trade-pairs + the round-14 EM mart
+    // and BM25-score memos): hits vs recomputes per memo — the observable
+    // that separates "leg drifted because its shared frame recomputed"
+    // from host noise, generalized from graph_memo
+    val frameMemo = graft.core.FrameMemo.allStats
+      .map { case (n, h, r) => s""""$n":{"hits":$h,"recomputes":$r}""" }
+      .mkString("{", ",", "}")
+    // hypervisor-steal delta across the whole run: jiffies stolen / total
+    // jiffies elapsed — cross-round tooling can discount hot runs
+    // mechanically instead of band-reading load_avg
+    val stealJson = (stealStart, stealSample()) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        val pct = (s1 - s0).toDouble / (t1 - t0) * 100.0
+        s"""{"ticks":${s1 - s0},"pct":${fmt(pct, 2)}}"""
+      case _ => "null"
+    }
     // the builder's official idle closing run (committed JSON written by
     // tools/record_closing_board.sh at round close) rides the artifact so
     // round-over-round comparisons use like-for-like idle numbers instead
@@ -261,7 +300,9 @@ object Bench {
         num("load_avg_1m"), commitField) match {
         case (Some(r), Some(v), Some(n), Some(pq), load, Some(c)) =>
           s"""{"round":$r,"value_sec":$v,"n_queries":$n,"per_query_sec":$pq,""" +
-            s""""load_avg_1m":${load.getOrElse("null")},"n_retried":${nRetried.getOrElse(0)},""" +
+            s""""load_avg_1m":${load.getOrElse("null")},""" +
+            s""""steal_pct":${num("steal_pct").getOrElse("null")},""" +
+            s""""n_retried":${nRetried.getOrElse(0)},""" +
             s""""commit":"$c"}"""
         case _ => "null"
       }
@@ -277,6 +318,7 @@ object Bench {
       s""""recycle_every":$blockSize,"passes":$passes,"retry_ceiling_sec":$retryCeiling,""" +
       s""""ceiling_ref":$refTag,""" +
       s""""graph_memo":{"hits":$memoHits,"recomputes":$memoRecomputes},""" +
+      s""""frame_memo":$frameMemo,"steal":$stealJson,""" +
       s""""closing_board":$closingBoard,""" +
       s""""retries":$retried,"n_failed":$nFailed,"twins_excluded":$excluded"""
     // the raised-ceiling map rides the FULL line only — the compact final

@@ -132,11 +132,43 @@ object Marts {
 
     // day-bucketed interval join (IntervalJoin.byDay shape, alerts as the
     // interval side): alerts exploded over covered days, observations
-    // equi-joined on the day key; CO bounding-box gate in the join condition
+    // equi-joined on the day key; CO bounding-box gate in the join condition.
+    //
+    // Round-14 physical rewrite (EmProfile attribution: this join was ~79%
+    // of em_api_performance's ×10 scale leg): the day key has only ~90
+    // distinct values and the box gate depends ONLY on the station, so the
+    // raw join fanned every in-box station-day out over every CO alert
+    // alive that day (~stations × alerts-per-day rows) before a window
+    // kept the top-1 per (station, day). The winning alert is the SAME for
+    // every in-box station on a given day, so the top-1 reduce moves to
+    // the alert side FIRST — one tiny per-day aggregate (struct-min over
+    // the identical (priority, event-name) ordering the window used; the
+    // trailing alert_id makes the min total, and tied rows surface
+    // identical outputs because risk_level is bijective with priority and
+    // the tie key IS the event name) — then ≤ 1 row per day broadcast-
+    // joins the 144k station-days. Zero fanout, no dedup window, and the
+    // output rows are value-identical (the DuckDB oracle still replays
+    // the window form).
     val inCoBox = col("latitude").between(37.0, 41.0) && col("longitude").between(-109.0, -102.0)
     val alertDays = alerts.withColumn("alert_day", explode(sequence(col("effective_date"), col("end_date"))))
+    val topAlertByDay = alertDays
+      .groupBy(col("alert_day"))
+      .agg(min(struct(
+        when(col("alert_risk_level") === "CRITICAL", 1)
+          .when(col("alert_risk_level") === "HIGH", 2)
+          .when(col("alert_risk_level") === "MEDIUM", 3)
+          .otherwise(4).as("p"),
+        coalesce(col("weather_event"), lit("~")).as("t"),
+        col("alert_id").as("alert_id"),
+        col("weather_event").as("weather_event"),
+        col("alert_risk_level").as("alert_risk_level"))).as("best"))
+      .select(col("alert_day"),
+        col("best.alert_id").as("alert_id"),
+        col("best.weather_event").as("weather_event"),
+        col("best.alert_risk_level").as("alert_risk_level"))
     val withAlerts = daily
-      .join(alertDays, daily("observation_date") === alertDays("alert_day") && inCoBox, "left")
+      .join(broadcast(topAlertByDay),
+        daily("observation_date") === topAlertByDay("alert_day") && inCoBox, "left")
 
     withAlerts
       .select(
@@ -169,15 +201,9 @@ object Marts {
         lit(runTs).as("analysis_timestamp"),
         col("last_processed_at")
       )
-      // one row per (station, day): keep the highest-risk concurrent alert
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("impact_id").orderBy(
-          when(col("concurrent_alert_risk") === "CRITICAL", 1)
-            .when(col("concurrent_alert_risk") === "HIGH", 2)
-            .when(col("concurrent_alert_risk") === "MEDIUM", 3)
-            .otherwise(4),
-          coalesce(col("concurrent_alert_type"), lit("~")))))
-      .filter(col("__rn") === 1).drop("__rn")
+      // one row per (station, day) by construction: the alert side was
+      // pre-reduced to ≤ 1 row per day above, so the old top-1 dedup
+      // window (an exchange + sort over the fanned-out join) is gone
       .withColumn("total_impact_score",
         col("temperature_impact_score") + col("precipitation_impact_score") + col("wind_impact_score"))
       .withColumn("impact_category",

@@ -11,19 +11,22 @@ package graft.functions
   * `.co.uk` site into one "domain" — the wrong key for per-domain quotas
   * (x18) and crawl dedup on any real corpus.
   *
-  * Scope of the COMMITTED snapshot: the 2-label entries for the ccTLDs
-  * that dominate crawl volume, plus (round 10) the 3-label tier for the
-  * registries that use it (Australian state second-level domains, US
-  * `k12/cc/lib.<state>.us`), the wildcard-TLD rules (`*.ck`-class: EVERY
-  * 2-label name under the TLD is a public suffix), and their exceptions
-  * (`!www.ck`). The full list's remaining depth (4-label
-  * `pvt.k12.ma.us`-class, per-city JP wildcards `*.kawasaki.jp` with
-  * `!city.kawasaki.jp` exceptions, 5-label private-section entries) has
-  * negligible crawl share, so it stays out of the committed snapshot —
-  * but since round 13 [[parse]] and both promotion paths handle EVERY
-  * depth, so swapping in the full downloaded publicsuffix.org list is a
-  * data-file edit that round-trips as-is (Wave12Spec pins a real-list-
-  * shaped fixture end to end). Every 1-label TLD is implicitly a public
+  * Two snapshots ship:
+  *
+  *   - the RESOURCE ([[fromResource]], `public_suffixes.txt`): since
+  *     round 14 the verbatim FULL publicsuffix.org list (~9.5k rules —
+  *     literals at depths 2-5, wildcard bases at depths 1-4, exceptions
+  *     at 2-3). The production broadcast-join path and the t24/t25 SQL
+  *     oracles both derive from it.
+  *   - the LITERAL Seqs below ([[literalSnapshot]]): the compact curated
+  *     subset (high-crawl-share ccTLD tiers + the wildcard/exception
+  *     shapes), kept as the inline-`IN`-list default of
+  *     [[UrlFunctions.registrableDomainPsl]] — the full list belongs in
+  *     broadcast seed frames, not in every task's expression tree — and
+  *     as the fixture vocabulary of the planted url universes.
+  *
+  * [[parse]] and both promotion paths handle EVERY rule depth the real
+  * list contains (round 13). Every 1-label TLD is implicitly a public
   * suffix — that is the 2-label fallback rule, not a list entry.
   */
 object PublicSuffixes {
@@ -201,20 +204,27 @@ object PublicSuffixes {
         }
       }
     }
+    // .distinct per tier: the contract is "swap in the full downloaded
+    // list as-is", and a duplicated rule line would otherwise become
+    // duplicate seed-frame rows whose broadcast left-joins silently
+    // MULTIPLY matching corpus rows (round-13 advice finding)
     def freeze(m: mutable.SortedMap[Int, mutable.Builder[String, Seq[String]]]) =
-      m.iterator.map { case (k, b) => k -> b.result() }.toMap
+      m.iterator.map { case (k, b) => k -> b.result().distinct }.toMap
     Snapshot(freeze(sfx), freeze(wild), freeze(exc))
   }
 
-  /** The COMMITTED resource snapshot (`src/main/resources/public_suffixes.txt`,
-    * source-list format) — the production input of the broadcast-join
-    * path, so growing toward full-PSL coverage is a data-file edit, not a
-    * Scala-literal edit. Regenerate from the literal Seqs with
-    * `sbt "Test/runMain graft.PslResourceGen"`, or swap in a filtered
-    * full publicsuffix.org list (same syntax). UrlFunctionsSpec pins
-    * resource == literal tier-for-tier, so the SQL oracles (spliced from
-    * the literals) and the broadcast path can never desynchronize
-    * silently. */
+  /** The COMMITTED resource snapshot (`src/main/resources/public_suffixes.txt`)
+    * — since round 14 the VERBATIM full publicsuffix.org list (the
+    * round-13 parser generality made the swap a data-file edit; this
+    * copy is the Debian `publicsuffix` package's
+    * `/usr/share/publicsuffix/public_suffix_list.dat`, MPL-2.0, header
+    * retained in the file). It is the production input of the
+    * broadcast-join path AND the single source the t24/t25 SQL oracles
+    * replay from (TextQueries dumps the parsed tiers to a parquet
+    * fixture the DuckDB side joins — both engines read one snapshot, so
+    * they can never desynchronize silently; Wave11Spec pins the
+    * full-list shape and the compact [[literalSnapshot]]'s planted-
+    * universe tiers being present). */
   lazy val fromResource: Snapshot = {
     val in = Option(getClass.getResourceAsStream("/public_suffixes.txt"))
       .getOrElse(throw new IllegalStateException(

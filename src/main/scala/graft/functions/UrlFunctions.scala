@@ -108,10 +108,16 @@ object UrlFunctions {
     *   3. fallback: last two labels (every bare TLD is implicitly a
     *      public suffix).
     *
-    * A host that IS a bare public suffix (`co.uk`, `act.edu.au` itself)
-    * falls through to the next-shorter form rather than returning '' —
+    * A host that IS a bare public suffix (`co.uk`, `act.edu.au`,
+    * `foo.kawasaki.jp` under `*.kawasaki.jp`) keys to ITSELF rather than
+    * returning '' (the official algorithm's "no registrable domain") —
     * such hosts don't occur as page hosts on a real crawl, and '' would
-    * silently merge them all.
+    * silently merge them all. Since round 14 the self-key is explicit in
+    * the tier branch (a hit with no deeper label present keys to the
+    * matched suffix), closing the round-13 advice finding where a
+    * wildcard-DERIVED bare suffix fell through to the wildcard base
+    * (merging foo/bar.kawasaki.jp) while literal-suffix hosts self-keyed
+    * — one convention for every rule shape now.
     *
     * The suffix tests compile to `IN` lists over the snapshot —
     * map-side O(1), fine at the committed snapshot size. For the FULL
@@ -138,7 +144,14 @@ object UrlFunctions {
       val hit = (Option.when(lit.nonEmpty)(last(l).isin(lit: _*)) ++
         Option.when(wild.nonEmpty)(last(l - 1).isin(wild: _*)))
         .reduceOption(_ || _)
-      hit.map(h => (last(l + 1) =!= "" && h, last(l + 1)))
+      // `last(l) =!= ""` guards the wildcard arm: a host that merely IS
+      // the wildcard base (kawasaki.jp itself, L-1 labels) matches the
+      // base test but has no L-label suffix — it must fall through, not
+      // self-key to ''. A literal hit implies last(l) nonempty already.
+      // A hit with no deeper label means the host IS the public suffix:
+      // key it to itself (same convention every rule shape).
+      hit.map(h => (last(l) =!= "" && h,
+        when(last(l + 1) =!= "", last(l + 1)).otherwise(last(l))))
     }
     (excWhens ++ tierWhens)
       .foldRight(last(2)) { case ((cond, value), rest) => when(cond, value).otherwise(rest) }
@@ -217,8 +230,13 @@ object UrlFunctions {
       val wcDeep = Option.when(wildDepths.contains(l - 1))(col(markCol("wc", l - 1)).isNotNull)
       val wc1 = Option.when(l == 2 && snap.wildcardTlds.nonEmpty)(
         col(lastCol(1)).isin(snap.wildcardTlds: _*))
+      // same tier branch as registrableDomainPsl: `lastCol(l) =!= ""`
+      // guards a host that merely IS a wildcard base (no L-label suffix
+      // exists); a hit with no deeper label self-keys — the host IS the
+      // public suffix, one convention for every rule shape (round 14)
       (lit ++ wcDeep ++ wc1).reduceOption(_ || _)
-        .map(h => (col(lastCol(l + 1)) =!= "" && h, col(lastCol(l + 1))))
+        .map(h => (col(lastCol(l)) =!= "" && h,
+          when(col(lastCol(l + 1)) =!= "", col(lastCol(l + 1))).otherwise(col(lastCol(l)))))
     }
     val verdict = (excWhens ++ tierWhens)
       .foldRight(col(lastCol(2))) { case ((cond, value), rest) => when(cond, value).otherwise(rest) }

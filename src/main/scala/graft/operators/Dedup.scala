@@ -295,6 +295,11 @@ object Dedup {
       bands: Int = 8,
       portable: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    // idempotent on an already-banded frame: a second application would
+    // append DUPLICATE bh columns, turning every later col() reference
+    // into an AnalysisException (internal callers are guarded; the
+    // public API must be too)
+    if (isPreBanded(sigs, k, bands, portable)) return sigs
     val rows = k / bands
     val prefix = bandColPrefix(k, bands, portable)
     val bhCols = (0 until bands).map { bIdx =>

@@ -38,7 +38,20 @@ object Retrieval {
     * and unranked).
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromScores(bm25Scores(docs, queries, idCol, textCol, k1, b), k)
+
+  /** The k-free half of [[bm25TopK]]: the per-(query, candidate-doc)
+    * BM25 score frame — everything proportional to the corpus (both
+    * tokenize scans, the one postings exchange, the score reduce) and
+    * nothing proportional to k. Split out (round 14) so callers that
+    * rank the SAME query set at different k (s8 at 10, s9's lexical arm
+    * at 20) or across repeated batches can build this once — at 100 TB
+    * the postings index is a materialized table probed per query batch,
+    * never rebuilt per query ([[graft.core.FrameMemo]] is the bench-
+    * session analog). */
+  def bm25Scores(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = split(col(textCol), " ", -1)
 
     // (query_id, term) distinct — the broadcast side. Small by contract.
@@ -72,14 +85,19 @@ object Retrieval {
     val norm = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl")))
     val termScore = idf * (col("tf") * (lit(k1) + lit(1.0))) / norm
 
-    val scored = postings
+    postings
       .join(broadcast(df), Seq("term"))
       .join(broadcast(queryTerms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(termScore), 6).as("score"))
+  }
 
+  /** The k-dependent half of [[bm25TopK]]: rank a [[bm25Scores]] frame
+    * and keep the top k per query — one window over the (bounded)
+    * candidate frame, WindowGroupLimit-prunable map-side. */
+  def bm25TopKFromScores(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     scored
       .withColumn("rank", row_number().over(w))

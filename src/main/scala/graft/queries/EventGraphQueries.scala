@@ -29,121 +29,40 @@ object EventGraphQueries {
     * order-free. Keyed by (session, dir) so Verify/Bench session
     * recycling and multi-SF runs can't cross wires.
     *
-    * Lifecycle (bounded, not until-JVM-death): each entry carries the
-    * checkpointed RDD handle so its blocks are releasable —
-    * [[releaseTradePairs]] frees one session's entries (call on session
-    * recycle), every access purges entries whose session has stopped
-    * (their blocks died with the executor; the map reference was the
-    * leak), and insertion beyond [[TradePairsMaxEntries]] drops the
-    * oldest entry — reference-drop only, no eager unpersist, so an
-    * in-flight caller holding the evicted DataFrame keeps its blocks
-    * (the ContextCleaner reclaims them once unreferenced). Eviction only
-    * costs the next caller the join+distinct recompute — results are
-    * unaffected. */
-  private val TradePairsMaxEntries = 8
-  private val tradePairsCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), (DataFrame, org.apache.spark.rdd.RDD[_])]()
-  /** Insertion order for the max-entries eviction (oldest first). */
-  private val tradePairsOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String)]()
-
-  /** The persisted RDD behind an eagerly localCheckpoint'd Dataset — the
-    * handle unpersist needs (Dataset.unpersist only covers CacheManager
-    * entries, not checkpoint blocks). Fails loudly if the plan shape ever
-    * stops being a LogicalRDD: a silently un-releasable entry would
-    * reintroduce the unbounded-growth bug this cap exists to close. */
-  private def checkpointedRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
-    org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd(df).getOrElse(
-      throw new IllegalStateException(
-        "expected LogicalRDD behind localCheckpoint for the trade-pairs memo"))
+    * Mechanics (bounded lifecycle, dead-session purge, hit/recompute
+    * counters) live in [[graft.core.FrameMemo]] — this was the original
+    * instance, factored out in round 14 so the EM mart frames and the
+    * retrieval postings index share the proven implementation. */
+  private val tradePairsMemo = graft.core.FrameMemo("trade_pairs")
 
   /** Release hook: frees the checkpoint blocks and map entries of one
     * session — or, with the None default, of EVERY entry, live sessions
     * included. Call when recycling a long-lived session, and only when no
     * previously-returned graph DataFrame is still in flight: the blocks
-    * are unpersisted EAGERLY here (the recycle contract — Wave11Spec pins
-    * it) and a localCheckpoint's truncated lineage cannot recompute them
-    * for a concurrent reader. The next access recomputes from source;
-    * results are unaffected. */
-  private[graft] def releaseTradePairs(session: Option[SparkSession] = None): Unit = {
-    val it = tradePairsCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, _) = (e.getKey._1, e.getKey._2)
-      if (session.forall(_ eq s)) {
-        if (!s.sparkContext.isStopped) e.getValue._2.unpersist(blocking = false): Unit
-        tradePairsOrder.remove(e.getKey): Unit
-        it.remove()
-      }
-    }
-  }
+    * are unpersisted EAGERLY (the recycle contract — Wave11Spec pins it)
+    * and a localCheckpoint's truncated lineage cannot recompute them for
+    * a concurrent reader. The next access recomputes from source; results
+    * are unaffected. */
+  private[graft] def releaseTradePairs(session: Option[SparkSession] = None): Unit =
+    tradePairsMemo.release(session)
 
   /** Test hook: ids of the currently-memoized checkpoint RDDs. */
-  private[graft] def tradePairsRddIds: Set[Int] = {
-    val b = Set.newBuilder[Int]
-    tradePairsCache.values().forEach(v => b += v._2.id)
-    b.result()
-  }
+  private[graft] def tradePairsRddIds: Set[Int] = tradePairsMemo.rddIds
 
-  /** Memo traffic counters, JVM-lifetime: every [[tradePairs]] access is
-    * either a hit (memoized pairs reused) or a recompute (join+distinct+
-    * checkpoint ran). Bench emits both in its JSON env so a per-round
-    * artifact shows whether the graph block recomputed pairs more than
-    * once per (session, dir) — the observable that separates "graph legs
-    * drifted because the memo thrashed" from host noise (round-12 verdict
-    * item: g1b/g3 moved inside the noise band right after the eviction
-    * change; this counter is the cheap attribution). */
-  private val tradePairsAccessCount = new java.util.concurrent.atomic.AtomicLong
-  private val tradePairsRecomputeCount = new java.util.concurrent.atomic.AtomicLong
-  private[graft] def tradePairsMemoStats: (Long, Long) = {
-    val r = tradePairsRecomputeCount.get()
-    (tradePairsAccessCount.get() - r, r) // (hits, recomputes)
-  }
+  /** Memo traffic counters, JVM-lifetime (hits, recomputes) — Bench emits
+    * both so a per-round artifact shows whether the graph block recomputed
+    * pairs more than once per (session, dir); see [[graft.core.FrameMemo.stats]]. */
+  private[graft] def tradePairsMemoStats: (Long, Long) = tradePairsMemo.stats
 
-  private def tradePairs(s: SparkSession, d: String): DataFrame = {
-    // purge dead sessions first: their blocks died with the executors,
-    // the map/queue references were the remaining leak
-    tradePairsCache.keySet().forEach { k =>
-      if (k._1.sparkContext.isStopped) {
-        tradePairsOrder.remove(k): Unit
-        tradePairsCache.remove(k): Unit
-      }
-    }
-    tradePairsAccessCount.incrementAndGet(): Unit
-    val (df, _) = tradePairsCache.computeIfAbsent((s, d), { key =>
-      tradePairsRecomputeCount.incrementAndGet(): Unit
-      val t = Tables(key._1, key._2)
-      val cp = t.orders.select(col("o_orderkey"), col("o_custkey"))
+  private def tradePairs(s: SparkSession, d: String): DataFrame =
+    tradePairsMemo.get(s, d) {
+      val t = Tables(s, d)
+      t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
         .distinct()
-        .localCheckpoint(true)
-      tradePairsOrder.add(key): Unit
-      (cp, checkpointedRdd(cp))
-    })
-    // bounded footprint: beyond the cap, the oldest live entry goes.
-    // The attempt bound makes the loop total even if queue/map desync
-    // (the only re-added key is the one being served).
-    var attempts = tradePairsOrder.size
-    while (tradePairsCache.size > TradePairsMaxEntries && attempts > 0) {
-      attempts -= 1
-      val oldest = tradePairsOrder.poll()
-      if (oldest == null) attempts = 0
-      else if (oldest != ((s, d))) {
-        // drop the entry WITHOUT an explicit unpersist: a DataFrame handed
-        // out before the eviction may still reference these blocks, and a
-        // localCheckpoint's truncated lineage cannot recompute them — an
-        // eager unpersist would crash that in-flight caller, not slow it.
-        // Dropping the map's strong reference is enough: the ContextCleaner
-        // (localCheckpoint persists, so the RDD is registered for cleanup)
-        // unpersists the blocks once no live handle references them.
-        tradePairsCache.remove(oldest): Unit
-      } else tradePairsOrder.add(oldest): Unit // never evict the entry being served
     }
-    df
-  }
 
   /** The symmetrized (undirected) form g1/g2 run on. */
   private def tradeEdgesSym(s: SparkSession, d: String): DataFrame = {

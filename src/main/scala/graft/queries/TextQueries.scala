@@ -437,6 +437,7 @@ object TextQueries {
       // variant and the 2-label extract) — not re-derived from the url
       // on each output column.
       val id = col("doc_id")
+      ensurePslRules(s)
       UrlFunctions.withRegistrableDomainFromHost(
         Tables(s, d).documents.select(id, pslUrl(id).as("url"))
           .withColumn("host", UrlFunctions.urlHost(col("url"))),
@@ -456,6 +457,7 @@ object TextQueries {
       // broadcast joins (PSL promote, anti-join drop), zero exchanges —
       // at 100 TB survivors stream through map-side.
       val id = col("doc_id")
+      ensurePslRules(s)
       val base = Tables(s, d).documents.select(id, pslUrl(id).as("url"))
         .withColumn("host", UrlFunctions.urlHost(col("url")))
       UrlFunctions.filterBlockedDomains(
@@ -1024,46 +1026,99 @@ object TextQueries {
        |    ${wwwStripCaseSql("hostnp")} AS host
        |  FROM h0)""".stripMargin
 
-  /** Shared tier CTEs for the PSL oracles (t24/t25): the 2-/3-label
-    * VALUES seeds (inlined FROM THE SAME Scala Seqs — one source of
-    * truth, so a snapshot edit can never desynchronize the two sides),
-    * the per-host label extracts, and the two LEFT JOINs. Emits CTEs
-    * `psl2/psl3/e/j`; `j` carries doc_id, url, host, last2..last4, tld,
-    * s2hit, s3hit. Assumes `h(doc_id, url, host)` exists (spliced after
+  /** The snapshot both PSL sides derive from — the committed FULL
+    * publicsuffix.org resource (round 14; the Spark side's
+    * withRegistrableDomainFromHost default). */
+  private def pslSnap = graft.functions.PublicSuffixes.fromResource
+
+  /** Rules-dump fixture shared with the DuckDB oracle (the em-fixtures
+    * pattern): the parsed resource tiers written ONCE per JVM as
+    * (kind, depth, rule) parquet, so the oracle's per-depth joins read
+    * the EXACT rule set the engine broadcasts — ~9.5k rules would bloat
+    * oracle_sql.json as VALUES splices, and two hand-kept copies are the
+    * desync bug the one-construction-site rule exists to prevent.
+    * Written during t24/t25 query execution (Verify runs queries before
+    * dumping oracle_sql.json — the em FixtureDir precedent). */
+  private[queries] val PslRulesDir = "/tmp/graft_psl_rules"
+  @volatile private var pslRulesWritten = false
+  private def ensurePslRules(s: SparkSession): Unit = synchronized {
+    if (!pslRulesWritten) {
+      val snap = pslSnap
+      def rows(kind: String, m: Map[Int, Seq[String]]) =
+        m.toSeq.sortBy(_._1).flatMap { case (depth, rules) =>
+          rules.sorted.map(r => (kind, depth, r)) }
+      import s.implicits._
+      (rows("sfx", snap.suffixesByDepth) ++ rows("wc", snap.wildcardBasesByDepth) ++
+        rows("exc", snap.exceptionsByDepth))
+        .toDF("kind", "depth", "rule")
+        .coalesce(1) // single file: deterministic oracle read, fixture-size data
+        .write.mode("overwrite").parquet(s"$PslRulesDir/rules.parquet")
+      pslRulesWritten = true
+    }
+  }
+
+  /** Shared tier CTEs for the PSL oracles (t24/t25), generated from
+    * [[pslSnap]]'s ACTUAL depth keys: per-host lastK label extracts up
+    * to the snapshot's deepest registrable form, one LEFT JOIN per
+    * populated literal depth (`sfx<k>` marks) and wildcard-base depth
+    * (`wc<b>` marks) against the [[ensurePslRules]] parquet. Emits CTEs
+    * `pslr/e/j`; `j` carries doc_id, url, host, last1..lastM and the
+    * hit marks. Assumes `h(doc_id, url, host)` exists (spliced after
     * [[pslUrlHostCtesSql]]). */
   private def pslTierCtesSql: String = {
-    val v2 = graft.functions.PublicSuffixes.suffixes2
-      .map(s => s"('$s')").mkString(", ")
-    val v3 = graft.functions.PublicSuffixes.suffixes3
-      .map(s => s"('$s')").mkString(", ")
-    s"""psl2(suffix) AS (VALUES $v2),
-       |psl3(suffix3) AS (VALUES $v3),
+    val snap = pslSnap
+    val maxL = snap.maxRegistrableLabels
+    val lastExtracts = (1 to maxL).map { k =>
+      val pat = Seq.fill(k)("[^.]+").mkString("\\.")
+      s"regexp_extract(host, '($pat)$$', 1) AS last$k"
+    }.mkString(",\n    ")
+    val litDepths = snap.suffixesByDepth.collect { case (k, v) if v.nonEmpty => k }.toSeq.sorted
+    val wcDepths = snap.wildcardBasesByDepth.collect { case (b, v) if v.nonEmpty => b }.toSeq.sorted
+    val marks = (litDepths.map(k => s"s$k.rule IS NOT NULL AS sfx$k") ++
+      wcDepths.map(b => s"w$b.rule IS NOT NULL AS wc$b")).mkString(", ")
+    val joins = (litDepths.map(k =>
+      s"LEFT JOIN (SELECT rule FROM pslr WHERE kind = 'sfx' AND depth = $k) s$k ON e.last$k = s$k.rule") ++
+      wcDepths.map(b =>
+        s"LEFT JOIN (SELECT rule FROM pslr WHERE kind = 'wc' AND depth = $b) w$b ON e.last$b = w$b.rule"))
+      .mkString("\n       ")
+    s"""pslr AS (
+       |  SELECT kind, depth, rule
+       |  FROM read_parquet('$PslRulesDir/rules.parquet/*.parquet')),
        |e AS (
        |  SELECT doc_id, url, host,
-       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
-       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3,
-       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last4,
-       |    regexp_extract(host, '([^.]+)$$', 1) AS tld
+       |    $lastExtracts
        |  FROM h),
        |j AS (
-       |  SELECT e.*, s2.suffix AS s2hit, s3.suffix3 AS s3hit
-       |  FROM e LEFT JOIN psl2 s2 ON e.last2 = s2.suffix
-       |         LEFT JOIN psl3 s3 ON e.last3 = s3.suffix3)""".stripMargin
+       |  SELECT e.*, $marks
+       |  FROM e $joins)""".stripMargin
   }
 
   /** The longest-match CASE over `j`'s columns — the SQL twin of
-    * [[graft.functions.UrlFunctions.registrableDomainPsl]]'s tier order
-    * (exception > 3-label > 2-label/wildcard > fallback), with the tiny
-    * exception/wildcard tiers inlined from the same Seqs. */
+    * [[graft.functions.UrlFunctions.withRegistrableDomainFromHost]]'s
+    * verdict fold, generated from the same snapshot: exceptions deepest
+    * first (absolute precedence), then tier L from the deepest rule
+    * down (literal L-label hit OR wildcard base at L−1; `lastL <> ''`
+    * guards a host that merely IS a wildcard base; a hit with no deeper
+    * label self-keys — the host IS the public suffix), then the last-2
+    * fallback. Exceptions stay inline IN lists (single digits even on
+    * the full list). */
   private def pslDomainCaseSql: String = {
-    val exc = graft.functions.PublicSuffixes.exceptions
-      .map(s => s"'$s'").mkString(", ")
-    val wild = graft.functions.PublicSuffixes.wildcardTlds
-      .map(s => s"'$s'").mkString(", ")
-    s"""CASE WHEN last2 IN ($exc) THEN last2
-       |       WHEN s3hit IS NOT NULL AND last4 <> '' THEN last4
-       |       WHEN (s2hit IS NOT NULL OR tld IN ($wild)) AND last3 <> '' THEN last3
-       |       ELSE last2 END""".stripMargin
+    val snap = pslSnap
+    val excArms = snap.exceptionsByDepth.toSeq.sortBy(-_._1).collect {
+      case (k, names) if names.nonEmpty =>
+        s"WHEN last$k IN (${names.map(n => s"'$n'").mkString(", ")}) THEN last$k"
+    }
+    val litDepths = snap.suffixesByDepth.collect { case (k, v) if v.nonEmpty => k }.toSet
+    val wcDepths = snap.wildcardBasesByDepth.collect { case (b, v) if v.nonEmpty => b }.toSet
+    val maxRuleDepth = (litDepths ++ wcDepths.map(_ + 1) + 2).max
+    val tierArms = (maxRuleDepth to 2 by -1).flatMap { l =>
+      val hits = (if (litDepths.contains(l)) Seq(s"sfx$l") else Nil) ++
+        (if (wcDepths.contains(l - 1)) Seq(s"wc${l - 1}") else Nil)
+      if (hits.isEmpty) None
+      else Some(s"WHEN (${hits.mkString(" OR ")}) AND last$l <> '' THEN " +
+        s"(CASE WHEN last${l + 1} <> '' THEN last${l + 1} ELSE last$l END)")
+    }
+    (excArms ++ tierArms).mkString("CASE ", "\n       ", "\n       ELSE last2 END")
   }
 
   /** t24's oracle replays the ALGORITHM (host extraction + broadcast-join

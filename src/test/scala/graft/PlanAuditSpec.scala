@@ -34,8 +34,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "em_prediction_features" -> "broadcast 1-row ag quantile frame (agDailyFeatures device)",
     "s1_knn_bruteforce" -> "broadcast bounded query set; brute force is |q|x|corpus| by definition",
     "s11_mips_topk" -> "broadcast bounded query set; brute MIPS is |q|x|corpus| by definition",
-    "s8_bm25_topk" -> "broadcast 1-row corpus stats frame (N, avgdl)",
-    "s9_hybrid_rrf" -> "composes s8 (1-row stats) + s1 (bounded query set)",
+    // s8 dropped in round 14: its stats crossJoin moved inside the
+    // memoized bm25Scores build (a LogicalRDD in the audited plan)
+    "s9_hybrid_rrf" -> "composes s8's memoized scores + s1 (bounded query set)",
     "s4_ann_pq" -> "broadcast bounded query set for ADC scoring",
     "s7_knn_quantized" -> "broadcast bounded query set vs decoded SQ8 corpus",
     "st18_stream_drift_psi" -> "broadcast bounded per-bucket reference histogram",
@@ -127,33 +128,26 @@ class PlanAuditSpec extends SparkSpecBase {
     "d7c_decontamination_bloom" -> 1,
     "d8_semantic_dedup" -> 2,
     "d9_semantic_decontamination" -> 1,
-    "em_ag_summary" -> 3,
     "em_ag_risk" -> 2,
-    "em_prediction_features" -> 6,
-    "em_analytics" -> 3,
-    "em_api_performance" -> 9,
+    "em_ag_summary" -> 3,
+    "em_analytics" -> 0,
+    "em_api_performance" -> 6,
     "em_events" -> 0,
     "em_fiscal_calendar" -> 1,
+    "em_prediction_features" -> 9,
     "em_public_ag" -> 1,
     "em_public_alerts" -> 1,
     "em_public_disasters" -> 1,
     "em_quality_metrics" -> 6,
     "em_scalar_suite" -> 0,
-    "em_snapshots" -> 14,
+    "em_snapshots" -> 18,
     "em_surrogate_ids" -> 0,
     "em_usage_metrics" -> 2,
-    "em_weather_impacts" -> 2,
+    "em_weather_impacts" -> 0,
     "g1_pagerank" -> 5,
-    // 0 = the redistribute path materializes every round eagerly (per-round
-    // localCheckpoint — ranks is read twice per round), so the returned
-    // frame is a checkpoint scan; its shuffles run at construction
     "g1b_pagerank_dangling" -> 0,
-    // 0 like g1b: every round is materialized through localCheckpoint, so
-    // the returned plan only joins the two final checkpointed score frames
-    "g3_hits" -> 0,
-    // 11 since round 8: per-round (dst,label)-count exchange folded into
-    // mode(deterministic)'s map-side partial state (was 14)
     "g2_label_propagation" -> 11,
+    "g3_hits" -> 0,
     "j10_json_extract" -> 0,
     "j11_overlap_join" -> 3,
     "j1_dim_enrich_agg" -> 1,
@@ -186,8 +180,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "s5_ann_ivfpq" -> 2,
     "s6_scalar_quantization" -> 0,
     "s7_knn_quantized" -> 1,
-    "s8_bm25_topk" -> 8,
-    "s9_hybrid_rrf" -> 12,
+    "s8_bm25_topk" -> 1,
+    "s9_hybrid_rrf" -> 5,
     "st10_stream_semantic_dedup" -> 0,
     "st11_stream_exact_dedup" -> 1,
     "st12_stream_chunking" -> 0,
@@ -226,8 +220,6 @@ class PlanAuditSpec extends SparkSpecBase {
     "t25_url_blocklist" -> 0,
     "t26_cc_luhn" -> 0,
     "t27_unicode_scrub" -> 0,
-    "x18_domain_quota" -> 1,
-    "x18b_domain_topk" -> 1,
     "t2_quality_score" -> 0,
     "t3_lang_id" -> 0,
     "t4_fingerprint_shingles" -> 0,
@@ -264,6 +256,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "x15_purged_time_split" -> 2,
     "x16_dp_noisy_counts" -> 1,
     "x17_negative_sampling" -> 1,
+    "x18_domain_quota" -> 1,
+    "x18b_domain_topk" -> 1,
     "x1_hash_split" -> 1,
     "x1b_hash_split_portable" -> 1,
     "x2_sessionize_batch" -> 1,
@@ -277,7 +271,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "x7_quantile_shards" -> 1,
     "x7b_quantile_shards_approx" -> 2,
     "x8_global_shuffle" -> 1,
-    "x9_leakage_safe_split" -> 1
+    "x9_leakage_safe_split" -> 1,
   )
 
   private case class Fired(cartesian: Boolean, bnlj: Boolean, globalWindow: Boolean, shuffles: Int)

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Wall-time attribution for the s8_bm25_topk / s9_hybrid_rrf retrieval
+  * bases (round-13 verdict item 3: 3.56 / 2.92 s, creeping round over
+  * round, both steal-retried in BENCH_r13). Rebuilds s8's pipeline stage
+  * by stage (mirroring operators/Retrieval.bm25TopK's internals verbatim
+  * — kept here so the attribution survives a production rewrite) and
+  * forces successive prefixes:
+  *
+  *   qterms    the 8 query docs exploded to distinct (query_id, term)
+  *   stats     the 1-row corpus (N, avgdl) aggregate — one full corpus
+  *             scan with tokenization
+  *   postings  corpus explode → broadcast semi-join on query terms →
+  *             (doc_id, term) tf reduce — the OTHER full corpus
+  *             tokenize + the one real exchange
+  *   scored    + df broadcast-back + query-term attach + per-(query,
+  *             doc) BM25 sum
+  *   s8_full   + the top-k window (the board entry)
+  *   s9_full   the hybrid board entry (re-runs the whole lexical
+  *             pipeline at k=20 + the semantic brute-force side + RRF)
+  *
+  * Expected shape: postings + stats ≈ two corpus tokenize scans per s8
+  * run, and s9 pays the lexical pipeline AGAIN — the sharable part a
+  * session-scoped index memo (the d18 signature-index pattern) removes.
+  *
+  *   sbt "Test/runMain graft.RetrievalProfile [sfDir] [passes]"
+  */
+object RetrievalProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = math.max(1, args.lift(1).flatMap(_.toIntOption).getOrElse(2))
+    val spark = graft.core.SparkSessionFactory.local("graft-bench")
+
+    def docs = Tables(spark, sfDir).documents
+    val toks = split(col("text"), " ", -1)
+    def queryTerms = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), explode(toks).as("term"))
+      .distinct()
+    def termSet = queryTerms.select("term").distinct()
+    def postings = docs
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    def dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    def stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+    def scored = {
+      val (k1, b) = (1.2, 0.75)
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val norm = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl")))
+      val termScore = idf * (col("tf") * (lit(k1) + lit(1.0))) / norm
+      postings
+        .join(broadcast(dfreq), Seq("term"))
+        .join(broadcast(queryTerms), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(termScore), 6).as("score"))
+    }
+    def s8Full = graft.queries.RetrievalQueries.queries("s8_bm25_topk")(spark, sfDir)
+    def s9Full = graft.queries.RetrievalQueries.queries("s9_hybrid_rrf")(spark, sfDir)
+
+    def force(df: DataFrame): Unit = { df.queryExecution.toRdd.count(): Unit }
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val stages: Seq[(String, () => Unit)] = Seq(
+      "qterms" -> (() => force(queryTerms)),
+      "stats" -> (() => force(stats)),
+      "postings" -> (() => force(postings)),
+      "scored" -> (() => force(scored)),
+      "s8_full" -> (() => force(s8Full)),
+      "s9_full" -> (() => force(s9Full)))
+
+    stages.foreach { case (_, f) => f() } // untimed warmup, mirroring Bench
+    val rows = (1 to passes).map { p =>
+      p -> stages.map { case (name, f) => name -> time(f()) }
+    }
+    println(f"${"pass"}%-6s" + stages.map(s => f"${s._1}%10s").mkString)
+    rows.foreach { case (p, ts) =>
+      println(f"$p%-6d" + ts.map(t => f"${t._2}%10.2f").mkString)
+    }
+    val mins = stages.map { case (name, _) =>
+      name -> rows.map(_._2.toMap.apply(name)).min }
+    println(f"${"min"}%-6s" + mins.map(t => f"${t._2}%10.2f").mkString)
+    val m = mins.toMap
+    println(f"deltas: postings-over-qterms=+${m("postings") - m("qterms")}%.2fs, " +
+      f"scored-over-postings=+${m("scored") - m("postings")}%.2fs, " +
+      f"window=+${m("s8_full") - m("scored")}%.2fs, stats=${m("stats")}%.2fs; " +
+      f"s9 re-pays lexical: s9_full=${m("s9_full")}%.2fs vs s8_full=${m("s8_full")}%.2fs")
+    spark.stop()
+  }
+}

@@ -100,6 +100,24 @@ class Wave12Spec extends SparkSpecBase {
 
   // ---- pre-banded signature index (st22 probe trim) --------------------
 
+  test("withBandHashCols is idempotent under the SAME scheme, additive under another") {
+    import graft.operators.Dedup
+    val docs = graft.core.Tables(spark, Sf0001).documents.select("doc_id", "text")
+      .filter(col("doc_id") < 20)
+    val sigs = Dedup.portableSignatures(docs, "doc_id", "text", n = 3, k = 32)
+    val banded = Dedup.withBandHashCols(sigs, 32, 8, portable = true)
+    // same scheme again: a NO-OP (round-13 advice: a second application
+    // appended duplicate bh columns, making every later col() reference
+    // an AnalysisException instead of a working frame)
+    val again = Dedup.withBandHashCols(banded, 32, 8, portable = true)
+    assert(again.columns.toSeq == banded.columns.toSeq)
+    assert(again.columns.count(_ == "bh_md5_32_8_0") == 1)
+    // a DIFFERENT scheme still appends its own columns (both schemes can
+    // coexist; names disambiguate)
+    val other = Dedup.withBandHashCols(banded, 32, 4, portable = true)
+    assert(other.columns.contains("bh_md5_32_4_0") && other.columns.contains("bh_md5_32_8_0"))
+  }
+
   test("pre-banded signature index probes identically to a bare one") {
     import graft.operators.Dedup
     val docs = graft.core.Tables(spark, Sf0001).documents.select("doc_id", "text")
@@ -186,7 +204,7 @@ class Wave12Spec extends SparkSpecBase {
     // 4-label literal beats the 3-label one underneath it
     "https://school.pvt.k12.ma.us/p" -> "school.pvt.k12.ma.us",
     "https://a.school.pvt.k12.ma.us/p" -> "school.pvt.k12.ma.us",
-    // host that IS the 4-label suffix falls through to the 3-label tier
+    // host that IS the 4-label suffix keys to itself
     "https://pvt.k12.ma.us/p" -> "pvt.k12.ma.us",
     // sibling label under k12.ma.us only sees the 3-label rule
     "https://school.k12.ma.us/p" -> "school.k12.ma.us",
@@ -195,13 +213,23 @@ class Wave12Spec extends SparkSpecBase {
     "https://city.kawasaki.jp/p" -> "city.kawasaki.jp",
     // deep wildcard: foo.kawasaki.jp is itself a public suffix
     "https://shop.foo.kawasaki.jp/p" -> "shop.foo.kawasaki.jp",
-    // host that IS a wildcard-derived suffix falls through to last2
-    "https://foo.kawasaki.jp/p" -> "kawasaki.jp",
+    // host that IS a wildcard-derived suffix SELF-KEYS (round 14: the
+    // same convention literal bare suffixes follow — the round-13
+    // fall-through to the wildcard base merged foo/bar.kawasaki.jp,
+    // two DISTINCT public suffixes, onto one quota/dedup key)
+    "https://foo.kawasaki.jp/p" -> "foo.kawasaki.jp",
+    // host that merely IS a wildcard BASE has no L-label suffix under
+    // the rule: the lastL<>'' guard drops it to the plain fallback
+    "https://kawasaki.jp/p" -> "kawasaki.jp",
     // 3-label wildcard base from the private section -> registrable at 5
     "https://b.x.compute.amazonaws.com/p" -> "b.x.compute.amazonaws.com",
     // 5-label private literal -> registrable at 6
     "https://bucket.s3.dualstack.ap-northeast-1.amazonaws.com/p"
       -> "bucket.s3.dualstack.ap-northeast-1.amazonaws.com",
+    // bare 5-label literal suffix self-keys too (round 12 fell through
+    // four tiers to amazonaws.com — the same merge bug, literal shape)
+    "https://s3.dualstack.ap-northeast-1.amazonaws.com/p"
+      -> "s3.dualstack.ap-northeast-1.amazonaws.com",
     // the compact tiers still behave inside the full snapshot
     "https://www.ck/p" -> "www.ck",
     "https://foo.brand.ck/p" -> "foo.brand.ck",
@@ -253,7 +281,9 @@ class Wave12Spec extends SparkSpecBase {
   }
 
   test("full-depth PSL: committed-resource semantics are unchanged (both paths agree)") {
-    // the compact resource snapshot must key these exactly as round 12 did
+    // the FULL committed resource (round 14) must key the planted-universe
+    // shapes exactly as the compact round-12 snapshot did — the broadcast
+    // path reads the resource, the inline path the compact literals
     val urls = Seq("https://bbc.co.uk/p", "https://x.act.edu.au/p",
       "https://foo.brand.ck/p", "https://www.ck/p", "https://a.b.example.com/p")
       .toDF("url")

@@ -47,6 +47,7 @@ rec = {
     "n_queries": len(timed),
     "per_query_sec": round(sum(timed.values()) / max(len(timed), 1), 4),
     "load_avg_1m": d.get("load_avg_1m"),
+    "steal_pct": (d.get("steal") or {}).get("pct"),
     "retries": d.get("retries", {}),
     "n_failed": d.get("n_failed", 0),
     "commit": d.get("commit", "unknown"),

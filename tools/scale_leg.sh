@@ -114,12 +114,16 @@ EOF
     # invocation below would then refuse its own --merge-base as dirty/
     # not-green and the retry discipline could never exonerate anything
     TRY=/tmp/scale_incr_try.json
+    # a stale TRY from a previous crashed invocation must never feed the
+    # suspects list or get installed below — clear it up front and guard
+    # the install on the file actually having been (re)written
+    rm -f "$TRY"
     set +e
     python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
       "${MERGE_ARGS[@]}" --json "$TRY" --round "$ROUND"
     rc=$?
     set -e
-    if [ $rc -ne 0 ]; then
+    if [ $rc -ne 0 ] && [ -f "$TRY" ]; then
       # same isolated-retry/min-merge discipline as the full sweep: a
       # steal burst on a re-run leg must not close the round red (and a
       # red artifact would force the NEXT round back to the full sweep)
@@ -139,9 +143,16 @@ print(','.join(sorted(v['query'] for v in json.load(open('$TRY'))['violations'])
     fi
     # install the final verdict (green or red — a red final state must be
     # visible in the tree; `git checkout` restores the old green base if
-    # the builder decides to investigate instead of committing)
-    mv "$TRY" "SCALE_r${ROUND}.json"
-    echo "[scale] wrote SCALE_r${ROUND}.json (rc=$rc, incremental)"
+    # the builder decides to investigate instead of committing). If
+    # check_scale crashed before writing TRY there is nothing to install
+    # — leave the committed artifact untouched and exit red.
+    if [ -f "$TRY" ]; then
+      mv "$TRY" "SCALE_r${ROUND}.json"
+      echo "[scale] wrote SCALE_r${ROUND}.json (rc=$rc, incremental)"
+    else
+      echo "[scale] check_scale produced no artifact (rc=$rc) — committed artifact left untouched" >&2
+      [ $rc -eq 0 ] && rc=1
+    fi
     exit $rc
   fi
 fi
