@@ -53,7 +53,11 @@ object Bench {
       try {
         src.getLines().find(_.startsWith("cpu ")).flatMap { l =>
           val f = l.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
-          if (f.length >= 8) Some((f(7), f.sum)) else None
+          // total = fields 0-7 (user..steal) ONLY: the kernel already
+          // folds guest/guest_nice (fields 8-9) into user/nice, so
+          // summing them would double-count guest time and understate
+          // steal_pct on nested-VM hosts
+          if (f.length >= 8) Some((f(7), f.take(8).sum)) else None
         }
       } finally src.close()
     } catch { case _: Throwable => None }

@@ -1040,19 +1040,37 @@ object TextQueries {
     * Written during t24/t25 query execution (Verify runs queries before
     * dumping oracle_sql.json — the em FixtureDir precedent). */
   private[queries] val PslRulesDir = "/tmp/graft_psl_rules"
+
+  /** Canonical (kind, depth, rule) rows of the snapshot — ONE rendering
+    * feeds both the dump and the fingerprint, so they cannot diverge. */
+  private def pslRuleRows(snap: graft.functions.PublicSuffixes.Snapshot): Seq[(String, Int, String)] = {
+    def rows(kind: String, m: Map[Int, Seq[String]]) =
+      m.toSeq.sortBy(_._1).flatMap { case (depth, rules) =>
+        rules.sorted.map(r => (kind, depth, r)) }
+    rows("sfx", snap.suffixesByDepth) ++ rows("wc", snap.wildcardBasesByDepth) ++
+      rows("exc", snap.exceptionsByDepth)
+  }
+
+  /** Content fingerprint of the parsed resource, baked into the dump
+    * PATH (and hence into the generated oracle SQL): a dump left behind
+    * by an OLDER resource lives at a different path, so a newer oracle
+    * can never silently join stale rules — it either reads the dump its
+    * own snapshot produced or fails loudly on a missing file. */
+  private lazy val pslRulesPath: String = {
+    val canon = pslRuleRows(pslSnap).map { case (k, d, r) => s"$k:$d:$r" }.mkString("\n")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$PslRulesDir/rules_$fp.parquet"
+  }
+
   @volatile private var pslRulesWritten = false
   private def ensurePslRules(s: SparkSession): Unit = synchronized {
     if (!pslRulesWritten) {
-      val snap = pslSnap
-      def rows(kind: String, m: Map[Int, Seq[String]]) =
-        m.toSeq.sortBy(_._1).flatMap { case (depth, rules) =>
-          rules.sorted.map(r => (kind, depth, r)) }
       import s.implicits._
-      (rows("sfx", snap.suffixesByDepth) ++ rows("wc", snap.wildcardBasesByDepth) ++
-        rows("exc", snap.exceptionsByDepth))
+      pslRuleRows(pslSnap)
         .toDF("kind", "depth", "rule")
         .coalesce(1) // single file: deterministic oracle read, fixture-size data
-        .write.mode("overwrite").parquet(s"$PslRulesDir/rules.parquet")
+        .write.mode("overwrite").parquet(pslRulesPath)
       pslRulesWritten = true
     }
   }
@@ -1083,7 +1101,7 @@ object TextQueries {
       .mkString("\n       ")
     s"""pslr AS (
        |  SELECT kind, depth, rule
-       |  FROM read_parquet('$PslRulesDir/rules.parquet/*.parquet')),
+       |  FROM read_parquet('$pslRulesPath/*.parquet')),
        |e AS (
        |  SELECT doc_id, url, host,
        |    $lastExtracts

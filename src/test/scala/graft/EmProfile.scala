@@ -26,12 +26,19 @@ import graft.queries.EmModelQueries
   *   analytics  Marts.disasterAnalytics (10-yr trends + USDA rollup +
   *              lag-window YoY — RE-DERIVES its events input internally,
   *              so this stage's time includes one `events` cost)
-  *   full       the board query (three 1-row agg legs over the above)
+  *   agg_legs   apiPerformance over FRESH (un-memoized) mart builds —
+  *              the round-13 board shape, kept as the regression probe
+  *              for the DAG-replay cost
+  *   full_memo  the board entry AS TIMED since round 14: the mart memo
+  *              is warm (populated by this profile's warmup pass, as by
+  *              Bench's), so this times the three 1-row agg legs over
+  *              checkpointed frames — compare against agg_legs to read
+  *              the memo's win, NOT against the component sum
   *
-  * The full-minus-components residual is the aggregate legs' own cost —
-  * expected to be ~one corpus scan per leg. Run both SFs into
-  * BASELINE.md (fixture mult: sf0.1 → ×10, the scale leg's sf1 dir →
-  * ×100):
+  * The component stages (stg/events/impacts/analytics) always rebuild —
+  * they attribute the un-memoized mart DAG the memo amortizes. Run both
+  * SFs into BASELINE.md (fixture mult: sf0.1 → ×10, the scale leg's sf1
+  * dir → ×100):
   *
   *   sbt "Test/runMain graft.EmProfile [sfDir] [passes]"
   */
@@ -73,7 +80,7 @@ object EmProfile {
       "agg_legs" -> (() => force(PublicLayer.apiPerformance(
         events, Marts.weatherImpacts(stgCoag, stgNoaa, asOf, runTs),
         Marts.disasterAnalytics(events, stgUsda, asOf, runTs), asOf, runTs))),
-      "full" -> (() => force(full)))
+      "full_memo" -> (() => force(full)))
 
     // warmup pass (untimed), mirroring Bench
     stages.foreach { case (_, f) => f() }
@@ -88,9 +95,10 @@ object EmProfile {
       name -> rows.map(_._2.toMap.apply(name)).min }
     println(f"${"min"}%-6s" + mins.map(t => f"${t._2}%11.2f").mkString)
     val m = mins.toMap
-    println(f"component attribution: full=${m("full")}%.2fs vs " +
-      f"events=${m("events")}%.2fs (x2 in plan) + impacts=${m("impacts")}%.2fs + " +
-      f"analytics=${m("analytics")}%.2fs (embeds one events) + agg residual")
+    println(f"un-memoized DAG components: events=${m("events")}%.2fs + " +
+      f"impacts=${m("impacts")}%.2fs + analytics=${m("analytics")}%.2fs " +
+      f"(embeds one events); fresh-build board shape agg_legs=${m("agg_legs")}%.2fs " +
+      f"vs memo-warm board entry full_memo=${m("full_memo")}%.2fs (the timed posture)")
     spark.stop()
   }
 }

@@ -19,14 +19,19 @@ import graft.core.Tables
   *             (doc_id, term) tf reduce — the OTHER full corpus
   *             tokenize + the one real exchange
   *   scored    + df broadcast-back + query-term attach + per-(query,
-  *             doc) BM25 sum
-  *   s8_full   + the top-k window (the board entry)
-  *   s9_full   the hybrid board entry (re-runs the whole lexical
-  *             pipeline at k=20 + the semantic brute-force side + RRF)
+  *             doc) BM25 sum — the k-free frame the round-14 memo
+  *             shares between s8 and s9's lexical arm
+  *   s8_board  the board entry AS TIMED since round 14 (memo warm from
+  *             this profile's warmup pass, as from Bench's): the top-k
+  *             window over the checkpointed score frame
+  *   s9_board  the hybrid board entry, memo warm: lexical window at
+  *             k=20 + the semantic brute-force side + RRF
   *
-  * Expected shape: postings + stats ≈ two corpus tokenize scans per s8
-  * run, and s9 pays the lexical pipeline AGAIN — the sharable part a
-  * session-scoped index memo (the d18 signature-index pattern) removes.
+  * The rebuilt stages (qterms..scored) attribute the un-memoized build
+  * the memo amortizes (round-14 finding: ~90% of the old bases, and s9
+  * re-paid all of it); compare scored vs s8_board to read the memo's
+  * win. The round-13 attribution table this produced is pinned in
+  * BASELINE.md round 14.
   *
   *   sbt "Test/runMain graft.RetrievalProfile [sfDir] [passes]"
   */
@@ -79,8 +84,8 @@ object RetrievalProfile {
       "stats" -> (() => force(stats)),
       "postings" -> (() => force(postings)),
       "scored" -> (() => force(scored)),
-      "s8_full" -> (() => force(s8Full)),
-      "s9_full" -> (() => force(s9Full)))
+      "s8_board" -> (() => force(s8Full)),
+      "s9_board" -> (() => force(s9Full)))
 
     stages.foreach { case (_, f) => f() } // untimed warmup, mirroring Bench
     val rows = (1 to passes).map { p =>
@@ -94,10 +99,10 @@ object RetrievalProfile {
       name -> rows.map(_._2.toMap.apply(name)).min }
     println(f"${"min"}%-6s" + mins.map(t => f"${t._2}%10.2f").mkString)
     val m = mins.toMap
-    println(f"deltas: postings-over-qterms=+${m("postings") - m("qterms")}%.2fs, " +
-      f"scored-over-postings=+${m("scored") - m("postings")}%.2fs, " +
-      f"window=+${m("s8_full") - m("scored")}%.2fs, stats=${m("stats")}%.2fs; " +
-      f"s9 re-pays lexical: s9_full=${m("s9_full")}%.2fs vs s8_full=${m("s8_full")}%.2fs")
+    println(f"un-memoized build: postings-over-qterms=+${m("postings") - m("qterms")}%.2fs, " +
+      f"scored-over-postings=+${m("scored") - m("postings")}%.2fs, stats=${m("stats")}%.2fs; " +
+      f"rebuilt scored=${m("scored")}%.2fs vs memo-warm boards " +
+      f"s8=${m("s8_board")}%.2fs / s9=${m("s9_board")}%.2fs (the timed posture)")
     spark.stop()
   }
 }

@@ -162,25 +162,37 @@ run_bench "$SF01" /tmp/scale_base.json
 echo "[scale] x10 sweep at $SF1_DIR"
 run_bench "$SF1_DIR" /tmp/scale_x10.json
 
+# same TRY discipline as the incremental path: gate into a temp artifact
+# and install at the end — deriving suspects from (or clobbering) a
+# committed same-name artifact when check_scale crashed before writing
+# would retry the wrong set / lose the committed green base
+TRY=/tmp/scale_full_try.json
+rm -f "$TRY"
 set +e
 python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
-  --json "SCALE_r${ROUND}.json" --round "$ROUND"
+  --json "$TRY" --round "$ROUND"
 rc=$?
 set -e
-if [ $rc -ne 0 ]; then
+if [ $rc -ne 0 ] && [ -f "$TRY" ]; then
   # re-run the flagged queries isolated on both dirs; min-merge and re-gate
   SUSPECTS=$(python3 -c "
 import json
-print(','.join(sorted(v['query'] for v in json.load(open('SCALE_r${ROUND}.json'))['violations'])))")
+print(','.join(sorted(v['query'] for v in json.load(open('$TRY'))['violations'])))")
   echo "[scale] isolated re-run of suspects: $SUSPECTS"
   run_bench "$SF01" /tmp/scale_base_retry.json SPARK_GRAFT_BENCH_QUERIES="$SUSPECTS"
   run_bench "$SF1_DIR" /tmp/scale_x10_retry.json SPARK_GRAFT_BENCH_QUERIES="$SUSPECTS"
   set +e
   python3 tools/check_scale.py /tmp/scale_base.json /tmp/scale_x10.json \
     --retry-base /tmp/scale_base_retry.json --retry-x10 /tmp/scale_x10_retry.json \
-    --json "SCALE_r${ROUND}.json" --round "$ROUND"
+    --json "$TRY" --round "$ROUND"
   rc=$?
   set -e
 fi
-echo "[scale] wrote SCALE_r${ROUND}.json (rc=$rc)"
+if [ -f "$TRY" ]; then
+  mv "$TRY" "SCALE_r${ROUND}.json"
+  echo "[scale] wrote SCALE_r${ROUND}.json (rc=$rc)"
+else
+  echo "[scale] check_scale produced no artifact (rc=$rc) — committed artifact left untouched" >&2
+  [ $rc -eq 0 ] && rc=1
+fi
 exit $rc
