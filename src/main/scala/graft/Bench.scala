@@ -36,10 +36,16 @@ object Bench {
     * st22 joined in round 14 (verdict item 2): ~3.5 s of its wall is md5
     * signature math that exists only so DuckDB can replay the index —
     * st22b (xxhash64, the production path) holds the timed slot; st22
-    * stays fully hash-graded in Verify/CORRECTNESS like the other twins. */
+    * stays fully hash-graded in Verify/CORRECTNESS like the other twins.
+    * d17 joined in round 15: FuzzyProfile attributed its scale growth to
+    * the id-level pair OUTPUT itself (64 distinct p_names → identical
+    * names collide under any blocking key; matched pairs ×103 on a ×10
+    * corpus) — an output-size floor no plan can beat. d17b (canonical
+    * distinct-name match carrying multiplicities, linear) holds the
+    * timed slot. */
   val TwinEntries: Set[String] =
     Set("t5b_rolling_fingerprint_portable", "d2b_minhash_portable", "d13_corpus_overlap",
-      "st22_stream_incremental_neardup")
+      "st22_stream_incremental_neardup", "d17_fuzzy_join")
 
   /** (steal, total) jiffy counters from /proc/stat's aggregate cpu line —
     * field 8 is time stolen by the hypervisor. Sampled at run start and

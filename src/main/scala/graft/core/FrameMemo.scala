@@ -70,12 +70,25 @@ final class FrameMemo private (val name: String, val maxEntries: Int) {
       }
     }
     accessCount.incrementAndGet(): Unit
-    val (df, _) = cache.computeIfAbsent((s, key), { k =>
+    val k = (s, key)
+    val hit = cache.get(k)
+    val (df, _) = if (hit != null) hit else {
+      // Build OUTSIDE any map lock: the build runs whole Spark jobs plus an
+      // eager localCheckpoint (potentially seconds) — under computeIfAbsent
+      // that work would hold the CHM bin lock, stalling a concurrent get
+      // for any other key hashing to the same bin, and a reentrant get on
+      // this memo during a build would violate CHM's no-recursive-update
+      // rule. check-get / build / putIfAbsent / re-read instead: a
+      // concurrent duplicate build of the same key is possible and benign —
+      // the loser's frame was never handed out, so its checkpoint blocks
+      // are released eagerly and the winner's entry is returned.
       recomputeCount.incrementAndGet(): Unit
       val cp = build.localCheckpoint(true)
-      order.add(k): Unit
-      (cp, checkpointedRdd(cp))
-    })
+      val entry = (cp, checkpointedRdd(cp))
+      val prev = cache.putIfAbsent(k, entry)
+      if (prev == null) { order.add(k): Unit; entry }
+      else { entry._2.unpersist(blocking = false): Unit; prev }
+    }
     // bounded footprint: beyond the cap, the oldest live entry goes.
     // The attempt bound makes the loop total even if queue/map desync
     // (the only re-added key is the one being served).

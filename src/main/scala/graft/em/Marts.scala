@@ -159,6 +159,13 @@ object Marts {
           .when(col("alert_risk_level") === "MEDIUM", 3)
           .otherwise(4).as("p"),
         coalesce(col("weather_event"), lit("~")).as("t"),
+        // raw risk_level BEFORE alert_id: the (p, t) prefix is bijective
+        // with (risk_level, event) only while Staging pins risk_level to
+        // the closed {CRITICAL,HIGH,MEDIUM,LOW} enum — any future value
+        // lands in the shared otherwise(4) bucket, where ties on (p, t)
+        // must still surface one value-deterministic alert_risk_level on
+        // both sides (the oracle window mirrors this key order)
+        coalesce(col("alert_risk_level"), lit("~")).as("r"),
         col("alert_id").as("alert_id"),
         col("weather_event").as("weather_event"),
         col("alert_risk_level").as("alert_risk_level"))).as("best"))

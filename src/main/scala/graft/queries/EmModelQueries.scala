@@ -568,7 +568,8 @@ object EmModelQueries {
        |           WHEN alert_risk_level = 'HIGH' THEN 2
        |           WHEN alert_risk_level = 'MEDIUM' THEN 3
        |           ELSE 4 END,
-       |      coalesce(weather_event, '~')) AS rn
+       |      coalesce(weather_event, '~'),
+       |      coalesce(alert_risk_level, '~'), alert_id) AS rn
        |  FROM joined),
        |base AS (
        |  SELECT *,

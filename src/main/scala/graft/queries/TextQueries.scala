@@ -1066,11 +1066,32 @@ object TextQueries {
   @volatile private var pslRulesWritten = false
   private def ensurePslRules(s: SparkSession): Unit = synchronized {
     if (!pslRulesWritten) {
-      import s.implicits._
-      pslRuleRows(pslSnap)
-        .toDF("kind", "depth", "rule")
-        .coalesce(1) // single file: deterministic oracle read, fixture-size data
-        .write.mode("overwrite").parquet(pslRulesPath)
+      // The dump path is content-addressed (the MD5 of the rendered rules
+      // is baked into the directory name), so an existing directory already
+      // holds exactly these bytes — and a second JVM (bench concurrent with
+      // verify) must never overwrite a dump another process's DuckDB oracle
+      // may be mid-read. Skip if present; otherwise write to a
+      // process-unique temp dir and atomically rename in. Losing the rename
+      // race means the winner's identical dump is already at the target.
+      // Stale rules_* siblings from older snapshots are left alone: an
+      // older JVM's oracle may still be reading its own fingerprint dir.
+      val target = new java.io.File(pslRulesPath)
+      if (!target.exists()) {
+        import s.implicits._
+        val tmp = s"$PslRulesDir/.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        pslRuleRows(pslSnap)
+          .toDF("kind", "depth", "rule")
+          .coalesce(1) // single file: deterministic oracle read, fixture-size data
+          .write.mode("overwrite").parquet(tmp)
+        if (!new java.io.File(tmp).renameTo(target)) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(tmp))
+          require(target.exists(),
+            s"PSL rules dump rename to $pslRulesPath failed with no winner present")
+        }
+      }
       pslRulesWritten = true
     }
   }

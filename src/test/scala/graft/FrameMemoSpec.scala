@@ -82,4 +82,80 @@ class FrameMemoSpec extends SparkSpecBase {
       "the graph trade-pairs memo must ride the registry Bench emits")
     memo.release()
   }
+
+  test("bench recycle cadence: a fresh session recomputes the key; per-session release leaves it intact") {
+    // Bench recycles the SparkSession every ~40 queries (mid-block for the
+    // em/retrieval/graph memo families): the next get on the NEW session
+    // must be an independent recompute with identical rows — never a
+    // missing-block read of the old session's checkpoint. A genuinely
+    // stopped second context is untestable in one JVM (Wave11Spec
+    // precedent); the stopped-session purge shares per-session release's
+    // removal path, which this pins under the recycle interleaving.
+    val memo = FrameMemo("spec_recycle")
+    val oldS = spark.newSession()
+    val rowsOld = memo.get(oldS, "k")(frame(5)).collect().map(_.toString).sorted
+    val newS = spark.newSession()
+    var rebuilt = false
+    val onNew = memo.get(newS, "k")({ rebuilt = true; frame(5) })
+    assert(rebuilt, "a new session must rebuild — entries are (session, key)-scoped")
+    assert(memo.rddIds.size == 2, "both sessions' entries coexist until release/purge")
+    memo.release(Some(oldS)) // the recycle hook for the dropped session
+    assert(memo.rddIds.size == 1, "releasing the old session must keep the new entry")
+    assert(onNew.collect().map(_.toString).sorted.sameElements(rowsOld),
+      "the recomputed frame must be row-identical after the old session's blocks are gone")
+    memo.release()
+  }
+
+  test("a slow build never blocks a get for another key (compute happens outside the map lock)") {
+    // regression pin for the round-14 ADVICE: under computeIfAbsent a
+    // multi-second build held the CHM bin lock, stalling unrelated keys
+    // in the same bin and forbidding reentrant gets. Both are legal now.
+    val memo = FrameMemo("spec_lockfree")
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val slowDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val slow = new Thread(() => {
+      memo.get(spark, "slow")({
+        slowStarted.countDown()
+        Thread.sleep(1500)
+        slowDone.set(true)
+        frame(1)
+      }): Unit
+    })
+    slow.start()
+    slowStarted.await()
+    // while the slow build is in flight, a different key must complete
+    val t0 = System.nanoTime()
+    memo.get(spark, "fast")(frame(2)).collect(): Unit
+    val fastSec = (System.nanoTime() - t0) / 1e9
+    assert(!slowDone.get() || fastSec < 1.0,
+      f"fast-key get took $fastSec%.2fs — it waited out the slow build's lock")
+    slow.join()
+    // and a build may reentrantly consult the same memo for another key
+    val nested = memo.get(spark, "outer")({
+      val inner = memo.get(spark, "inner")(frame(3))
+      inner.withColumn("v2", upper(col("v")))
+    })
+    assert(nested.collect().length == 1)
+    memo.release()
+  }
+
+  test("concurrent gets for one key all serve row-identical frames and converge to one entry") {
+    val memo = FrameMemo("spec_racers")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        val df = memo.get(spark, "k")(frame(9))
+        results.add(df.collect().map(_.toString).sorted.mkString("|")): Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val distinct = results.toArray(Array.empty[String]).toSet
+    assert(distinct.size == 1, s"racing readers saw different rows: $distinct")
+    assert(memo.rddIds.size == 1,
+      "a putIfAbsent race must leave exactly one winning entry (losers release their blocks)")
+    val (hits, recomputes) = memo.stats
+    assert(hits + recomputes == 4 && recomputes >= 1,
+      s"4 accesses must split into hits + >=1 recompute: ${memo.stats}")
+    memo.release()
+  }
 }

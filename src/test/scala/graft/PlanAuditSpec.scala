@@ -112,6 +112,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d15_paragraph_dedup" -> 2,
     "d16_boilerplate" -> 3,
     "d17_fuzzy_join" -> 1,
+    "d17b_fuzzy_join_grouped" -> 4,
     "d18_incremental_neardup" -> 7,
     "d18b_incremental_fast" -> 3,
     "d19_normalized_dedup" -> 1,
