@@ -377,12 +377,18 @@ object Graph {
     * scale-invariant down to rounding).
     *
     * Plan shape: per round two edge⋈scores equi joins + two per-node
-    * aggregates + two 1-row broadcast normalizers. Each half-round's
-    * frame is read twice (its normalizer and its successor), so every
-    * intermediate is locally CHECKPOINTED and the previous round's
-    * blocks are explicitly released — the [[pageRankInt]]
-    * redistributeDangling pattern; a lazy composition would double the
-    * plan per half-round.
+    * aggregates + two 1-row broadcast normalizers. Score frames stay
+    * SPARSE through the rounds (only nodes that received mass carry a
+    * row — an absent row is exactly a zero row, and zero mass
+    * normalizes to zero), so each half-round checkpoints ONE aggregated
+    * frame, read twice (its normalizer and its successor); the
+    * previous half-round's blocks are explicitly released — the
+    * [[pageRankInt]] redistributeDangling pattern. The full node spine
+    * joins back once in the epilogue (coalesce 0). Unlike
+    * [[pageRankInt]], sparsity is exact here because the recurrence has
+    * no additive base term — PageRank's `base + damped·contrib` needs
+    * every node's row each round (floor division does not distribute
+    * over the sum), HITS's pure `Σ then normalize` does not.
     *
     * @return (node, hub, auth) after `iterations` rounds from
     *         h₀(v) = scale
@@ -396,7 +402,7 @@ object Graph {
   ): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge.backingRdd
     // iterations=0 would return the initial (never-checkpointed) auth
-    // frame while the epilogue releases the nodes checkpoint it still
+    // frame while the epilogue releases checkpoints it still
     // references — any later action would fail on missing blocks
     require(iterations >= 1, s"hitsInt needs iterations >= 1, got $iterations")
     val e = edges
@@ -409,43 +415,64 @@ object Graph {
       .localCheckpoint(true)
     val nV = math.max(nodes.count(), 1L)
 
-    // one normalized half-round: node-joined raw mass -> mean-to-scale
-    def normalize(raw: DataFrame, massCol: String, outCol: String): DataFrame = {
-      val full = nodes
-        .join(raw, Seq("node"), "left")
-        .select(col("node"), coalesce(col(massCol), lit(0L)).as(massCol))
-        .localCheckpoint(true)
-      val norm = full
+    // SPARSE half-round (round 15 — GraphProfile attributed the old
+    // per-iteration 1.08 s, 1.7× pageRank's on half the edges, to the
+    // dense normalize: a node-spine left join + TWO checkpoints + a
+    // separate 1-row agg job per half-round). A node absent from the
+    // aggregated raw frame has mass exactly 0, and 0·scale div norm = 0,
+    // so the zero rows the spine used to add are value-free: carry only
+    // the contributed rows, checkpoint ONCE, and let the mean-to-scale
+    // normalizer ride the consumer's plan as a broadcast 1-row subquery.
+    // The spine joins back ONCE in the epilogue (coalesce 0), restoring
+    // the dense frame bit-for-bit — the g3 oracle replay is unchanged.
+    // The normalizer itself is spine-free too: the spine's zeros never
+    // moved the sum, so Σ over sparse == Σ over dense.
+    def half(raw: DataFrame, massCol: String, outCol: String): (DataFrame, DataFrame) = {
+      val cp = raw.localCheckpoint(true)
+      val norm = cp
         .agg(greatest(expr(s"coalesce(sum($massCol), 0L) div ${nV}L"), lit(1L)).as("norm"))
-      val out = full
+      val out = cp
         .crossJoin(broadcast(norm))
         .select(col("node"), expr(s"($massCol * ${scale}L) div norm").as(outCol))
-        .localCheckpoint(true)
-      backingRdd(full).foreach(_.unpersist(false))
-      out
+      (out, cp)
     }
 
-    var hub = nodes.withColumn("hub", lit(scale)).localCheckpoint(true)
-    var auth: DataFrame = nodes.withColumn("auth", lit(0L))
+    // initial hub: every node at `scale` — dense by definition, rides
+    // the already-checkpointed node spine lazily (single reader below)
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth: DataFrame = null
+    var hubCp: DataFrame = null
+    var authCp: DataFrame = null
     for (i <- 1 to iterations) {
-      val prevHub = hub
-      val prevAuth = if (i > 1) Some(auth) else None
-      auth = normalize(
+      val (a, aCp) = half(
         e.join(hub, e("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum("hub").as("am")),
         "am", "auth")
-      hub = normalize(
+      // aCp just materialized, so hub_{i-1}'s backing has no reader left
+      if (hubCp != null) backingRdd(hubCp).foreach(_.unpersist(false))
+      auth = a
+      val (h, hCp) = half(
         e.join(auth, e("dst") === auth("node"))
           .groupBy(col("src").as("node")).agg(sum("auth").as("hm")),
         "hm", "hub")
-      backingRdd(prevHub).foreach(_.unpersist(false))
-      prevAuth.foreach(a => backingRdd(a).foreach(_.unpersist(false)))
+      // auth_i's last reader was the hub half — except the final round's
+      // auth, which the epilogue join still reads
+      if (i < iterations) backingRdd(aCp).foreach(_.unpersist(false))
+      else authCp = aCp
+      hub = h
+      hubCp = hCp
     }
-    val out = hub.join(auth, Seq("node"))
-    // every round was materialized, so the returned plan reads only the
-    // final hub/auth checkpoints — release the shared inputs (the
-    // pageRankInt redistributeDangling epilogue)
-    Seq(e, nodes).foreach(backingRdd(_).foreach(_.unpersist(false)))
+    // restore the node spine once: absent == 0 for both scores. The
+    // final raw checkpoints (hubCp/authCp) and `nodes` back the returned
+    // plan and stay persisted; the edge list is fully consumed.
+    val out = nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(
+        col("node"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+    backingRdd(e).foreach(_.unpersist(false))
     out
   }
 

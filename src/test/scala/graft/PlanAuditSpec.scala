@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d13b_corpus_overlap_fast" -> "source-pair signature matrix, |sources|^2 rows",
     "em_ag_risk" -> "broadcast 1-row model-statistics frame (means/stds/quantiles)",
     "em_prediction_features" -> "broadcast 1-row ag quantile frame (agDailyFeatures device)",
+    "g3_hits" -> "broadcast 1-row mean-to-scale normalizers (round-15 sparse half-rounds: the final hub/auth normalize rides the returned plan)",
     "s1_knn_bruteforce" -> "broadcast bounded query set; brute force is |q|x|corpus| by definition",
     "s11_mips_topk" -> "broadcast bounded query set; brute MIPS is |q|x|corpus| by definition",
     // s8 dropped in round 14: its stats crossJoin moved inside the
@@ -148,7 +149,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "g1_pagerank" -> 5,
     "g1b_pagerank_dangling" -> 0,
     "g2_label_propagation" -> 11,
-    "g3_hits" -> 0,
+    // round 15: sparse half-rounds moved the node-spine restore out of
+    // the per-iteration checkpoints into the returned plan — the 2
+    // exchanges are the epilogue's two |V|-row spine left joins
+    "g3_hits" -> 2,
     "j10_json_extract" -> 0,
     "j11_overlap_join" -> 3,
     "j1_dim_enrich_agg" -> 1,
@@ -357,6 +361,63 @@ class PlanAuditSpec extends SparkSpecBase {
     // and the audit-variant x18 must NOT get it (documents the trade)
     val flag = SparkEntry.queries("x18_domain_quota")(spark, Sf0001)
     assert(!flag.queryExecution.sparkPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("un-memoized builder frames (EM marts, BM25 scores) keep their build-plan shape") {
+    // Round 15: since the FrameMemo landed, the board's em_*/s8/s9
+    // audited plans are warm LogicalRDD memo scans — the detectors above
+    // no longer see the mart and score BUILD plans, so a
+    // BroadcastNestedLoopJoin or stray-exchange regression inside e.g.
+    // Marts.weatherImpacts would pass the whole-board audit unseen.
+    // Audit the builders called FRESH, the shape a lone oracle replay
+    // (and the memo's one recompute per session) actually executes.
+    import java.sql.{Date, Timestamp}
+    val asOfDay = 19990L // EmModelQueries' injected clock: 2024-09-24
+    val asOf = new Date(asOfDay * 86400000L)
+    val runTs = new Timestamp(asOfDay * 86400000L + 12L * 3600000L)
+    // invoking any em board entry writes the staging fixture parquet
+    SparkEntry.queries("em_events")(spark, Sf0001)
+    val fx = graft.queries.EmModelQueries.FixtureDir
+    def src(name: String) = spark.read.parquet(s"$fx/$name.parquet")
+    val stgFema = graft.em.Staging.femaDisasters(src("fema"), runTs)
+    val stgNoaa = graft.em.Staging.noaaWeather(src("noaa"), runTs)
+    val stgCoag = graft.em.Staging.coagmetData(src("coagmet"), runTs)
+    val stgUsda = graft.em.Staging.usdaData(src("usda"), runTs)
+    val events = graft.em.Marts.emergencyEvents(spark, stgFema, stgNoaa, runTs)
+    val docs = graft.core.Tables(spark, Sf0001).documents
+    // (name, frame, pinned exchange count, bounded-BNLJ reason or null —
+    // same contract as bnljBounded: the only tolerated nested-loop is a
+    // provably tiny broadcast side)
+    val builders: Seq[(String, org.apache.spark.sql.DataFrame, Int, String)] = Seq(
+      ("build:em_events", events, 0, null),
+      ("build:em_impacts",
+        graft.em.Marts.weatherImpacts(stgCoag, stgNoaa, asOf, runTs), 2, null),
+      ("build:em_analytics",
+        graft.em.Marts.disasterAnalytics(events, stgUsda, asOf, runTs), 3, null),
+      ("build:bm25_scored",
+        graft.operators.Retrieval.bm25Scores(
+          docs,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") < 8),
+          "doc_id", "text"), 7,
+        "broadcast 1-row corpus stats (N, avg dl) into the score projection")
+    )
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val violations = builders.flatMap { case (name, df, budget, bnljOk) =>
+        val physical = df.queryExecution.sparkPlan.toString
+        val shuffles = PlanAudit.shuffleCount(df)
+        Seq(
+          if (physical.contains("CartesianProduct"))
+            Some(s"$name: CartesianProduct in build plan") else None,
+          if (physical.contains("BroadcastNestedLoopJoin") && bnljOk == null)
+            Some(s"$name: un-whitelisted BroadcastNestedLoopJoin in build plan") else None,
+          if (shuffles != budget)
+            Some(s"$name: $shuffles shuffles != pinned $budget") else None
+        ).flatten
+      }
+      assert(violations.isEmpty, violations.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("budget sensitivity: a deliberately added repartition() busts its query's budget") {
