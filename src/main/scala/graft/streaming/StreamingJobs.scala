@@ -1053,6 +1053,125 @@ object StreamingJobs {
     *         AvailableNow drain, so drain − sigs − probe − append = the
     *         micro-batch harness's own overhead). None (default) adds
     *         nothing to the hot path. */
+  /** One micro-batch of the incremental near-dup recurrence — the
+    * [[streamingIncrementalNearDup]] foreachBatch body, factored out so
+    * the crash-replay spec (Wave11Spec) can drive the exact production
+    * path around an injected mid-batch crash.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once replay: every file
+    * this batch produces carries its batchId in the name
+    * (`match_<id>_<i>` in the matches dir, `delta_<id>_<i>` in the
+    * index), and entry cleanup deletes any such files a crashed prior
+    * attempt left behind — restoring the exact pre-batch index and
+    * matches state before recomputing, whether the crash hit between
+    * the delta write and the move, mid-move, or after the match write.
+    * (The old `mode("append")` match write was NOT replay-safe: a
+    * replayed batch double-appended its matches under fresh random part
+    * names, and its partially-moved admits made the replayed probe
+    * self-match. Both writes now stage off-path and file-move in under
+    * deterministic tagged names.)
+    *
+    * In-flight compaction runs at batch ENTRY, after cleanup, when
+    * every index file belongs to a COMMITTED batch — the old
+    * end-of-batch point sat inside the batch's own commit window, where
+    * a crash after compaction had folded the batch's uncommitted delta
+    * into a compacted file that replay cleanup could not have removed.
+    * The cadence is observationally unchanged (`batchId %% n == 0` at
+    * entry sees exactly the file set `(batchId-1)+1 %% n == 0` saw at
+    * exit), and a replayed entry compaction is a no-op: the first
+    * attempt already folded the listing under `maxFiles`, and
+    * compaction preserves index content either way.
+    */
+  private[graft] def runIncrementalBatch(
+      spark: SparkSession,
+      base: String,
+      idxDir: String,
+      matchDir: String,
+      batch: DataFrame,
+      batchId: Long,
+      portable: Boolean,
+      compactEveryNBatches: Int,
+      compactMaxFiles: Int,
+      phaseNanos: Option[scala.collection.concurrent.TrieMap[String, Long]] = None
+  ): Unit = {
+    def timed[T](phase: String)(body: => T): T = phaseNanos match {
+      case None => body
+      case Some(acc) =>
+        val t0 = System.nanoTime()
+        try body
+        finally {
+          val dt = System.nanoTime() - t0
+          acc.updateWith(phase) { v => Some(v.getOrElse(0L) + dt) }: Unit
+        }
+    }
+    import graft.operators.Dedup
+    def signaturesOf(df: DataFrame): DataFrame =
+      if (portable) Dedup.portableSignatures(df, "doc_id", "text", n = 3, k = 32)
+      else Dedup.minHashSignatures(df, "doc_id", "text", n = 3, k = 32)
+
+    // replay guard: drop whatever a crashed attempt of THIS batch wrote
+    def cleanTagged(dir: String, prefix: String): Unit =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(prefix) && f.getName.endsWith(".parquet"))
+        .foreach(f => { f.delete(): Unit })
+    cleanTagged(idxDir, s"delta_${batchId}_")
+    cleanTagged(matchDir, s"match_${batchId}_")
+
+    if (compactEveryNBatches > 0 && batchId > 0 && batchId % compactEveryNBatches == 0) {
+      timed("compact") {
+        Dedup.compactSignatureIndex(spark, idxDir, maxFiles = compactMaxFiles): Unit
+      }
+    }
+
+    // stage a frame off-path, then file-move in under deterministic
+    // batch-tagged names: never append to a path the same job is
+    // reading, and leave nothing a replay's cleanup can't identify
+    def stageAndMove(df: DataFrame, stagingDir: String, dstDir: String, prefix: String): Unit = {
+      df.write.mode("overwrite").parquet(stagingDir)
+      val sd = new java.io.File(stagingDir)
+      sd.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(s"$dstDir/$prefix$i.parquet").toPath): Unit
+        }
+      Option(sd.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(f => { f.delete(): Unit })
+      sd.delete(): Unit
+    }
+
+    val index = spark.read.parquet(idxDir)
+    // materialize this batch's signatures ONCE (cache + count) —
+    // every downstream action (match write, admit write) reads the
+    // cached blocks instead of re-running the md5-per-shingle
+    // pipeline, and no extra parquet round-trip is paid
+    val sigs = timed("sigs") {
+      val s = signaturesOf(batch).persist()
+      s.count()
+      s
+    }
+    try {
+      val (matches0, admitted) = Dedup.incrementalNearDupFromSigs(
+        index, sigs, k = 32, bands = 8, threshold = 0.5, portable = portable)
+      // persist matches across the batch's TWO consumers: the match
+      // write below and admitted's anti-join both sit on top of the
+      // band-join probe plan, and without the cache the admit write
+      // re-runs the whole explode+join+verify pipeline a second time
+      // (measured ~1 s/batch-set at sf0.1, St22Profile). Populated
+      // by the match write, read by the admit write, dropped with
+      // the batch.
+      val matches = matches0.persist()
+      try {
+        timed("probe") {
+          stageAndMove(matches, s"$base/mdelta_$batchId", matchDir, s"match_${batchId}_")
+        }
+        timed("append") {
+          stageAndMove(admitted, s"$base/delta_$batchId", idxDir, s"delta_${batchId}_")
+        }
+      } finally matches.unpersist()
+    } finally sigs.unpersist()
+  }
+
   def streamingIncrementalNearDup(
       spark: SparkSession,
       sfDir: String,
@@ -1220,53 +1339,9 @@ object StreamingJobs {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val index = spark.read.parquet(idxDir)
-          // materialize this batch's signatures ONCE (cache + count) —
-          // every downstream action (match write, admit write) reads the
-          // cached blocks instead of re-running the md5-per-shingle
-          // pipeline, and no extra parquet round-trip is paid
-          val sigs = timed("sigs") {
-            val s = signaturesOf(batch).persist()
-            s.count()
-            s
-          }
-          try {
-            val (matches0, admitted) = Dedup.incrementalNearDupFromSigs(
-              index, sigs, k = 32, bands = 8, threshold = 0.5, portable = portable)
-            // persist matches across the batch's TWO consumers: the match
-            // append below and admitted's anti-join both sit on top of the
-            // band-join probe plan, and without the cache the admit write
-            // re-runs the whole explode+join+verify pipeline a second time
-            // (measured ~1 s/batch-set at sf0.1, St22Profile). Populated
-            // by the match write, read by the admit write, dropped with
-            // the batch.
-            val matches = matches0.persist()
-            try {
-              timed("probe") {
-                matches.write.mode("append").parquet(matchDir)
-              }
-              timed("append") {
-                // materialize the delta OFF the index path, then file-move
-                // in: never append to a path the same job is reading
-                val delta = s"$base/delta_$batchId"
-                admitted.write.mode("overwrite").parquet(delta)
-                new java.io.File(delta).listFiles()
-                  .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-                  .zipWithIndex.foreach { case (f, i) =>
-                    java.nio.file.Files.move(f.toPath,
-                      new java.io.File(s"$idxDir/delta_${batchId}_$i.parquet").toPath)
-                  }
-                // in-flight compaction cadence (see the param doc): the
-                // batch's probe and delta move are complete, the NEXT
-                // batch's probe re-opens the index fresh — this is exactly
-                // the between-micro-batches window the compaction contract
-                // wants
-                if (compactEveryNBatches > 0 && (batchId + 1) % compactEveryNBatches == 0) {
-                  Dedup.compactSignatureIndex(spark, idxDir, maxFiles = compactMaxFiles): Unit
-                }
-              }
-            } finally matches.unpersist()
-          } finally sigs.unpersist()
+          runIncrementalBatch(spark, base, idxDir, matchDir, batch, batchId,
+            portable = portable, compactEveryNBatches = compactEveryNBatches,
+            compactMaxFiles = compactMaxFiles, phaseNanos = phaseNanos)
         }
         .start()
       timed("drain") {

@@ -330,9 +330,10 @@ class Wave8Spec extends SparkSpecBase {
     // derive the threshold from the control run's observed fragmentation
     // (delta multiplicity = non-empty shuffle partitions per admit write,
     // identical across runs — same data, same plans): the in-flight point
-    // at batchId 3 sees initial + delta_0..3 files and must exceed the
-    // threshold; the post-drain pass sees the compacted file + delta_4..5
-    // and must not
+    // (entry of batch 4 since round 15 — crash-safe placement, same file
+    // set the old exit-of-batch-3 point saw) sees initial + delta_0..3
+    // files and must exceed the threshold; the post-drain pass sees the
+    // compacted file + delta_4..5 and must not
     val perDelta = (0 until k).map(b => namesOff.count(_.startsWith(s"delta_${b}_")))
     val fireCount = (namesOff.size - perDelta.sum) + perDelta.take(4).sum
     val baseOn = s"$dir/staging_on"
