@@ -43,6 +43,19 @@ class Wave13Spec extends SparkSpecBase {
     }
   }
 
+  test("neardup cluster memo: memoized board entries equal a fresh un-memoized build") {
+    // round 15: d5/d6/d14/x9 read the session-memoized cluster map
+    // (DedupQueries.neardupClusters). The memo must be value-invisible:
+    // d5 through the memo == the raw builder pipeline, bit for bit.
+    val fresh = graft.queries.DedupQueries.buildNeardupClusters(spark, Sf0001)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .collect().map(_.toString).sorted
+    val viaMemo = graft.queries.DedupQueries.queries("d5_neardup_clusters")(spark, Sf0001)
+      .collect().map(_.toString).sorted
+    assert(viaMemo.sameElements(fresh),
+      "memoized cluster frame must be bit-identical to the fresh build")
+  }
+
   // --- weatherImpacts alert tie-break under non-enum risk levels ---
 
   private val asOf = Date.valueOf("2024-09-24")
