@@ -37,13 +37,23 @@ object Dedup {
     * (skew guard — SkewBench measured ×305 candidate blowup uncapped; the
     * board entries run capped at 100, with the identical cap replayed in
     * the DuckDB oracle so the compare stays bit-for-bit). */
-  def ngramJaccardPairs(
+  /** The shared candidate-pair statistics frame every n-gram set-overlap
+    * measure scores FROM: (id_a, id_b, inter, n_a, n_b) — intersection
+    * count and the two shingle-set sizes per blocked candidate pair.
+    * This is the whole expensive DAG (shingle explode → df-cap semi join
+    * → inverted-index self-join → pair reduce → two size joins); Jaccard
+    * (d1), containment (d12) and the near-dup cluster builder are pure
+    * PROJECTIONS over it, so a serving stack materializes this frame
+    * once per corpus snapshot and derives every measure from it (round
+    * 15: DedupQueries memoizes it per (session, dir) — the FrameMemo
+    * posture; [[ngramJaccardPairs]]/[[containmentPairs]] stay the
+    * self-contained compositions). */
+  def pairShingleStats(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
       n: Int,
-      threshold: Double,
       maxDf: Option[Int] = None
   ): DataFrame = {
     val sh0 = shingles(docs, idCol, textCol, n, Seq(blockCol)).withColumnRenamed(blockCol, "block")
@@ -69,13 +79,41 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
+  }
+
+  /** Jaccard scoring over a [[pairShingleStats]] frame — map-only. */
+  def jaccardFromStats(stats: DataFrame, threshold: Double): DataFrame =
+    stats
       .select(
         col("id_a"),
         col("id_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
-  }
+
+  /** Containment scoring over a [[pairShingleStats]] frame — map-only.
+    * Keeps pairs whose LARGER direction clears `threshold`. */
+  def containmentFromStats(stats: DataFrame, threshold: Double): DataFrame =
+    stats
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("inter").cast("double") / col("n_a")).as("cont_a_in_b"),
+        (col("inter").cast("double") / col("n_b")).as("cont_b_in_a")
+      )
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Option[Int] = None
+  ): DataFrame =
+    jaccardFromStats(pairShingleStats(docs, idCol, textCol, blockCol, n, maxDf), threshold)
 
   /** Asymmetric n-gram containment: for each candidate pair,
     * C(A in B) = |S(A)∩S(B)| / |S(A)| and the mirror C(B in A) (Broder
@@ -95,33 +133,8 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Option[Int] = None
-  ): DataFrame = {
-    val sh0 = shingles(docs, idCol, textCol, n, Seq(blockCol)).withColumnRenamed(blockCol, "block")
-    val sh = maxDf match {
-      case Some(cap) =>
-        val dfreq = sh0.groupBy("block", "sh").agg(count(lit(1)).as("df"))
-        sh0.join(dfreq.filter(col("df") <= cap).select("block", "sh"), Seq("block", "sh"), "left_semi")
-      case None => sh0
-    }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("block"), col("doc_id").as("id_a"), col("sh"))
-    val b = sh.select(col("block"), col("doc_id").as("id_b"), col("sh"))
-    val inter = a
-      .join(b.hint("shuffle_hash"), Seq("block", "sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        (col("inter").cast("double") / col("n_a")).as("cont_a_in_b"),
-        (col("inter").cast("double") / col("n_b")).as("cont_b_in_a")
-      )
-      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
-  }
+  ): DataFrame =
+    containmentFromStats(pairShingleStats(docs, idCol, textCol, blockCol, n, maxDf), threshold)
 
   /** Corpus-pair overlap report — the dataset-level "how much do these
     * sources share" card a curator reads BEFORE any doc-grain dedup run:

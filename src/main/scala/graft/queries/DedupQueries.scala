@@ -33,11 +33,32 @@ object DedupQueries {
     * audited in PlanAuditSpec (`build:neardup_clusters`). */
   private val clustersMemo = graft.core.FrameMemo("neardup_clusters")
 
-  /** The un-memoized builder — d5's exact pair+CC pipeline; also what
-    * PlanAuditSpec audits fresh so the build-plan shape stays pinned. */
+  /** Session-memoized candidate-pair statistics frame
+    * ([[graft.operators.Dedup.pairShingleStats]]: (id_a, id_b, inter,
+    * n_a, n_b) at the board's n=3 / source-blocked / maxDf=100 params) —
+    * the expensive shingle → inverted-index → pair-reduce DAG that
+    * Jaccard (d1), containment (d12) AND the cluster builder all score
+    * from with pure projections. One build per (session, dir); the
+    * un-memoized build plan stays audited in PlanAuditSpec
+    * (`build:shingle_pair_stats`). */
+  private val pairStatsMemo = graft.core.FrameMemo("shingle_pair_stats")
+
+  /** The un-memoized pair-stats builder (the PlanAuditSpec audit target). */
+  private[graft] def buildPairStats(s: SparkSession, d: String): DataFrame =
+    Dedup.pairShingleStats(
+      Tables(s, d).documents, "doc_id", "text", "source", n = 3, maxDf = Some(100))
+
+  private def pairStats(s: SparkSession, d: String): DataFrame =
+    pairStatsMemo.get(s, d)(buildPairStats(s, d))
+
+  /** The un-memoized cluster builder — CC over the thresholded Jaccard
+    * pairs; also what PlanAuditSpec audits fresh so the CC build-plan
+    * shape stays pinned. Scores off the memoized stats frame (the pair
+    * DAG below it has its own audit + memo), so a bench session pays the
+    * shingle machinery once for the whole d1/d12/d5/d6/d14/x9 family. */
   private[graft] def buildNeardupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d).documents
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.5, maxDf = Some(100))
+    val pairs = Dedup.jaccardFromStats(pairStats(s, d), threshold = 0.5)
     Graph.connectedComponents(docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
   }
 
@@ -186,10 +207,9 @@ object DedupQueries {
       // drops only stopword-grade shingles that carry no dedup signal.
       // The clean testdata's df sits far below the cap, and the oracle
       // applies the identical cap, so parity holds by construction.
-      Dedup.ngramJaccardPairs(
-        Tables(s, d).documents,
-        "doc_id", "text", "source", n = 3, threshold = 0.5, maxDf = Some(100)
-      )
+      // Round 15: scores the session-memoized pair-stats frame (see
+      // pairStats) — the materialized-pair-index posture d12 shares.
+      Dedup.jaccardFromStats(pairStats(s, d), threshold = 0.5)
     }),
     "d13_corpus_overlap" -> ((s, d) => {
       // dataset-level overlap card: one MinHash signature per SOURCE,
@@ -209,10 +229,9 @@ object DedupQueries {
       // by the host's size; threshold 0.6 > d1's 0.5 because the measure
       // is one-sided
       // skew guard ON by default, mirrored in the oracle (see d1 note)
-      Dedup.containmentPairs(
-        Tables(s, d).documents,
-        "doc_id", "text", "source", n = 3, threshold = 0.6, maxDf = Some(100)
-      )
+      // Round 15: scores the session-memoized pair-stats frame (see
+      // pairStats) — same shingle DAG as d1, different measure on top.
+      Dedup.containmentFromStats(pairStats(s, d), threshold = 0.6)
     }),
     "d2_minhash_lsh" -> ((s, d) => {
       // full corpus (no sampling): the testdata's genuine near-dup pair

@@ -106,7 +106,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "a9_profile_stats" -> 2,
     "d10_repeated_spans" -> 3,
     "d10b_longest_dup_span" -> 3,
-    "d12_containment" -> 4,
+    "d12_containment" -> 0,
     "d13_corpus_overlap" -> 4,
     "d13b_corpus_overlap_fast" -> 1,
     "d14_dedup_savings" -> 2,
@@ -117,7 +117,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "d18_incremental_neardup" -> 7,
     "d18b_incremental_fast" -> 3,
     "d19_normalized_dedup" -> 1,
-    "d1_ngram_jaccard" -> 4,
+    "d1_ngram_jaccard" -> 0,
     "d2_minhash_lsh" -> 1,
     "d2b_minhash_portable" -> 3,
     "d3_simhash" -> 1,
@@ -401,9 +401,14 @@ class PlanAuditSpec extends SparkSpecBase {
           graft.em.Marts.weatherImpacts(stgCoag, stgNoaa, asOf, runTs), 2, null),
         ("build:em_analytics",
           graft.em.Marts.disasterAnalytics(events, stgUsda, asOf, runTs), 3, null),
-        // round 15: d5/d6/d14/x9 read the memoized near-dup cluster map —
-        // their audited plans are warm LogicalRDD scans, so the pair+CC
+        // round 15: d1/d12 (and the cluster builder) score the memoized
+        // pair-stats frame — the shingle → inverted-index → pair-reduce
         // BUILD plan needs its own pin (same rationale as the EM marts)
+        ("build:shingle_pair_stats",
+          graft.queries.DedupQueries.buildPairStats(spark, Sf0001), 4, null),
+        // round 15: d5/d6/d14/x9 read the memoized near-dup cluster map —
+        // the CC BUILD plan (over the memoized stats frame) keeps its own
+        // pin; the pair DAG below it is pinned by build:shingle_pair_stats
         ("build:neardup_clusters",
           graft.queries.DedupQueries.buildNeardupClusters(spark, Sf0001)
             .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
