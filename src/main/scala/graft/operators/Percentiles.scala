@@ -19,10 +19,11 @@ import org.apache.spark.storage.StorageLevel
   * declarative (no typed row round-trips, every stage codegen'd):
   *
   *   1. compact to (group, value) → freq            [one shuffle, partial agg]
-  *   2. ~equi-depth value buckets from approxQuantile boundaries over the
-  *      compacted frame (bucket id = #boundaries ≤ v, an O(log P) codegen
+  *   2. ~equi-depth value buckets from approximate-quantile boundaries over
+  *      the compacted frame, computed in the SAME driver job as the
+  *      maxGroups guard (bucket id = #boundaries ≤ v, an O(log P) codegen
   *      binary search per row [[graft.plans.BoundsRank]] — no
-  *      RangePartitioner sampling job)
+  *      RangePartitioner sampling job, no separate guard-count job)
   *   3. (bucket, group) → count, collected          [B × G scalars — bounded
   *      by buckets × groups, NOT by data]; driver prefix-sums them into the
   *      absolute rank offset of every bucket slice
@@ -81,40 +82,55 @@ object Percentiles {
     val spark = df.sparkSession
     val groupType = df.schema(groupCol).dataType
 
-    // Persisted at the compacted stage: boundary estimation, the count
-    // pass, and the rank pass all read this frame; anything upstream runs
-    // exactly once.
-    val freq = df
-      .filter(col(valCol).isNotNull)
+    // ONE scan of the input: compact to (group, value) → freq WITHOUT a
+    // value-null pre-filter, so the output spine (every distinct group,
+    // including all-null-valued ones) and the guard cardinality both
+    // derive from this persisted frame instead of paying a second full
+    // input scan plus its own driver job (the pre-round-15 shape: a
+    // separate distinct+count over the raw input). Null-value cells carry
+    // no rank weight — they exist only so the spine sees their groups.
+    // Persisted: boundary/guard estimation, the count pass, the rank pass
+    // and the spine re-attach all read this frame.
+    val cells = df
       .select(col(groupCol).cast("string").as("g"), col(valCol).cast("double").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // The output spine is the UNfiltered distinct group set (all-null
-    // groups emit a row too, like the builtin), so the guard must bound
-    // THIS frame — a guard on the value-filtered freq would wave through
-    // a df with millions of all-null groups and still OOM the final
-    // collect. Persisted: the guard count and the final re-attach join
-    // both read it. limit(maxGroups+1) stops the count at the bound
-    // instead of tallying every group of an oversized input.
-    val spine = df.select(col(groupCol).cast("string").as("sg")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Long-add before clamping: maxGroups = Int.MaxValue (guard
-      // effectively off) must not overflow into a negative limit
-      val probe = math.min(maxGroups.toLong + 1, Int.MaxValue.toLong).toInt
-      val nGroups = spine.limit(probe).count()
+      val freq = cells.filter(col("v").isNotNull)
+      val numBuckets = spark.sessionState.conf.numShufflePartitions
+      // ONE driver job computes the maxGroups guard AND the ~equi-depth
+      // bucket boundaries (materializing the persist as its side effect):
+      //  - ng: EXACT distinct-group count over the UNfiltered cells frame.
+      //    A guard on the value-filtered freq would wave through a df with
+      //    millions of all-null groups and still OOM the final collect;
+      //    countDistinct skips a null group key, so null-group presence is
+      //    re-added explicitly (the builtin keeps null groups).
+      //  - bounds: percentile_approx over the compacted values — the same
+      //    QuantileSummaries machinery as Dataset.stat.approxQuantile at
+      //    relativeError ≈ 1/accuracy, fused into the guard job instead of
+      //    running as its own. Boundaries only steer balance, never
+      //    correctness. NaN values are legal input (pinned to the top
+      //    bucket below) but make useless boundaries — masked to null so
+      //    the sketch skips them, exactly like approxQuantile did.
+      val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+      val boundsAgg =
+        if (probs.isEmpty) max(lit(null).cast("array<double>"))
+        else percentile_approx(
+          when(isnan(col("v")), lit(null)).otherwise(col("v")),
+          lit(probs.toArray), lit(100))
+      val statsRow = cells.agg(
+        (countDistinct(col("g")) +
+          coalesce(max(when(col("g").isNull, lit(1L)).otherwise(lit(0L))), lit(0L))).as("ng"),
+        boundsAgg.as("bounds")).collect().head
+      val nGroups = statsRow.getLong(0)
       require(nGroups <= maxGroups,
         s"exactByRange: more than maxGroups=$maxGroups distinct groups (including " +
           "all-null-valued ones) — this operator holds B×G counters and a G-row " +
           "result on the driver; use the builtin percentile for high-cardinality " +
           "grouping, or raise maxGroups with the driver heap")
-      // ~equi-depth buckets over the compacted frame (what the window pass
-      // processes): boundaries only steer balance, never correctness
-      val numBuckets = spark.sessionState.conf.numShufflePartitions
-      val bounds = freq.stat
-        .approxQuantile("v", (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
-        .distinct.sorted
+      val bounds: Array[Double] =
+        Option(statsRow.getSeq[Double](1)).map(_.toArray).getOrElse(Array.empty[Double])
+          .filterNot(_.isNaN).distinct.sorted
       // NaN sorts greatest in Spark (and in the builtin percentile's
       // sort), so NaN must pin to the top bucket. bounds_rank's
       // binarySearch total order already sends NaN there; the explicit
@@ -184,11 +200,13 @@ object Percentiles {
       val agged = picked
         .groupBy(col("g"))
         .agg(outCols.head, outCols.tail: _*)
-      // Re-attach groups the isNotNull pre-filter removed entirely (groups
+      // Re-attach groups the isNotNull filter removed entirely (groups
       // whose values are ALL null): the builtin keeps such groups with null
       // percentile values, so the distinct group set — not the filtered
-      // frame — is the output spine (persisted above, where the guard
-      // counted it). Null-safe join: a null GROUP is legal.
+      // frame — is the output spine. Derived from the persisted cells
+      // frame (no second input scan; the guard above bounded it).
+      // Null-safe join: a null GROUP is legal.
+      val spine = cells.select(col("g").as("sg")).distinct()
       val out = spine
         .join(agged, col("sg") <=> col("g"), "left")
         .select(col("sg").cast(groupType).as(groupCol) +: ps.map(p => col(p._1)): _*)
@@ -199,8 +217,7 @@ object Percentiles {
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
-      freq.unpersist(): Unit
-      spine.unpersist(): Unit
+      cells.unpersist(): Unit
     }
   }
 }

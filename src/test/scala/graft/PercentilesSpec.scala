@@ -116,6 +116,25 @@ class PercentilesSpec extends SparkSpecBase {
     assert(ok.count() == 10)
   }
 
+  test("the input frame is scanned exactly once per invocation") {
+    // round-15 machinery shape: ONE compaction scan feeds boundary/guard
+    // estimation, the B×G count pass, the rank pass AND the output spine
+    // (the pre-round-15 shape paid a SECOND full input scan + its own
+    // driver job to build the spine for the maxGroups guard). Pinned with
+    // a per-row accumulator riding the input projection: it fires only
+    // when the raw input is (re)executed, never on reads of the persisted
+    // compacted frame. Exactly-1000 would flake on a task retry, so the
+    // assertion pins "strictly below the 2-scan signature".
+    val acc = spark.sparkContext.longAccumulator("perc_input_rows")
+    val bump = udf((x: Double) => { acc.add(1); x }).asNondeterministic()
+    val df = Seq.tabulate(1000)(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+      .withColumn("v", bump(col("v")))
+    val out = Percentiles.exactByRange(df, "g", "v", Seq("p50" -> 0.5))
+    assert(out.count() == 3)
+    assert(acc.value >= 1000L && acc.value < 2000L,
+      s"input scanned ${acc.value / 1000.0}x; the single-scan shape reads it once")
+  }
+
   test("integral-rank positions hit exact values (no interpolation drift)") {
     // 5 values -> p25 rank = 1 + .25*4 = 2.0 exactly
     val rows = Seq.tabulate(5)(i => ("g", (i + 1).toDouble))
