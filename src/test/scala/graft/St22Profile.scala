@@ -15,21 +15,25 @@ package graft
   *   harness drain − (sigs + probe + append): micro-batch scheduling,
   *           checkpoint commits, file-source listing
   *
-  * Run:  sbt "Test/runMain graft.St22Profile [sfDir]"
+  * Run:  sbt "Test/runMain graft.St22Profile [sfDir] [passes] [fast]"
+  * (`fast` profiles the st22b xxhash64 production variant instead of the
+  * md5 oracle twin — same pipeline, portable=false.)
   */
 object St22Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val portable = !args.contains("fast")
     val spark = graft.core.SparkSessionFactory.local("graft-bench")
     // warmup, mirroring Bench: one full untimed run
-    graft.streaming.StreamingJobs.streamingIncrementalNearDup(spark, sfDir)
+    graft.streaming.StreamingJobs.streamingIncrementalNearDup(spark, sfDir,
+        portable = portable)
       .queryExecution.toRdd.count(): Unit
     val passes = math.max(1, args.lift(1).flatMap(_.toIntOption).getOrElse(2))
     val rows = (1 to passes).map { p =>
       val acc = scala.collection.concurrent.TrieMap.empty[String, Long]
       val t0 = System.nanoTime()
       graft.streaming.StreamingJobs.streamingIncrementalNearDup(spark, sfDir,
-          phaseNanos = Some(acc))
+          phaseNanos = Some(acc), portable = portable)
         .queryExecution.toRdd.count(): Unit
       val wall = (System.nanoTime() - t0) / 1e9
       def g(k: String) = acc.getOrElse(k, 0L) / 1e9
