@@ -36,11 +36,22 @@ object Graph {
       dstCol: String,
       maxIter: Int = 25
   ): DataFrame = {
-    val sym = edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .distinct()
-      .localCheckpoint(true) // materialize the (possibly expensive) edge source ONCE
+    // materialize the (possibly expensive) edge source ONCE, keyed by its
+    // per-round join column b (round 16, guide §2.4 — the pageRankInt
+    // device): the checkpoint would otherwise forget its layout and every
+    // min-label round re-exchanged the same edge bytes. Partition count
+    // sized from the materialized bytes (see pageRankInt).
+    val sym = {
+      import org.apache.spark.sql.graftbridge.CheckpointBridge._
+      val s0 = edges
+        .select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      val s = localCheckpointHashPartitioned(s0, sizedPartitionsFor(s0), "b")
+      backingRdd(s0).foreach(_.unpersist(false))
+      s
+    }
 
     // Iterate ONLY over edge-touched nodes: in a dedup workload the
     // overwhelming majority of documents have no near-dup edge at all —
@@ -166,21 +177,42 @@ object Graph {
       scale: Long = 1000000000L,
       redistributeDangling: Boolean = false
   ): DataFrame = {
+    // Loop-static frames carry a DECLARED hash partitioning on their join
+    // key (round 16, guide §2.4): a plain localCheckpoint forgets its
+    // layout (UnknownPartitioning), so every one of the `iterations`
+    // rounds re-exchanged the SAME edge and node bytes — 3 exchanges per
+    // round in the r15 plan. With ed keyed by src and nodes by node, the
+    // per-round join reads both sides in place and each round's only
+    // exchange is the contribution aggregate (the irreducible shuffle of
+    // the recurrence). The SHARED partition count is sized from the
+    // materialized edge bytes against the session's advisory partition
+    // size (the target AQE coalesces toward) — a bench-scale graph runs
+    // single-wave stages, a 100 TB graph saturates the configured
+    // parallelism; a conf constant would be wrong at one end or the other.
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.{
+      localCheckpointHashPartitioned, sizedPartitionsFor}
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val p = sizedPartitionsFor(e)
+    val nodesRaw = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
     // out-degree attached to each edge ONCE, eagerly: inside the lazy
     // iteration plan the deg aggregate and its join would otherwise be
     // REPLAYED per round (5 redundant shuffles of the edge list) — the
-    // degree never changes, so it rides the checkpointed edge frame
-    val ed = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint(true)
+    // degree never changes, so it rides the checkpointed edge frame.
+    // Declared-layout checkpoints only pay off on the dangling path,
+    // whose per-round materialization re-reads both frames; the lazy
+    // path's joins align to the aggregate exchange's partition count
+    // anyway (probed round 16: declaring there ADDED jobs, 23 → 30).
+    val edRaw = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val (nodes, ed) =
+      if (redistributeDangling)
+        (localCheckpointHashPartitioned(nodesRaw, p, "node"),
+          localCheckpointHashPartitioned(edRaw, p, "src"))
+      else (nodesRaw.localCheckpoint(true), edRaw.localCheckpoint(true))
     // both readers of `e` (nodes, ed) are now eagerly materialized — its
     // |E|-row blocks would otherwise stay pinned for the session,
     // doubling the operator's resident footprint for no reader
@@ -215,10 +247,12 @@ object Graph {
       // inputs).
       ranks
     } else {
-      // dangling node set (no out-edges) is static: checkpoint once
-      val dangling = nodes
-        .join(ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+      // dangling node set (no out-edges) is static: checkpoint once,
+      // keyed like nodes so the per-round dangling-mass join reads it
+      // in place
+      val dangling = localCheckpointHashPartitioned(
+        nodes.join(ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"),
+        p, "node")
       // |V| as a plain long: nodes is already materialized, the count is a
       // cheap cached-block job; max(,1) keeps the share's floor division
       // defined on a degenerate empty edge list (every frame is empty then)
@@ -312,10 +346,19 @@ object Graph {
       isolated: Option[DataFrame] = None,
       isolatedCol: String = "node"
   ): DataFrame = {
-    val e = edges
+    // edge frame keyed by src, its per-round join key (round 16, guide
+    // §2.4 — the pageRankInt device): the plain checkpoint's forgotten
+    // layout re-exchanged the same edges every round. The labels side
+    // is a per-round union (agg output ∪ noIn) with no stable layout —
+    // its exchange is the recurrence's irreducible shuffle.
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.{
+      backingRdd, localCheckpointHashPartitioned, sizedPartitionsFor}
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .localCheckpoint(true)
+    val e = localCheckpointHashPartitioned(e0, sizedPartitionsFor(e0), "src")
+    backingRdd(e0).foreach(_.unpersist(false))
     val allNodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -405,14 +448,31 @@ object Graph {
     // frame while the epilogue releases checkpoints it still
     // references — any later action would fail on missing blocks
     require(iterations >= 1, s"hitsInt needs iterations >= 1, got $iterations")
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.localCheckpointHashPartitioned
+    // Edge list checkpointed TWICE with a declared layout (round 16,
+    // guide §2.4): the auth half joins on src, the hub half on dst, and
+    // the plain checkpoint's UnknownPartitioning made every half-round
+    // re-exchange the same edges — 2 edge exchanges per round. Keyed
+    // copies cost two exchanges once; every half-round join then reads
+    // its edge side in place. nodes keyed likewise: it seeds the dense
+    // initial hub frame (so round 1's src join needs no exchange at all)
+    // and the epilogue spine joins. Shared partition count sized from
+    // the materialized edge bytes (see pageRankInt).
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    val p = org.apache.spark.sql.graftbridge.CheckpointBridge.sizedPartitionsFor(e)
+    val eBySrc = localCheckpointHashPartitioned(e, p, "src")
+    val eByDst = localCheckpointHashPartitioned(e, p, "dst")
+    val nodes = localCheckpointHashPartitioned(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct(),
+      p, "node")
+    // both keyed copies and nodes are materialized; the raw edge blocks
+    // have no reader left
+    backingRdd(e).foreach(_.unpersist(false))
     val nV = math.max(nodes.count(), 1L)
 
     // SPARSE half-round (round 15 — GraphProfile attributed the old
@@ -445,14 +505,14 @@ object Graph {
     var authCp: DataFrame = null
     for (i <- 1 to iterations) {
       val (a, aCp) = half(
-        e.join(hub, e("src") === hub("node"))
+        eBySrc.join(hub, eBySrc("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum("hub").as("am")),
         "am", "auth")
       // aCp just materialized, so hub_{i-1}'s backing has no reader left
       if (hubCp != null) backingRdd(hubCp).foreach(_.unpersist(false))
       auth = a
       val (h, hCp) = half(
-        e.join(auth, e("dst") === auth("node"))
+        eByDst.join(auth, eByDst("dst") === auth("node"))
           .groupBy(col("src").as("node")).agg(sum("auth").as("hm")),
         "hm", "hub")
       // auth_i's last reader was the hub half — except the final round's
@@ -464,7 +524,7 @@ object Graph {
     }
     // restore the node spine once: absent == 0 for both scores. The
     // final raw checkpoints (hubCp/authCp) and `nodes` back the returned
-    // plan and stay persisted; the edge list is fully consumed.
+    // plan and stay persisted; both keyed edge copies are fully consumed.
     val out = nodes
       .join(hub, Seq("node"), "left")
       .join(auth, Seq("node"), "left")
@@ -472,7 +532,7 @@ object Graph {
         col("node"),
         coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
-    backingRdd(e).foreach(_.unpersist(false))
+    Seq(eBySrc, eByDst).foreach(backingRdd(_).foreach(_.unpersist(false)))
     out
   }
 

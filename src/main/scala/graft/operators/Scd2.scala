@@ -79,9 +79,20 @@ object Scd2 {
     val hasOld = col(s"o.$updatedAt").isNotNull
     val changed = col(s"n.$updatedAt").isNotNull && hasOld && col(s"n.$updatedAt") > col(s"o.$updatedAt")
 
-    // open rows that stay open (unchanged, or no newer version)
+    val hasNew = col(s"n.$updatedAt").isNotNull
+
+    // open rows that stay open (unchanged, or no newer version). Under
+    // invalidateHardDeletes a key absent from the batch does NOT stay
+    // open — it hard-closes below — so presence in the batch joins the
+    // predicate; without the flag absent keys pass through open. Both
+    // conditions read the ONE full-outer join (round 16, guide §2.4 —
+    // this used to be a separate left_semi join re-shuffling both sides,
+    // and hard deletes a third left_anti join; the full-outer row set
+    // already distinguishes all four cases by side presence, the same
+    // device mergeCheckCols always used).
     val stillOpen = joined
-      .filter(hasOld && (col(s"n.$updatedAt").isNull || col(s"n.$updatedAt") <= col(s"o.$updatedAt")))
+      .filter(hasOld && (if (invalidateHardDeletes) hasNew && col(s"n.$updatedAt") <= col(s"o.$updatedAt")
+                         else col(s"n.$updatedAt").isNull || col(s"n.$updatedAt") <= col(s"o.$updatedAt")))
       .select(keys.map(col) ++ bizCols.filterNot(keys.contains).map(c => col(s"o.$c")) :+
         col("o.valid_from") :+ col("o.valid_to") :+ col("o.is_current"): _*)
 
@@ -91,15 +102,16 @@ object Scd2 {
       .select(keys.map(col) ++ bizCols.filterNot(keys.contains).map(c => col(s"o.$c")) :+
         col("o.valid_from") :+ col(s"n.$updatedAt").as("valid_to") :+ lit(false).as("is_current"): _*)
 
-    // hard deletes: open rows whose key vanished from the batch
+    // hard deletes: open rows whose key vanished from the batch —
+    // old-side-only rows of the same full-outer join
     val hardClosed =
       if (!invalidateHardDeletes) open.limit(0)
-      else {
-        val del = open.join(latest.select(keys.map(col): _*), keys, "left_anti")
-        del.withColumn("valid_to", lit(deleteTs.orNull).cast("timestamp"))
-          .withColumn("is_current", lit(false))
-      }
-    val openKept = if (invalidateHardDeletes) stillOpen.join(latest.select(keys.map(col): _*), keys, "left_semi") else stillOpen
+      else joined
+        .filter(hasOld && !hasNew)
+        .select(keys.map(col) ++ bizCols.filterNot(keys.contains).map(c => col(s"o.$c")) :+
+          col("o.valid_from") :+ lit(deleteTs.orNull).cast("timestamp").as("valid_to") :+
+          lit(false).as("is_current"): _*)
+    val openKept = stillOpen
 
     // new versions and brand-new keys -> open rows
     val newOpen = joined

@@ -142,17 +142,31 @@ class PlanAuditSpec extends SparkSpecBase {
     "em_public_disasters" -> 1,
     "em_quality_metrics" -> 6,
     "em_scalar_suite" -> 0,
-    "em_snapshots" -> 18,
+    // round 16: Scd2.merge reads hard-deletes and batch presence off the
+    // ONE full-outer join (side-presence flags, the mergeCheckCols device)
+    // instead of separate anti/semi joins — 18 → 13
+    "em_snapshots" -> 13,
     "em_surrogate_ids" -> 0,
     "em_usage_metrics" -> 2,
     "em_weather_impacts" -> 0,
     "g1_pagerank" -> 5,
     "g1b_pagerank_dangling" -> 0,
-    "g2_label_propagation" -> 11,
+    // round 16: the edge checkpoint declares its hash layout on src
+    // (CheckpointBridge.localCheckpointHashPartitioned), so the four
+    // per-round edge⋈labels joins read the edge side in place — 11 → 8
+    // (the 8th is the build's own sizing repartition, visible only under
+    // the audit's AQE-off conditions; at runtime it replaces four
+    // per-round edge exchanges — probed tasks 137 → 71)
+    "g2_label_propagation" -> 8,
     // round 15: sparse half-rounds moved the node-spine restore out of
     // the per-iteration checkpoints into the returned plan — the 2
-    // exchanges are the epilogue's two |V|-row spine left joins
-    "g3_hits" -> 2,
+    // exchanges are the epilogue's two |V|-row spine left joins.
+    // Round 16: +1 — the declared-layout node spine (sized partition
+    // count) re-aligns to the score frames' exchange width in the
+    // epilogue under the audit's AQE-off conditions; at runtime the
+    // declared edge/node layouts drop the operator from 84 stage-jobs /
+    // 171 tasks to 75 / 100 (probed, same window: 4.39 → 3.72 s)
+    "g3_hits" -> 3,
     "j10_json_extract" -> 0,
     "j11_overlap_join" -> 3,
     "j1_dim_enrich_agg" -> 1,
