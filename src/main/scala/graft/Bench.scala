@@ -218,9 +218,24 @@ object Bench {
     }
     def fmt(v: Double, places: Int): String =
       java.lang.String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 4) }
+    // Charge FrameMemo recompute builds to the timed board (round-16
+    // verdict item 2): min-of-two passes report only WARM consumer times —
+    // the first consumer's warmup pass builds each shared frame, so the
+    // build cost appeared in no reported number. Every memo that recomputed
+    // this run now rides the board as a `build:<memo>` entry whose value is
+    // the ACCUMULATED wall seconds of its recompute builds (eager
+    // localCheckpoint included), measured inside FrameMemo — so the charge
+    // reconciles with the recompute counters by construction, the oracle
+    // surface is untouched, and the pre-existing per-query entries keep
+    // their round-15 meaning (warm consumer time) for cross-round
+    // comparison. graph_memo (trade_pairs) is a FrameMemo and is covered.
+    val memoBuilds: Seq[(String, Double, Int)] =
+      graft.core.FrameMemo.allStatsWithBuild
+        .collect { case (n, _, r, b) if r > 0 => (s"build:$n", b, 0) }
+    val charged = results ++ memoBuilds
+    val qs = charged.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    val total = charged.map { case (_, v, _) => math.max(v, 0.0) }.sum
     val nFailed = results.count(_._2 < 0)
     // environment fingerprint: a contended machine (stray JVMs, parallel
     // builds) inflates CPU-bound queries 10-100x — recording cores + the
@@ -271,8 +286,9 @@ object Bench {
     // and BM25-score memos): hits vs recomputes per memo — the observable
     // that separates "leg drifted because its shared frame recomputed"
     // from host noise, generalized from graph_memo
-    val frameMemo = graft.core.FrameMemo.allStats
-      .map { case (n, h, r) => s""""$n":{"hits":$h,"recomputes":$r}""" }
+    val frameMemo = graft.core.FrameMemo.allStatsWithBuild
+      .map { case (n, h, r, b) =>
+        s""""$n":{"hits":$h,"recomputes":$r,"build_sec":${fmt(b, 3)}}""" }
       .mkString("{", ",", "}")
     // hypervisor-steal delta across the whole run: jiffies stolen / total
     // jiffies elapsed — cross-round tooling can discount hot runs
@@ -347,7 +363,7 @@ object Bench {
     // sized to always fit the tail window whole, so the official artifact
     // is self-contained: total + count + the slowest legs, parseable.
     println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,$envFull}""")
-    val slowest = results.sortBy(-_._2).take(10)
+    val slowest = charged.sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.length},"slowest":$slowest,$env}""")
   }

@@ -46,6 +46,14 @@ final class FrameMemo private (val name: String, val maxEntries: Int) {
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String)]()
   private val accessCount = new java.util.concurrent.atomic.AtomicLong
   private val recomputeCount = new java.util.concurrent.atomic.AtomicLong
+  /** Wall seconds spent in recompute builds (including the eager
+    * localCheckpoint), JVM-lifetime — the cost the memo's hits amortize.
+    * Bench charges it to the timed board as a `build:<name>` entry
+    * (round-16 verdict item 2: the min-of-two pass structure otherwise
+    * reports only warm consumer times and the build cost appears in NO
+    * number). LongAdder in nanos: cheap, race-free under the rare
+    * concurrent duplicate build (both builds genuinely ran). */
+  private val buildNanos = new java.util.concurrent.atomic.LongAdder
 
   /** The persisted RDD behind an eagerly localCheckpoint'd Dataset — the
     * handle unpersist needs (Dataset.unpersist only covers CacheManager
@@ -83,7 +91,9 @@ final class FrameMemo private (val name: String, val maxEntries: Int) {
       // the loser's frame was never handed out, so its checkpoint blocks
       // are released eagerly and the winner's entry is returned.
       recomputeCount.incrementAndGet(): Unit
+      val t0 = System.nanoTime()
       val cp = build.localCheckpoint(true)
+      buildNanos.add(System.nanoTime() - t0)
       val entry = (cp, checkpointedRdd(cp))
       val prev = cache.putIfAbsent(k, entry)
       if (prev == null) { order.add(k): Unit; entry }
@@ -147,6 +157,9 @@ final class FrameMemo private (val name: String, val maxEntries: Int) {
     val r = recomputeCount.get()
     (accessCount.get() - r, r)
   }
+
+  /** Accumulated recompute-build wall seconds (see buildNanos). */
+  def buildSeconds: Double = buildNanos.sum() / 1e9
 }
 
 object FrameMemo {
@@ -168,6 +181,18 @@ object FrameMemo {
     registry.forEach { m =>
       val (h, r) = m.stats
       b += ((m.name, h, r))
+    }
+    b.result().sortBy(_._1)
+  }
+
+  /** (name, hits, recomputes, buildSeconds), name-sorted — the charged
+    * form of [[allStats]]: Bench emits buildSeconds both in the
+    * frame_memo block and as a timed `build:<name>` board entry. */
+  def allStatsWithBuild: Seq[(String, Long, Long, Double)] = {
+    val b = Seq.newBuilder[(String, Long, Long, Double)]
+    registry.forEach { m =>
+      val (h, r) = m.stats
+      b += ((m.name, h, r, m.buildSeconds))
     }
     b.result().sortBy(_._1)
   }
