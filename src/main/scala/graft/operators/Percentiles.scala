@@ -145,10 +145,20 @@ object Percentiles {
       val freqB = freq.withColumn("bucket", bucketOf)
 
       // B × G counters -> absolute rank offset of every (bucket, group)
-      // slice and per-group totals
-      val counts: Array[(Int, String, Long)] = freqB
+      // slice and per-group totals. Counted over ALL cells (null-value
+      // cells ride bucket −1, zero rank weight) so this ONE collect also
+      // hands the driver the complete group set — the output spine that
+      // used to cost a separate distinct + null-safe left join in the
+      // final pass (round 16: the spine is re-attached on the driver
+      // below instead). Row count stays ≤ B×G + G, driver-bounded by the
+      // guard above.
+      val countsAll: Array[(Int, String, Long)] = freqB
+        .unionByName(cells.filter(col("v").isNull).select(
+          col("g"), col("v"), col("c"), lit(-1).as("bucket")))
         .groupBy("bucket", "g").agg(sum("c").as("n"))
         .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val allGroups: Array[String] = countsAll.map(_._2).distinct
+      val counts: Array[(Int, String, Long)] = countsAll.filter(_._1 >= 0)
       val totals: Map[String, Long] =
         counts.groupBy(_._2).map { case (g, a) => g -> a.map(_._3).sum }
       val offsetRows: Seq[(Int, String, Long)] = counts
@@ -200,22 +210,26 @@ object Percentiles {
       val agged = picked
         .groupBy(col("g"))
         .agg(outCols.head, outCols.tail: _*)
-      // Re-attach groups the isNotNull filter removed entirely (groups
-      // whose values are ALL null): the builtin keeps such groups with null
-      // percentile values, so the distinct group set — not the filtered
-      // frame — is the output spine. Derived from the persisted cells
-      // frame (no second input scan; the guard above bounded it).
-      // Null-safe join: a null GROUP is legal.
-      val spine = cells.select(col("g").as("sg")).distinct()
-      val out = spine
-        .join(agged, col("sg") <=> col("g"), "left")
-        .select(col("sg").cast(groupType).as(groupCol) +: ps.map(p => col(p._1)): _*)
       // Materialize the G-row result on the driver and return it as a
       // local frame: the input persist can be dropped eagerly, and no
       // cache entry outlives the call (a session-cached result would also
       // let a later identical invocation silently skip the rank pass).
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      // Groups the isNotNull filter removed entirely (all-null-valued —
+      // the builtin keeps them with null percentile values) are
+      // re-attached HERE from the group set the counts collect already
+      // carried: the distributed spine distinct + null-safe left join
+      // this replaced cost two extra stages per invocation (round 16).
+      // The group key is cast back to its input type through a local
+      // Spark projection, never on the driver, so cast semantics stay
+      // exactly Spark's.
+      val aggedRows = agged.collect()
+      val seen = aggedRows.map(_.get(0)).toSet
+      val missing = allGroups.filterNot(seen.contains)
+      val rows = aggedRows ++ missing.map(g =>
+        org.apache.spark.sql.Row.fromSeq(g +: Seq.fill(ps.size)(null)))
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), agged.schema)
+      local.select(col("g").cast(groupType).as(groupCol) +: ps.map(p => col(p._1)): _*)
     } finally {
       cells.unpersist(): Unit
     }

@@ -589,7 +589,12 @@ object DedupQueries {
       // always populated in the graded flow.
       val e = Tables(s, d).embeddings
       val q = e.filter(col("vec_id") < 10)
+      // ground truth materialized ONCE (round 16, guide §2.4): the brute
+      // frame is |q|·k rows but its lazy plan is a full corpus scan +
+      // window — and it feeds THREE comparison branches, so without the
+      // checkpoint the corpus is brute-force-scanned three times per run
       val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .localCheckpoint(true)
       val paths: Seq[(String, DataFrame)] = Seq(
         "ivf" -> Similarity.ivfTopK(e, q, "vec_id", "embedding",
           k = 5, trainFraction = 0.2, cacheKey = Some(s"ivf|$d|nlist16|tf0.2")),

@@ -14,7 +14,14 @@ object R16Probe {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val passes = math.max(1, args.lift(2).flatMap(_.toIntOption).getOrElse(3))
     val spark = graft.core.SparkSessionFactory.local("graft-probe")
-    val fn = SparkEntry.queries(name)
+    // build:* names probe the un-memoized shared-frame builders — the
+    // cost the bench now charges to the board (FrameMemo build charging)
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      name match {
+        case "build:shingle_pair_stats" => (s, dir) => queries.DedupQueries.buildPairStats(s, dir)
+        case "build:neardup_clusters" => (s, dir) => queries.DedupQueries.buildNeardupClusters(s, dir)
+        case other => SparkEntry.queries(other)
+      }
 
     @volatile var jobs = 0
     @volatile var stages = 0
