@@ -59,8 +59,21 @@ object Dedup {
     val sh0 = shingles(docs, idCol, textCol, n, Seq(blockCol)).withColumnRenamed(blockCol, "block")
     val sh = maxDf match {
       case Some(cap) =>
-        val dfreq = sh0.groupBy("block", "sh").agg(count(lit(1)).as("df"))
-        sh0.join(dfreq.filter(col("df") <= cap).select("block", "sh"), Seq("block", "sh"), "left_semi")
+        // df-cap as a WINDOW count over the join-key partitioning (round
+        // 16 — the embeddingNearDupPairs maxBucketSize device): ONE
+        // exchange on (block, sh) both caps the stop-shingles and leaves
+        // the admitted index partitioned exactly as the inverted-index
+        // self-join below needs it, so the join reads both sides in
+        // place. The former shape (df aggregate + left-semi join) paid
+        // the same exchange plus a join stage and then re-exchanged both
+        // self-join sides. Admitted row set is IDENTICAL (shingles whose
+        // (block, sh) group count ≤ cap) — the oracle's GROUP BY/HAVING
+        // replay is unchanged.
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy("block", "sh")
+        sh0
+          .withColumn("__df", count(lit(1)).over(wB))
+          .filter(col("__df") <= cap)
+          .drop("__df")
       case None => sh0
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
