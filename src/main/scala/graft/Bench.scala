@@ -48,10 +48,16 @@ object Bench {
     * shingle, lexicographic mins) that exists only so DuckDB can replay
     * the persisted index; d18b (xxhash64 signatures, the production
     * path, Wave8Spec-pinned == the cross-batch slice) holds the timed
-    * slot and d18 stays fully hash-graded in Verify/CORRECTNESS. */
+    * slot and d18 stays fully hash-graded in Verify/CORRECTNESS.
+    * d3b joined in round 16 (verdict item 7 — the same argument as
+    * d2b/t5b/d18): its md5-derived 60-bit SimHash exists only so DuckDB
+    * can replay the votes→bits→blocks pipeline; d3 (the production
+    * xxhash64 SimHash) holds the timed slot, and d3b stays fully
+    * hash-graded in Verify/CORRECTNESS. */
   val TwinEntries: Set[String] =
     Set("t5b_rolling_fingerprint_portable", "d2b_minhash_portable", "d13_corpus_overlap",
-      "st22_stream_incremental_neardup", "d17_fuzzy_join", "d18_incremental_neardup")
+      "st22_stream_incremental_neardup", "d17_fuzzy_join", "d18_incremental_neardup",
+      "d3b_simhash_portable")
 
   /** (steal, total) jiffy counters from /proc/stat's aggregate cpu line —
     * field 8 is time stolen by the hypervisor. Sampled at run start and

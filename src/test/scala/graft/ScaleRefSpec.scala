@@ -120,8 +120,11 @@ class ScaleRefSpec extends AnyFunSuite {
     val (round, file) = latestScaleOrFail
     val timed = SparkEntry.queries.keySet -- Bench.TwinEntries
     // negative controls (toy_quadratic) live only in SCALE_selftest.json,
-    // never in the round artifact
-    val dead = scaleKeys(file) -- timed
+    // never in the round artifact. `build:<memo>` entries ARE timed-board
+    // members since round 16 (Bench charges FrameMemo recompute builds to
+    // the board), so their ×10 ratios riding the artifact is the gate
+    // covering them, not staleness.
+    val dead = (scaleKeys(file) -- timed).filterNot(_.startsWith("build:"))
     assert(dead.isEmpty,
       s"$file (round $round) names queries outside the timed board — rerun " +
         s"tools/scale_leg.sh; dead: ${dead.toSeq.sorted.mkString(", ")}")

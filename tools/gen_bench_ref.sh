@@ -24,7 +24,10 @@ python3 - <<'EOF'
 import json
 with open("/tmp/bench_ref_raw.json") as f:
     full = json.loads(f.read())
-qs = {k: round(v, 4) for k, v in full["queries"].items() if v >= 0}
+# build:* entries are FrameMemo build charges (round 16), not retryable
+# queries — they carry no ceiling and must not enter the ref
+qs = {k: round(v, 4) for k, v in full["queries"].items()
+      if v >= 0 and not k.startswith("build:")}
 with open("tools/bench_ref_sf0.01.json", "w") as f:
     json.dump(qs, f, indent=0, sort_keys=True)
 print(f"wrote tools/bench_ref_sf0.01.json with {len(qs)} queries")
