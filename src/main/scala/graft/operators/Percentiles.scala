@@ -71,7 +71,12 @@ object Percentiles {
     *         after it. 65536 groups × 32 buckets ≈ 2M counters — well
     *         inside any driver; raise it only with the driver heap to
     *         match. High-cardinality grouping belongs on the builtin
-    *         `percentile` (see object doc). */
+    *         `percentile` (see object doc). Note: since the round-15
+    *         fused stats job, an OVERSIZED input pays one full
+    *         compaction+aggregate pass before the guard fires — the
+    *         trade for fusing the guard with the boundary sketch; the
+    *         failure is still loud and still precedes the B×G collect
+    *         (ADVICE r15). */
   def exactByRange(
       df: DataFrame,
       groupCol: String,

@@ -21,7 +21,11 @@ package graft
   */
 object St22Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // the "fast" flag is positional-blind: filter it out before taking
+    // sfDir, so `runMain graft.St22Profile fast` profiles the default
+    // dir instead of treating "fast" as a data directory (ADVICE r15)
+    val pos = args.filterNot(_ == "fast")
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val portable = !args.contains("fast")
     val spark = graft.core.SparkSessionFactory.local("graft-bench")
     // warmup, mirroring Bench: one full untimed run
